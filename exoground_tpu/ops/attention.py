@@ -1,0 +1,456 @@
+"""Multi-head attention: Pallas flash kernel + XLA reference path.
+
+The reference runs every attention through ``nn.MultiheadAttention`` with a
+``key_padding_mask`` (reference: model/tfm_model.py:21,30-32,62-79). That is
+the single hottest op in the whole framework — every encoder/decoder layer of
+every model. Here it becomes:
+
+  * ``attention_xla`` — a straight-line XLA einsum implementation. Used as the
+    numerical reference, for CPU tests, and for tiny shapes where a kernel
+    launch isn't worth it. XLA already fuses scale+mask+softmax into the
+    matmuls.
+  * ``flash_attention`` — a blockwise Pallas TPU kernel (fwd + custom-VJP bwd)
+    with online softmax and key-padding masking, so the joint encoder's long
+    concatenated video+text sequences (up to the 4096-step pos-table limit,
+    reference: model/tan_model.py:52) never materialise the (Sq, Sk) score
+    matrix in HBM.
+
+Both paths use the torch ``key_padding_mask`` convention: a (B, Sk) bool/int
+mask that is True/1 at PAD positions.
+
+``MultiHeadAttention`` is the flax module wrapping projection + attention with
+the packed-in-proj parameter layout of ``nn.MultiheadAttention`` (one (C, 3C)
+matmul — better for the MXU than three (C, C) ones, and makes torch-checkpoint
+conversion a transpose).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30  # finite "minus infinity": avoids NaN on fully-masked rows
+
+_DEFAULT_IMPL = "auto"  # 'auto' | 'xla' | 'flash'
+
+
+def set_default_attention_impl(impl: str) -> None:
+    """Set the process-wide attention implementation ('auto'|'xla'|'flash')."""
+    global _DEFAULT_IMPL
+    assert impl in ("auto", "xla", "flash"), impl
+    _DEFAULT_IMPL = impl
+
+
+def get_default_attention_impl() -> str:
+    return _DEFAULT_IMPL
+
+
+def _resolve_impl(impl: Optional[str], sq: int, sk: int) -> str:
+    impl = impl or _DEFAULT_IMPL
+    if impl != "auto":
+        return impl
+    # Flash pays off once the score matrix is big; tiny windows stay in XLA.
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu and sq * sk >= 128 * 128:
+        return "flash"
+    return "xla"
+
+
+# ---------------------------------------------------------------------------
+# XLA reference path
+# ---------------------------------------------------------------------------
+
+
+def attention_xla(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_padding_mask: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Scaled dot-product attention over (B, H, S, D) tensors.
+
+    key_padding_mask: (B, Sk), True/nonzero at PAD keys.
+    """
+    d = q.shape[-1]
+    scale = (1.0 / math.sqrt(d)) if scale is None else scale
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if key_padding_mask is not None:
+        pad = key_padding_mask.astype(bool)[:, None, None, :]
+        s = jnp.where(pad, NEG_INF, s)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+    return o.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(kpad_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale):
+    """One (bh, iq, ik) grid step of blockwise attention with online softmax.
+
+    q_ref: (1, BQ, D); k_ref/v_ref: (1, BK, D); kpad_ref: (1, 1, BK) int32;
+    o_ref: (1, BQ, D); lse_ref: (1, BQ, 1). Scratch m/l: (BQ, 128)
+    lane-replicated, acc: (BQ, D). The grid iterates ik innermost; scratch
+    carries the softmax state across key blocks.
+    """
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (BK, D)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, BK)
+
+    valid = (kpad_ref[0] == 0)  # (1, BK)
+    s = jnp.where(valid, s, NEG_INF)
+
+    m_prev = m_scr[:, 0:1]  # (BQ, 1)
+    l_prev = l_scr[:, 0:1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    # exp under explicit validity: a fully-masked block keeps p == 0 even
+    # though s - m_new == 0 there (both are the NEG_INF sentinel).
+    p = jnp.where(valid, jnp.exp(s - m_new), 0.0)  # (BQ, BK) f32
+    alpha = jnp.exp(m_prev - m_new)  # (BQ, 1)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        l = l_scr[:, 0:1]
+        o = acc_scr[:] / jnp.maximum(l, 1e-30)
+        o_ref[0] = o.astype(o_ref.dtype)
+        m = m_scr[:, 0:1]
+        # lse = +big for empty rows so bwd exp(s - lse) underflows to 0.
+        lse = jnp.where(l > 0, m + jnp.log(jnp.maximum(l, 1e-30)), -NEG_INF)
+        lse_ref[0] = lse  # (BQ, 1)
+
+
+def _dq_kernel(kpad_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr, *, scale):
+    ik = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, BK)
+    valid = (kpad_ref[0] == 0)  # (1, BK)
+    lse = lse_ref[0]  # (BQ, 1)
+    p = jnp.where(valid, jnp.exp(s - lse), 0.0)
+    do = do_ref[0].astype(jnp.float32)
+    dp = jax.lax.dot_general(
+        do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, BK)
+    delta = delta_ref[0]  # (BQ, 1)
+    ds = p * (dp - delta) * scale
+    dq_scr[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ik == nk - 1)
+    def _finish():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(kpad_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, scale):
+    iq = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (BK, D)
+    s_t = jax.lax.dot_general(
+        k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BK, BQ)
+    valid_k = (kpad_ref[0] == 0)  # (1, BK) -> column mask below
+    lse = lse_ref[0]  # (1, BQ) row layout
+    p_t = jnp.where(valid_k.reshape(-1, 1), jnp.exp(s_t - lse), 0.0)  # (BK, BQ)
+    do = do_ref[0].astype(jnp.float32)  # (BQ, D)
+    dv_scr[:] += jax.lax.dot_general(
+        p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp_t = jax.lax.dot_general(
+        v_ref[0].astype(jnp.float32), do, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BK, BQ)
+    delta = delta_ref[0]  # (1, BQ) row layout
+    ds_t = p_t * (dp_t - delta) * scale
+    dk_scr[:] += jax.lax.dot_general(
+        ds_t.astype(q.dtype), q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(iq == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _pad_to(x: jnp.ndarray, axis: int, multiple: int, value=0.0) -> jnp.ndarray:
+    size = x.shape[axis]
+    target = -(-size // multiple) * multiple
+    if target == size:
+        return x
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (0, target - size)
+    return jnp.pad(x, pad, constant_values=value)
+
+
+def _should_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _flash(q, k, v, kpad, num_heads, block_q, block_k):
+    o, _ = _flash_fwd_impl(q, k, v, kpad, num_heads, block_q, block_k)
+    return o
+
+
+def _flash_fwd_impl(q, k, v, kpad, num_heads, block_q, block_k):
+    """q,k,v: (BH, S, D) already padded to block multiples; kpad: (B, Sk) int32."""
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    h = num_heads
+    nq, nk = sq // block_q, sk // block_k
+    scale = 1.0 / math.sqrt(d)
+    grid = (bh, nq, nk)
+    kpad3 = kpad[:, None, :]  # (B, 1, Sk): keeps mosaic's (8,128)-tile rules
+
+    o, lse = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // h, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+            jax.ShapeDtypeStruct((bh, sq, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=_should_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * bh * sq * sk * d,
+            bytes_accessed=(2 * bh * sq * d + 2 * bh * sk * d) * q.dtype.itemsize,
+            transcendentals=bh * sq * sk,
+        ),
+    )(kpad3, q, k, v)
+    return o, lse[:, :, 0]
+
+
+def _flash_fwd_rule(q, k, v, kpad, num_heads, block_q, block_k):
+    o, lse = _flash_fwd_impl(q, k, v, kpad, num_heads, block_q, block_k)
+    return o, (q, k, v, kpad, o, lse)
+
+
+def _flash_bwd_rule(num_heads, block_q, block_k, res, do):
+    q, k, v, kpad, o, lse = res
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    h = num_heads
+    nq, nk = sq // block_q, sk // block_k
+    scale = 1.0 / math.sqrt(d)
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # (BH, Sq)
+    kpad3 = kpad[:, None, :]  # (B, 1, Sk)
+    lse_col = lse[:, :, None]  # (BH, Sq, 1) for dq (column layout)
+    delta_col = delta[:, :, None]
+    lse_row = lse[:, None, :]  # (BH, 1, Sq) for dkv (row layout)
+    delta_row = delta[:, None, :]
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, scale=scale),
+        grid=(bh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // h, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        interpret=_should_interpret(),
+    )(kpad3, q, k, v, do, lse_col, delta_col)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkv_kernel, scale=scale),
+        grid=(bh, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_k), lambda b, j, i: (b // h, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, block_q), lambda b, j, i: (b, 0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, sk, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        interpret=_should_interpret(),
+    )(kpad3, q, k, v, do, lse_row, delta_row)
+
+    return dq, dk, dv, None
+
+
+_flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_padding_mask: Optional[jnp.ndarray] = None,
+    block_q: int = 128,
+    block_k: int = 128,
+) -> jnp.ndarray:
+    """Blockwise flash attention over (B, H, S, D) with key-padding masking.
+
+    Pads sequence lengths up to block multiples internally (pad keys are
+    masked; pad-query rows are sliced off) so callers can use arbitrary S.
+    """
+    b, h, sq, d = q.shape
+    sk = k.shape[2]
+    block_q = min(block_q, -(-sq // 8) * 8 if sq < block_q else block_q)
+    block_k = min(block_k, -(-sk // 8) * 8 if sk < block_k else block_k)
+
+    if key_padding_mask is None:
+        kpad = jnp.zeros((b, sk), dtype=jnp.int32)
+    else:
+        kpad = key_padding_mask.astype(jnp.int32)
+
+    qf = _pad_to(q.reshape(b * h, sq, d), 1, block_q)
+    kf = _pad_to(k.reshape(b * h, sk, d), 1, block_k)
+    vf = _pad_to(v.reshape(b * h, sk, d), 1, block_k)
+    kpad_p = _pad_to(kpad, 1, block_k, value=1)
+
+    o = _flash(qf, kf, vf, kpad_p, h, block_q, block_k)
+    return o[:, :sq].reshape(b, h, sq, d)
+
+
+def scaled_dot_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_padding_mask: Optional[jnp.ndarray] = None,
+    impl: Optional[str] = None,
+) -> jnp.ndarray:
+    """Dispatch between the flash kernel and the XLA path."""
+    impl = _resolve_impl(impl, q.shape[2], k.shape[2])
+    if impl == "flash":
+        return flash_attention(q, k, v, key_padding_mask)
+    return attention_xla(q, k, v, key_padding_mask)
+
+
+# ---------------------------------------------------------------------------
+# flax module with torch-compatible packed projections
+# ---------------------------------------------------------------------------
+
+
+class MultiHeadAttention(nn.Module):
+    """MHA with the packed in-projection layout of ``nn.MultiheadAttention``.
+
+    Parameters:
+      in_proj:  kernel (C, 3C), bias (3C,)  — [q | k | v] packed along output
+      out_proj: kernel (C, C),  bias (C,)
+
+    Matches reference model/tfm_model.py:21 semantics: query/key/value share
+    the packed projection; ``key_padding_mask`` is (B, Sk) with True at PAD.
+    """
+
+    num_heads: int
+    in_proj_init: nn.initializers.Initializer = nn.initializers.normal(0.02)
+    out_proj_init: nn.initializers.Initializer = nn.initializers.normal(0.02)
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,  # (B, Sq, C)
+        key: jnp.ndarray,  # (B, Sk, C)
+        value: jnp.ndarray,  # (B, Sk, C)
+        key_padding_mask: Optional[jnp.ndarray] = None,  # (B, Sk) True=PAD
+        impl: Optional[str] = None,
+    ) -> jnp.ndarray:
+        c = query.shape[-1]
+        assert c % self.num_heads == 0
+        d = c // self.num_heads
+        in_kernel = self.param("in_proj_kernel", self.in_proj_init, (c, 3 * c))
+        in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * c,))
+        out_kernel = self.param("out_proj_kernel", self.out_proj_init, (c, c))
+        out_bias = self.param("out_proj_bias", nn.initializers.zeros, (c,))
+
+        wq, wk, wv = jnp.split(in_kernel, 3, axis=1)
+        bq, bk, bv = jnp.split(in_bias, 3)
+        q = query @ wq + bq
+        k = key @ wk + bk
+        v = value @ wv + bv
+
+        def split_heads(x):
+            b, s, _ = x.shape
+            return x.reshape(b, s, self.num_heads, d).transpose(0, 2, 1, 3)
+
+        o = scaled_dot_attention(
+            split_heads(q), split_heads(k), split_heads(v), key_padding_mask, impl=impl
+        )
+        b, _, sq, _ = o.shape
+        o = o.transpose(0, 2, 1, 3).reshape(b, sq, c)
+        return o @ out_kernel + out_bias

@@ -1,0 +1,222 @@
+"""Golden tests for pos-embeds, blocks, masks against torch primitives."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from exoground_tpu.ops import (
+    TemporalDecoder,
+    TemporalEncoder,
+    get_position_embedding_sine,
+    interpolate_pos_embed,
+    mask_from_time,
+    masked_quantile,
+    quick_gelu,
+    window_scan_kernel,
+)
+from exoground_tpu.ops.masks import PAD_END, PAD_START
+
+
+def _rand(*shape, seed=0):
+    rng = np.random.RandomState(seed)
+    return rng.randn(*shape).astype(np.float32)
+
+
+class TestQuickGELU:
+    def test_matches_formula(self):
+        x = torch.from_numpy(_rand(4, 7, seed=0))
+        ref = (x * torch.sigmoid(1.702 * x)).numpy()
+        out = np.asarray(quick_gelu(jnp.asarray(x.numpy())))
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
+class TestPosEmbed:
+    def test_sine_table_matches_reference_formula(self):
+        fd, nf = 512, 64
+        # independent torch construction of the same formula
+        scale = 2 * math.pi
+        emb = torch.arange(nf).float()
+        emb = emb / (emb[-1] + 1e-6) * scale
+        dim_t = torch.arange(fd).float()
+        dim_t = 10000 ** (2 * torch.div(dim_t, 2, rounding_mode="floor") / fd)
+        ang = emb[:, None] / dim_t
+        ref = torch.stack((ang[:, 0::2].sin(), ang[:, 1::2].cos()), dim=2).flatten(1)
+        out = np.asarray(get_position_embedding_sine(fd, nf))
+        np.testing.assert_allclose(out, ref.numpy(), atol=1e-5)
+
+    @pytest.mark.parametrize("src,dst", [(64, 200), (64, 64), (128, 37)])
+    def test_interpolation_matches_torch_linear(self, src, dst):
+        table = _rand(256, 16, seed=1)
+        ref = (
+            F.interpolate(
+                torch.from_numpy(table[None, :src]).transpose(1, 2),
+                size=dst,
+                mode="linear",
+                align_corners=False,
+            )
+            .transpose(1, 2)[0]
+            .numpy()
+        )
+        out = np.asarray(interpolate_pos_embed(jnp.asarray(table), src, dst))
+        np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-5)
+
+
+def _torch_clip_block(c, h, seed):
+    """Torch golden: pre-LN block with QuickGELU matching tfm_model semantics."""
+    torch.manual_seed(seed)
+    mha = torch.nn.MultiheadAttention(c, h, batch_first=True)
+    ln1 = torch.nn.LayerNorm(c)
+    ln2 = torch.nn.LayerNorm(c)
+    fc = torch.nn.Linear(c, 4 * c)
+    proj = torch.nn.Linear(4 * c, c)
+    for m in (ln1, ln2):
+        torch.nn.init.normal_(m.weight, std=0.5)
+        torch.nn.init.normal_(m.bias, std=0.1)
+    for m in (fc, proj):
+        torch.nn.init.normal_(m.weight, std=0.05)
+        torch.nn.init.normal_(m.bias, std=0.05)
+    torch.nn.init.normal_(mha.in_proj_weight, std=0.05)
+    torch.nn.init.normal_(mha.in_proj_bias, std=0.05)
+    torch.nn.init.normal_(mha.out_proj.weight, std=0.05)
+    torch.nn.init.normal_(mha.out_proj.bias, std=0.05)
+
+    def quickgelu(y):
+        return y * torch.sigmoid(1.702 * y)
+
+    def fwd(x, kpad):
+        xn = ln1(x)
+        a, _ = mha(xn, xn, xn, key_padding_mask=kpad, need_weights=False)
+        x = x + a
+        x = x + proj(quickgelu(fc(ln2(x))))
+        return x, xn
+
+    return fwd, dict(mha=mha, ln1=ln1, ln2=ln2, fc=fc, proj=proj)
+
+
+def _block_params_from_torch(mods):
+    return {
+        "ln_1": {
+            "scale": jnp.asarray(mods["ln1"].weight.detach().numpy()),
+            "bias": jnp.asarray(mods["ln1"].bias.detach().numpy()),
+        },
+        "ln_2": {
+            "scale": jnp.asarray(mods["ln2"].weight.detach().numpy()),
+            "bias": jnp.asarray(mods["ln2"].bias.detach().numpy()),
+        },
+        "attn": {
+            "in_proj_kernel": jnp.asarray(mods["mha"].in_proj_weight.detach().numpy().T),
+            "in_proj_bias": jnp.asarray(mods["mha"].in_proj_bias.detach().numpy()),
+            "out_proj_kernel": jnp.asarray(mods["mha"].out_proj.weight.detach().numpy().T),
+            "out_proj_bias": jnp.asarray(mods["mha"].out_proj.bias.detach().numpy()),
+        },
+        "mlp": {
+            "c_fc": {
+                "kernel": jnp.asarray(mods["fc"].weight.detach().numpy().T),
+                "bias": jnp.asarray(mods["fc"].bias.detach().numpy()),
+            },
+            "c_proj": {
+                "kernel": jnp.asarray(mods["proj"].weight.detach().numpy().T),
+                "bias": jnp.asarray(mods["proj"].bias.detach().numpy()),
+            },
+        },
+    }
+
+
+class TestEncoderStack:
+    def test_stage_collection_protocol_and_numerics(self):
+        """2-layer encoder vs torch: stages = [x_norm of layer 2, final out]."""
+        b, t, c, h = 2, 12, 32, 4
+        x = _rand(b, t, c, seed=5)
+        kpad = np.zeros((b, t), dtype=bool)
+        kpad[1, 9:] = True
+
+        fwd1, mods1 = _torch_clip_block(c, h, seed=11)
+        fwd2, mods2 = _torch_clip_block(c, h, seed=12)
+        with torch.no_grad():
+            x1, _xn1 = fwd1(torch.from_numpy(x), torch.from_numpy(kpad))
+            x2, xn2 = fwd2(x1, torch.from_numpy(kpad))
+        # reference protocol: intermediate=[xn1, xn2] -> pop(0) -> append(x2)
+        ref_stages = torch.stack([xn2, x2], dim=1).numpy()  # (B, 2, T, C)
+
+        enc = TemporalEncoder(width=c, layers=2, heads=h)
+        params = {
+            "params": {
+                "resblocks_0": _block_params_from_torch(mods1),
+                "resblocks_1": _block_params_from_torch(mods2),
+            }
+        }
+        out = enc.apply(params, jnp.asarray(x), jnp.asarray(kpad), impl="xla")
+        out = np.asarray(out)
+        assert out.shape == (b, 2, t, c)
+        keep = ~kpad
+        for stage in range(2):
+            np.testing.assert_allclose(
+                out[:, stage][keep], ref_stages[:, stage][keep], atol=5e-5, rtol=1e-4
+            )
+
+
+class TestDecoderStack:
+    def test_shapes_and_cross_attention_mask(self):
+        b, n, t, c, h = 2, 5, 9, 32, 4
+        x = jnp.asarray(_rand(b, n, c, seed=20))
+        mem = jnp.asarray(_rand(b, t, c, seed=21))
+        tgt_pad = jnp.asarray(np.array([[0, 0, 0, 1, 1], [0, 0, 0, 0, 0]], dtype=bool))
+        mem_pad = jnp.asarray(np.zeros((b, t), dtype=bool))
+        dec = TemporalDecoder(width=c, layers=3, heads=h)
+        params = dec.init(jax.random.PRNGKey(0), x, mem, tgt_pad, mem_pad, impl="xla")
+        out = dec.apply(params, x, mem, tgt_pad, mem_pad, impl="xla")
+        assert out.shape == (b, 3, n, c)
+        assert not np.any(np.isnan(np.asarray(out)))
+
+
+class TestMasks:
+    def test_mask_from_time_matches_reference_semantics(self):
+        # reference: (start <= t) * (t < end), pads produce all-zero rows
+        start = jnp.asarray([[0.0, 3.5, PAD_START], [2.0, PAD_START, PAD_START]])
+        end = jnp.asarray([[2.0, 6.0, PAD_END], [4.0, PAD_END, PAD_END]])
+        m = np.asarray(mask_from_time(start, end, 8))
+        assert m.shape == (2, 3, 8)
+        np.testing.assert_array_equal(m[0, 0], [1, 1, 0, 0, 0, 0, 0, 0])
+        np.testing.assert_array_equal(m[0, 1], [0, 0, 0, 0, 1, 1, 0, 0])
+        np.testing.assert_array_equal(m[0, 2], np.zeros(8))
+        np.testing.assert_array_equal(m[1, 0], [0, 0, 1, 1, 0, 0, 0, 0])
+
+    def test_window_scan_kernel_matches_circulant_construction(self):
+        """Brute-force the reference's circulant+tril+renorm pipeline in torch."""
+        T = 16
+        durations = np.array([[3.0, 5.0, 0.0], [1.0, 16.0, 7.0]], dtype=np.float32)
+        B, N = durations.shape
+
+        def circulant(tensor, dim):
+            S = tensor.shape[dim]
+            tmp = torch.cat(
+                [tensor.flip((dim,)), torch.narrow(tensor.flip((dim,)), dim=dim, start=0, length=S - 1)],
+                dim=dim,
+            )
+            return tmp.unfold(dim, S, 1).flip((-1,))
+
+        dur_t = torch.from_numpy(durations)
+        k = (torch.arange(T)[None, None, :].repeat(B, N, 1) < dur_t[:, :, None]).float()
+        kc = circulant(k, dim=-1)
+        tril = torch.tril(torch.ones(T, T, dtype=torch.bool), diagonal=-1)
+        kc.masked_fill_(tril[None, None, :], 0)
+        kc.masked_fill_((kc.sum(-1) < dur_t[:, :, None])[..., None], 0)
+        kc[:, :, :, 0] = 0
+        kc[:, :, :, -1] = 0
+        ref = (kc / torch.clip(kc.sum(-1, keepdim=True).float(), min=1e-3)).numpy()
+
+        out = np.asarray(window_scan_kernel(jnp.asarray(durations), T))
+        np.testing.assert_allclose(out, ref, atol=1e-6)
+
+    @pytest.mark.parametrize("q", [0.3, 0.5, 0.7])
+    def test_masked_quantile_matches_torch(self, q):
+        x = _rand(6, 7, seed=30)
+        valid = np.random.RandomState(31).rand(6, 7) > 0.4
+        ref = torch.quantile(torch.from_numpy(x[valid]), q).item()
+        out = float(masked_quantile(jnp.asarray(x), jnp.asarray(valid), q))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
