@@ -1,0 +1,161 @@
+"""EgoExo4D/LEMMA grounding + view-invariant losses.
+
+Rebuild of reference train/loss_egoexo4d.py:73-363 as pure jittable functions.
+Design split: everything numeric runs on device with masks and returns
+per-element maps; host-side metric *binning by camera-rank name* (strings,
+reference loss_egoexo4d.py:56-71,126-137) lives in the trainer/eval loop,
+which consumes the per-text IoU / per-timestep loss maps returned here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from exoground_tpu.losses.infonce import cross_view_info_nce, l1_cosine_metrics
+
+
+@dataclasses.dataclass(frozen=True)
+class GroundingLossConfig:
+    use_center_duration: bool = True
+    iou_loss_eps: float = 1e-6
+    iou_thresholds: Tuple[float, ...] = (0.1, 0.3, 0.5, 0.7)
+    model: str = "grounding"  # 'grounding' | 'view_invariant' | 'joint'
+    use_distill_nce_loss: bool = False
+    same_view_negative: bool = False
+    only_same_view_negative: bool = False
+
+
+def _masked_mean(x, mask):
+    return jnp.sum(x * mask) / jnp.clip(jnp.sum(mask), 1e-6)
+
+
+def grounding_loss(
+    interval_preds: jnp.ndarray,  # (B, N, 2)
+    targets: Dict[str, jnp.ndarray],  # 'mean'/'duration' or 'starts'/'ends' (B,N)
+    text_padding_mask: jnp.ndarray,  # (B, N) True=PAD
+    cfg: GroundingLossConfig,
+) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+    """IoU + L1 regression loss (reference loss_egoexo4d.py:73-145).
+
+    Returns (loss_dict, per-text IoU map (B, N) — pads hold 0) so the caller
+    can do per-camera-rank binning at test time.
+    """
+    valid = (~text_padding_mask).astype(jnp.float32)
+    loss_dict: Dict[str, jnp.ndarray] = {}
+
+    if cfg.use_center_duration:
+        c_pred, d_pred = interval_preds[..., 0], interval_preds[..., 1]
+        c_gt = targets["mean"]
+        d_gt = targets["duration"]
+        l1_center = _masked_mean(jnp.abs(c_pred - c_gt), valid)
+        l1_dur = _masked_mean(jnp.abs(d_pred - d_gt), valid)
+        s_pred, e_pred = c_pred - d_pred / 2, c_pred + d_pred / 2
+        s_gt, e_gt = c_gt - d_gt / 2, c_gt + d_gt / 2
+        loss_dict["Center L1 loss"] = l1_center
+        loss_dict["Duration L1 loss"] = l1_dur
+    else:
+        s_pred, e_pred = interval_preds[..., 0], interval_preds[..., 1]
+        s_gt = targets["starts"]
+        e_gt = targets["ends"]
+        l1_s = _masked_mean(jnp.abs(s_pred - s_gt), valid)
+        l1_e = _masked_mean(jnp.abs(e_pred - e_gt), valid)
+        loss_dict["Timestamp L1 loss"] = (l1_s + l1_e) / 2
+
+    inter = jnp.clip(jnp.minimum(e_pred, e_gt) - jnp.maximum(s_pred, s_gt), 0.0)
+    union = jnp.maximum(e_pred, e_gt) - jnp.minimum(s_pred, s_gt)
+    iou = inter / (union + cfg.iou_loss_eps)
+    mean_iou = _masked_mean(iou, valid)
+    loss_dict["IoU loss"] = 1.0 - mean_iou
+    loss_dict["mean IoU"] = mean_iou
+    for theta in cfg.iou_thresholds:
+        loss_dict[f"IoU>={theta}"] = jnp.sum((iou > theta) * valid) / jnp.clip(
+            jnp.sum(valid), 1e-6
+        )
+
+    loss = loss_dict["IoU loss"]
+    if cfg.use_center_duration:
+        loss = loss + loss_dict["Duration L1 loss"] + loss_dict["Center L1 loss"]
+    else:
+        loss = loss + loss_dict["Timestamp L1 loss"]
+    loss_dict["loss"] = loss
+    return loss_dict, iou * valid
+
+
+def view_invariant_loss(
+    features: jnp.ndarray,  # (B, T, C) model high-dim output
+    ego_features: jnp.ndarray,  # (B, V, T, C) multi-view bank (ego target gathered)
+    positive_indices: jnp.ndarray,  # (B, T)
+    negative_indices: jnp.ndarray,  # (B, T)
+    cfg: GroundingLossConfig,
+    same_view_neg_feats: Optional[jnp.ndarray] = None,  # (B, T, C)
+) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+    """Cross-view distillation loss (reference loss_egoexo4d.py:151-199).
+
+    Returns (loss_dict, per-timestep InfoNCE map (B, T)) for host-side
+    per-view-rank binning. 'loss' is the mean InfoNCE when enabled.
+    """
+    nce_map = cross_view_info_nce(
+        features, ego_features, positive_indices, negative_indices,
+        same_view_neg_feats=same_view_neg_feats,
+        only_same_view_negative=cfg.only_same_view_negative,
+    )
+    l1_map, pos_cos, neg_cos = l1_cosine_metrics(
+        features, ego_features, positive_indices, negative_indices
+    )
+    loss_dict = {
+        "L1 loss": jnp.mean(l1_map),
+        "Pos cosine sim": jnp.mean(pos_cos),
+        "Avg neg cosine sim": jnp.mean(neg_cos),
+        "per_step_l1": l1_map,
+        "per_step_pos_cos": pos_cos,
+        "per_step_neg_cos": neg_cos,
+    }
+    if cfg.use_distill_nce_loss:
+        loss_dict["InfoNCE loss"] = jnp.mean(nce_map)
+        loss_dict["loss"] = loss_dict["InfoNCE loss"]
+    else:
+        loss_dict["loss"] = jnp.mean(nce_map)
+    return loss_dict, nce_map
+
+
+def egoexo_loss(
+    model_out: Dict[str, jnp.ndarray],
+    batch: Dict[str, jnp.ndarray],
+    text_padding_mask: jnp.ndarray,
+    cfg: GroundingLossConfig,
+):
+    """Dispatcher (reference loss_egoexo4d.py:349-363):
+    view_invariant -> VI loss; grounding (or joint w/o distill) -> regression;
+    joint -> sum of both."""
+    if cfg.model == "view_invariant":
+        return view_invariant_loss(
+            model_out["high_dim_features"],
+            batch["ego_video_features"],
+            batch["view_rank_label"],
+            batch["view_rank_neg_label"],
+            cfg,
+            same_view_neg_feats=batch.get("same_view_neg_feats"),
+        )
+    targets = {
+        k: batch[k] for k in ("mean", "duration", "starts", "ends") if k in batch
+    }
+    if cfg.model == "grounding" or not cfg.use_distill_nce_loss:
+        return grounding_loss(model_out["interval_preds"], targets, text_padding_mask, cfg)
+    # joint
+    gnd_dict, iou = grounding_loss(
+        model_out["interval_preds"], targets, text_padding_mask, cfg
+    )
+    vi_dict, _ = view_invariant_loss(
+        model_out["high_dim_features"],
+        batch["ego_video_features"],
+        batch["view_rank_label"],
+        batch["view_rank_neg_label"],
+        cfg,
+        same_view_neg_feats=batch.get("same_view_neg_feats"),
+    )
+    combined = {**vi_dict, **gnd_dict}
+    combined["loss"] = vi_dict["loss"] + gnd_dict["loss"]
+    return combined, iou

@@ -1,0 +1,318 @@
+"""TAN MIL-NCE loss + agreement self-labelling + alignability BCE.
+
+Functional, fully-jittable rebuild of reference train/loss.py:57-376. The
+reference removes padded text columns with boolean indexing (dynamic shapes);
+here everything stays static-shape over the full (B*T, B*N) similarity grid
+with -6e4 fills for padded entries — exp(-6e4) underflows to 0 inside
+logsumexp, so the math is identical, and the whole loss (similarity scaling,
+masking, both logsumexp directions, per-layer means) fuses into one XLA
+computation on TPU.
+
+Structure of the reference pipeline this reproduces:
+  * binary targets from (start, end) spans, cross-batch grid with eye(B)
+    (loss.py:84-88)
+  * agreement self-labelling under stop_gradient: 2-way softmax exclusion,
+    sliding-window scan for the best window per sentence, dual/joint mutual
+    IoU >= 0.5 + top-70% confidence gating, agreement modes i/u/keep/keep-joint,
+    per-timestep dedup (loss.py:91-232)
+  * two-directional per-layer MIL-NCE for dual and joint volumes
+    (loss.py:243-278)
+  * loss-thresholding on standardized per-text confidence (loss.py:280-307)
+  * pseudo-label alignability BCE on the 3rd joint layer's binary head
+    (loss.py:309-360)
+
+Like the reference, padded VIDEO timesteps are NOT masked out of the MIL-NCE
+grid (the HTM loader pads by repeating the last frame, loader_htm.py:13-23),
+only padded text columns are.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from exoground_tpu.ops.masks import mask_from_time, masked_quantile, window_scan_kernel
+
+NEG_FILL = -6e4
+TEMP = 0.07  # contrastive temperature (loss.py:67-72)
+
+
+@dataclasses.dataclass(frozen=True)
+class TANLossConfig:
+    sim: str = "cos"  # 'cos' scales by 1/0.07
+    model: str = "init"  # 'init' | 'cotrain' (cotrain uses EMA logits for agreement)
+    learn_agreement: bool = False
+    temporal_agreement_type: str = "keep"  # i | u | keep | keep-joint
+    loss_threshold: float = 0.0
+    use_alignability_head: bool = False
+    optim_policy: str = "default"  # 'bce' zeroes the NCE term
+    alignability_joint_layer: int = 2  # 3rd layer works best (loss.py:344)
+
+
+def _diag_batch(x: jnp.ndarray) -> jnp.ndarray:
+    """(B,S,T,B,N) -> (B,S,T,N) taking the video-batch == text-batch diagonal."""
+    d = jnp.diagonal(x, axis1=0, axis2=3)  # (S,T,N,B)
+    return jnp.transpose(d, (3, 0, 1, 2))
+
+
+def _masked_mean(x, mask):
+    return jnp.sum(x * mask) / jnp.clip(jnp.sum(mask), 1e-6)
+
+
+def _masked_std(x, mask, axis=0):
+    """Unbiased (n-1) std over masked entries, matching torch .std()."""
+    n = jnp.sum(mask, axis=axis, keepdims=True)
+    mu = jnp.sum(x * mask, axis=axis, keepdims=True) / jnp.clip(n, 1e-6)
+    var = jnp.sum(((x - mu) ** 2) * mask, axis=axis, keepdims=True) / jnp.clip(n - 1, 1e-6)
+    return mu, jnp.sqrt(var)
+
+
+def _best_window_scan(prob_tn, logits_tn, windows):
+    """Sliding-window scan (loss.py:120-147).
+
+    prob_tn/logits_tn: (B,T,N); windows: (B,N,T,T) normalized bank.
+    Returns (self_tgt (B,T,N) binary, max_prob (B,N), max_logits (B,N)).
+    """
+    prob_scan = jnp.einsum("btn,bnit->bni", prob_tn, windows)
+    max_pos = jnp.argmax(prob_scan, axis=-1)  # (B,N)
+    max_prob = jnp.max(prob_scan, axis=-1)
+    best_w = jnp.take_along_axis(windows, max_pos[:, :, None, None], axis=2)[:, :, 0]  # (B,N,T)
+    max_logits = jnp.einsum("btn,bnt->bn", logits_tn, best_w)
+    self_tgt = jnp.transpose((best_w > 0).astype(jnp.float32), (0, 2, 1))  # (B,T,N)
+    return self_tgt, max_prob, max_logits
+
+
+def _two_way_softmax(diag_logits, video_pad, text_pad):
+    """softmax over texts, /0.07, softmax over time (loss.py:100-109).
+
+    diag_logits: (B,S,T,N) already temperature-scaled; pads filled -6e4."""
+    x = jnp.where(video_pad[:, None, :, None], NEG_FILL, diag_logits)
+    x = jnp.where(text_pad[:, None, None, :], NEG_FILL, x)
+    prob = jax.nn.softmax(jax.nn.softmax(x, axis=-1) / TEMP, axis=-2)
+    return x, prob
+
+
+def _agreement_targets(
+    logits_dual, logits_joint, binary_tgt_raw, video_pad, text_pad, cfg
+) -> Dict[str, jnp.ndarray]:
+    """Self-labelling pipeline (loss.py:91-232). All under stop_gradient."""
+    b, _, t, _, n = logits_joint.shape
+
+    durations = jnp.maximum(binary_tgt_raw.sum(-1), 1.0)
+    durations = jnp.where(text_pad, 0.0, durations)
+    windows = window_scan_kernel(durations, t)  # (B,N,T,T)
+
+    jd, j_prob = _two_way_softmax(_diag_batch(logits_joint), video_pad, text_pad)
+    j_tgt, _, j_max_logits = _best_window_scan(j_prob[:, -1], jd[:, -1], windows)
+
+    dd, d_prob = _two_way_softmax(_diag_batch(logits_dual), video_pad, text_pad)
+    d_tgt, _, d_max_logits = _best_window_scan(d_prob[:, -1], dd[:, -1], windows)
+
+    # mutual IoU between dual/joint window labels (loss.py:184-189)
+    inter = jnp.sum(j_tgt * d_tgt, axis=1)  # (B,N) over time
+    union = jnp.sum(jnp.maximum(j_tgt, d_tgt), axis=1)
+    iou = inter / jnp.clip(union, 1e-5)
+
+    valid_text = ~text_pad
+    d_conf = d_max_logits >= masked_quantile(d_max_logits, valid_text, 0.3)
+    j_conf = j_max_logits >= masked_quantile(j_max_logits, valid_text, 0.3)
+    conf_text = d_conf & j_conf
+    conf_iou = iou >= 0.5
+    conf_mask = conf_text & conf_iou  # (B,N)
+
+    bt_raw_tn = jnp.transpose(binary_tgt_raw, (0, 2, 1))  # (B,T,N)
+    inter_tn = j_tgt * d_tgt
+    union_tn = jnp.maximum(j_tgt, d_tgt)
+    if cfg.temporal_agreement_type == "i":
+        agree = jnp.where(conf_mask[:, None, :], inter_tn, 0.0)
+    elif cfg.temporal_agreement_type == "u":
+        agree = jnp.where(conf_mask[:, None, :], union_tn, 0.0)
+    elif cfg.temporal_agreement_type == "keep":
+        agree = jnp.where(conf_iou[:, None, :], union_tn, bt_raw_tn)
+    elif cfg.temporal_agreement_type == "keep-joint":
+        agree = jnp.where(conf_iou[:, None, :], j_tgt, bt_raw_tn)
+    else:
+        raise ValueError(cfg.temporal_agreement_type)
+
+    # exclusive principle: per timestep keep only the first labelled text
+    # (loss.py:219-229). Text 0 keeps its original values, which also undoes
+    # the argmax-of-all-zeros artefact.
+    first = jnp.argmax(agree, axis=2)  # (B,T)
+    dedup = (jnp.arange(n)[None, None, :] == first[:, :, None]).astype(jnp.float32)
+    dedup = dedup.at[:, :, 0].set(agree[:, :, 0])
+    # texts that lost every timestep fall back to the original target
+    no_pos = jnp.sum(dedup, axis=1) == 0  # (B,N)
+    dedup = jnp.where(no_pos[:, None, :], bt_raw_tn, dedup)
+
+    conf_ratio = _masked_mean(conf_mask.astype(jnp.float32), valid_text.astype(jnp.float32))
+    return {"tgt_tn": dedup, "confidence-ratio": conf_ratio}
+
+
+def _milnce_two_way(logits, tgt_flat, col_valid, row_has_pos, col_has_pos):
+    """Two-directional MIL-NCE over the (S, B*T, B*N) grid (loss.py:243-278).
+
+    Returns (v_loss (S,R) per-row, t_loss (S,C) per-col, scalar means)."""
+    s = logits.shape[1]
+    b, t = logits.shape[0], logits.shape[2]
+    flat = jnp.transpose(logits, (1, 0, 2, 3, 4)).reshape(s, b * t, -1)
+    flat = jnp.where(col_valid[None, None, :], flat, NEG_FILL)
+    pos = jnp.where(tgt_flat[None] > 0, flat, NEG_FILL)
+
+    v_num = jax.scipy.special.logsumexp(pos, axis=-1)  # (S, B*T)
+    v_den = jax.scipy.special.logsumexp(flat, axis=-1)
+    v_loss = v_den - v_num
+
+    t_num = jax.scipy.special.logsumexp(pos, axis=-2)  # (S, B*N)
+    t_den = jax.scipy.special.logsumexp(flat, axis=-2)
+    t_loss = t_den - t_num
+
+    v_mean = _masked_mean(v_loss, jnp.broadcast_to(row_has_pos[None, :], v_loss.shape).astype(jnp.float32))
+    t_mean = _masked_mean(t_loss, jnp.broadcast_to(col_has_pos[None, :], t_loss.shape).astype(jnp.float32))
+    return v_loss, t_loss, (v_mean + t_mean) / 2
+
+
+def _bce_with_pos_weight(logits, labels, select, pos_weight):
+    """Weighted binary cross-entropy over selected entries (loss.py:348-354)."""
+    log_sig = jax.nn.log_sigmoid(logits)
+    log_one_minus = jax.nn.log_sigmoid(-logits)
+    per = -(pos_weight * labels * log_sig + (1.0 - labels) * log_one_minus)
+    return _masked_mean(per, select.astype(jnp.float32))
+
+
+def tan_loss(
+    start: jnp.ndarray,  # (B, N) padded with ops.masks.PAD_START
+    end: jnp.ndarray,  # (B, N) padded with ops.masks.PAD_END
+    logits: Dict[str, jnp.ndarray],
+    video_padding_mask: jnp.ndarray,  # (B, T) True=PAD
+    text_padding_mask: jnp.ndarray,  # (B, N) True=PAD
+    cfg: TANLossConfig,
+    abs_text_pos: Optional[jnp.ndarray] = None,  # (B, N, 2) normalized
+) -> Dict[str, jnp.ndarray]:
+    logits_dual = logits["logits_dual"]
+    logits_joint = logits["logits_joint"]
+    if cfg.sim == "cos":
+        logits_dual = logits_dual / TEMP
+        logits_joint = logits_joint / TEMP
+    b, _, t, _, n = logits_dual.shape
+    eye = jnp.eye(b)
+    loss_dict: Dict[str, jnp.ndarray] = {}
+
+    binary_tgt_raw = mask_from_time(start, end, t)  # (B,N,T)
+    bt_tn = jnp.transpose(binary_tgt_raw, (0, 2, 1))  # (B,T,N)
+
+    if cfg.learn_agreement:
+        if cfg.model == "cotrain":
+            a_dual = logits["ema-logits_dual"] / (TEMP if cfg.sim == "cos" else 1.0)
+            a_joint = logits["ema-logits_joint"] / (TEMP if cfg.sim == "cos" else 1.0)
+        else:
+            a_dual, a_joint = logits_dual, logits_joint
+        agree = jax.tree_util.tree_map(
+            jax.lax.stop_gradient,
+            _agreement_targets(
+                a_dual, a_joint, binary_tgt_raw, video_padding_mask,
+                text_padding_mask, cfg,
+            ),
+        )
+        tgt_tn = agree["tgt_tn"]
+        loss_dict["confidence-ratio"] = agree["confidence-ratio"]
+        loss_dict["iou-threshold"] = jnp.asarray(0.5)
+    else:
+        tgt_tn = bt_tn
+
+    # (B,T,N) diag -> (B*T, B*N) cross-batch grid via eye (loss.py:87-88,228)
+    tgt = tgt_tn[:, :, None, :] * eye[:, None, :, None]  # (B,T,B,N)
+    tgt_flat = tgt.reshape(b * t, b * n)
+    col_valid = (~text_padding_mask).reshape(-1)  # (B*N,)
+    tgt_flat = tgt_flat * col_valid[None, :]
+    row_has_pos = jnp.sum(tgt_flat, axis=-1) > 0
+    col_has_pos = (jnp.sum(tgt_flat, axis=-2) > 0) & col_valid
+
+    v_loss_d, t_loss_d, loss_dual = _milnce_two_way(
+        logits_dual, tgt_flat, col_valid, row_has_pos, col_has_pos
+    )
+    v_loss_j, t_loss_j, loss_joint = _milnce_two_way(
+        logits_joint, tgt_flat, col_valid, row_has_pos, col_has_pos
+    )
+    loss_dict["loss-dual"] = loss_dual
+    loss_dict["loss-joint"] = loss_joint
+
+    loss_dual_th = loss_dual
+    loss_joint_th = loss_joint
+    loss_bce_joint = jnp.zeros(())
+
+    if cfg.loss_threshold > 0 or cfg.use_alignability_head:
+        # per-text confidence (max over time of last-layer diag logits),
+        # standardized over texts (loss.py:283-289)
+        d_diag = _diag_batch(logits_dual)[:, -1]  # (B,T,N)
+        j_diag = _diag_batch(logits_joint)[:, -1]
+        valid = ~text_padding_mask  # (B,N)
+        big_neg = jnp.full_like(d_diag, NEG_FILL)
+        d_max = jnp.max(jnp.where(valid[:, None, :], d_diag, big_neg), axis=1)  # (B,N)
+        j_max = jnp.max(jnp.where(valid[:, None, :], j_diag, big_neg), axis=1)
+        vmask = valid.astype(jnp.float32)
+
+        def standardize(x):
+            mu, sd = _masked_std(x.reshape(-1)[:, None], vmask.reshape(-1)[:, None], axis=0)
+            return (x - mu.reshape(())) / jnp.clip(sd.reshape(()), 1e-6)
+
+        metric = -(standardize(d_max) + standardize(j_max))  # (B,N), lower = better
+        th = masked_quantile(metric, valid, cfg.loss_threshold)
+        t_th_mask = (metric <= th) & valid  # (B,N)
+
+        if cfg.loss_threshold > 0:
+            loss_dict["loss-dual-all"] = loss_dual
+            loss_dict["loss-joint-all"] = loss_joint
+            tgt_th = tgt_flat * t_th_mask.reshape(-1)[None, :]
+            row_pos_th = jnp.sum(tgt_th, axis=-1) > 0
+            t_sel = t_th_mask.reshape(-1) & col_has_pos
+
+            t_loss_d_th = _masked_mean(t_loss_d, jnp.broadcast_to(t_sel[None, :], t_loss_d.shape).astype(jnp.float32))
+            v_loss_d_th = _masked_mean(v_loss_d, jnp.broadcast_to(row_pos_th[None, :], v_loss_d.shape).astype(jnp.float32))
+            loss_dual_th = (v_loss_d_th + t_loss_d_th) / 2
+            t_loss_j_th = _masked_mean(t_loss_j, jnp.broadcast_to(t_sel[None, :], t_loss_j.shape).astype(jnp.float32))
+            v_loss_j_th = _masked_mean(v_loss_j, jnp.broadcast_to(row_pos_th[None, :], v_loss_j.shape).astype(jnp.float32))
+            loss_joint_th = (v_loss_j_th + t_loss_j_th) / 2
+            loss_dict["loss-dual"] = loss_dual_th
+            loss_dict["loss-joint"] = loss_joint_th
+
+        if cfg.use_alignability_head:
+            # pseudo labels: 2=ignore, 1 above both medians, 0 below both
+            # (loss.py:311-331)
+            d_med = masked_quantile(d_max, valid, 0.5)
+            j_med = masked_quantile(j_max, valid, 0.5)
+            labels = jnp.full((b, n), 2.0)
+            labels = jnp.where((d_max > d_med) & (j_max > j_med), 1.0, labels)
+            labels = jnp.where((d_max < d_med) & (j_max < j_med), 0.0, labels)
+            if abs_text_pos is not None:
+                center = jnp.mean(abs_text_pos, axis=-1)  # (B,N)
+                labels = jnp.where((center < 0.2) | (center > 0.8), 0.0, labels)
+
+            sel = valid & col_has_pos.reshape(b, n) & (labels != 2.0)
+            lab_bin = jnp.where(sel, labels, 0.0)
+            mean_lab = _masked_mean(lab_bin, sel.astype(jnp.float32))
+            pos_weight = 1.0 / jnp.clip(mean_lab, 1e-6) - 1.0
+
+            n_stages = logits["joint_logits_alignability"].shape[1]
+            layer = min(cfg.alignability_joint_layer, n_stages - 1)
+            a_joint = logits["joint_logits_alignability"][:, layer, :, 0]
+            a_dual = logits["dual_logits_alignability"][:, :, 0]
+            loss_bce_joint = _bce_with_pos_weight(a_joint, lab_bin, sel, pos_weight)
+            loss_bce_dual = _bce_with_pos_weight(a_dual, lab_bin, sel, pos_weight)
+            top1 = _masked_mean(((a_joint > 0) == (lab_bin > 0.5)).astype(jnp.float32), sel.astype(jnp.float32))
+            loss_dict["loss-joint-bce"] = loss_bce_joint
+            loss_dict["loss-dual-bce"] = loss_bce_dual
+            loss_dict["alignability_top1"] = top1
+
+    nce_weight = 0.0 if cfg.optim_policy == "bce" else 1.0
+    if cfg.loss_threshold > 0:
+        loss_dict["loss-total"] = (loss_dual + loss_joint) / 2  # monitoring
+        loss = (loss_dual_th + loss_joint_th) / 2
+    else:
+        loss = (loss_dual + loss_joint) / 2
+    if cfg.use_alignability_head:
+        loss = loss * nce_weight + loss_bce_joint
+    loss_dict["loss"] = loss
+    return loss_dict

@@ -1,0 +1,240 @@
+"""TemporalAligner — the TAN dual + joint encoder model.
+
+Rebuild of reference model/tan_model.py:13-306 as a flax module in (B, T, C)
+layout. Architecture: a video-only "dual" encoder and a video⊕text "joint"
+encoder (both width 512 / 8 heads), 4096->512 pre-projections, learned or sine
+temporal pos-embedding with random-start augmentation and linear interpolation
+for longer-than-train sequences, optional text temporal pos-embedding, and an
+optional binary alignability head.
+
+forward returns the per-layer cross-batch similarity volumes the TAN MIL-NCE
+loss consumes:
+  logits_dual  = einsum('astc,bkc->astbk')   (tan_model.py:112)
+  logits_joint = einsum('astc,bskc->astbk')  (tan_model.py:132)
+
+Randomness (pos-embed random start, tan_model.py:156-160) comes from the
+'pos' RNG collection: pass ``deterministic=False`` and
+``rngs={'pos': key}`` to apply() during training; the EMA target and all
+eval paths use ``deterministic=True`` (reference twin sets
+``target.random_pos_start = 0``, tan_model.py:327).
+
+Known reference bugs NOT replicated (SURVEY.md §7): ``TwinTemporalAligner``
+references a nonexistent ``self.online.bert`` (tan_model.py:317); the EMA twin
+here is a param-tree (models/ema.py) so the issue does not arise.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from exoground_tpu.ops.blocks import LN_EPS, TemporalEncoder
+from exoground_tpu.ops.pos_embed import (
+    get_position_embedding_sine,
+    random_pos_start,
+    slice_or_interpolate_pos_embed,
+)
+
+
+def _l2norm(x: jnp.ndarray) -> jnp.ndarray:
+    return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+
+
+class TemporalAligner(nn.Module):
+    num_encoder_layers: int = 6
+    num_joint_layers: int = 6  # "num_decoder_layers" in the reference CLI
+    sim: str = "cos"
+    pos_enc: str = "learned"  # 'learned' | 'sine'
+    use_text_pos_enc: int = 0
+    return_dual_feature: int = 1
+    random_pos_start: int = 1
+    use_alignability_head: int = 0
+    width: int = 512
+    heads: int = 8
+    input_dim: int = 4096  # S3D/feature dimension of video & text inputs
+    max_pos: int = 4096  # pos table length (tan_model.py:52)
+    attn_impl: Optional[str] = None  # None = auto dispatch
+
+    def setup(self):
+        w = self.width
+        self.video_temporal_encoder = TemporalEncoder(w, self.num_encoder_layers, self.heads)
+        self.joint_temporal_encoder = TemporalEncoder(w, self.num_joint_layers, self.heads)
+        dense_init = nn.initializers.normal(0.01)
+        self.video_pre_proj = nn.Dense(w, use_bias=False, kernel_init=dense_init)
+        self.text_pre_proj = nn.Dense(w, use_bias=False, kernel_init=dense_init)
+        self.ln_text_init = nn.LayerNorm(epsilon=LN_EPS)
+        self.ln_video_init = nn.LayerNorm(epsilon=LN_EPS)
+        self.ln_position_init = nn.LayerNorm(epsilon=LN_EPS)
+        self.ln_video_post_enc = nn.LayerNorm(epsilon=LN_EPS)
+        self.ln_joint_post_enc = nn.LayerNorm(epsilon=LN_EPS)
+        if self.pos_enc == "learned":
+            self.temporal_pos_embed = self.param(
+                "temporal_pos_embed", nn.initializers.normal(0.01), (self.max_pos, w)
+            )
+        else:
+            self.temporal_pos_embed = get_position_embedding_sine(w, self.max_pos)
+        self.text_temporal_pos_embed = self.param(
+            "text_temporal_pos_embed", nn.initializers.normal(0.01), (self.max_pos, w)
+        )
+        # present-but-unused projection kept for checkpoint-shape parity
+        # (reference tan_model.py:62 creates it; forward never calls it)
+        self.mlp = nn.Dense(w, kernel_init=dense_init)
+        if self.use_alignability_head:
+            self.binary_head = nn.Dense(
+                1, kernel_init=nn.initializers.normal(0.01), bias_init=nn.initializers.zeros
+            )
+
+    # ------------------------------------------------------------------
+    # helpers
+    # ------------------------------------------------------------------
+
+    def _pos_slice(self, table, seq_len, interpolate_from, deterministic):
+        start = 0
+        if interpolate_from is None and self.random_pos_start and not deterministic:
+            start = random_pos_start(self.make_rng("pos"), seq_len)
+        return slice_or_interpolate_pos_embed(table, seq_len, interpolate_from, start)
+
+    def _video_with_time(self, video_embed, interpolate_from, deterministic):
+        x = self.ln_video_init(self.video_pre_proj(video_embed))
+        t = x.shape[1]
+        pos = self._pos_slice(self.temporal_pos_embed, t, interpolate_from, deterministic)
+        return x + self.ln_position_init(pos)[None]
+
+    # ------------------------------------------------------------------
+    # feature extractors (reference tan_model.py:146-228)
+    # ------------------------------------------------------------------
+
+    def get_visual_feature(
+        self, video_embed, video_padding_mask, interpolate_from=None, deterministic=True
+    ):
+        """Dual-encoder video tower -> per-stage features (B, Stage, T, C)."""
+        x = self._video_with_time(video_embed, interpolate_from, deterministic)
+        if self.num_encoder_layers == 0:
+            return x[:, None]  # (B, 1, T, C); degenerate config used by baselines
+        stages = self.video_temporal_encoder(x, video_padding_mask, impl=self.attn_impl)
+        stages = stages.at[:, -1].set(self.ln_video_post_enc(stages[:, -1]))
+        return stages
+
+    def get_textual_feature(self, lang_embed):
+        return self.ln_text_init(self.text_pre_proj(lang_embed))
+
+    def get_textual_feature_with_time(
+        self, lang_embed, interpolate_from=None, deterministic=True
+    ):
+        """Text features + temporal pos-emb (tan_model.py:206-222)."""
+        x = self.get_textual_feature(lang_embed)
+        n = x.shape[1]
+        pos = self._pos_slice(self.text_temporal_pos_embed, n, interpolate_from, deterministic)
+        return x + self.ln_position_init(pos)[None]
+
+    def get_joint_feature(
+        self,
+        video_embed,
+        video_padding_mask,
+        lang_embed_with_time,
+        lang_padding_mask,
+        interpolate_from=None,
+        deterministic=True,
+    ):
+        """Joint encoder over [video ⊕ text]; returns (video, text) stage stacks.
+
+        Note: like the reference (tan_model.py:181-192), the joint pass draws
+        its own (independent) random pos start.
+        """
+        x = self._video_with_time(video_embed, interpolate_from, deterministic)
+        t = x.shape[1]
+        joint = jnp.concatenate([x, lang_embed_with_time], axis=1)
+        joint_mask = jnp.concatenate([video_padding_mask, lang_padding_mask], axis=1)
+        stages = self.joint_temporal_encoder(joint, joint_mask, impl=self.attn_impl)
+        stages = stages.at[:, -1].set(self.ln_joint_post_enc(stages[:, -1]))
+        return stages[:, :, :t], stages[:, :, t:]
+
+    # ------------------------------------------------------------------
+    # training forward (tan_model.py:94-143)
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        video_embed,  # (B, T, 4096)
+        lang_embed,  # (B, N, 4096)
+        video_padding_mask,  # (B, T) True=PAD
+        lang_padding_mask,  # (B, N) True=PAD
+        text_timestamp=None,  # unused (parity with reference signature)
+        interpolate_from: Optional[int] = None,
+        deterministic: bool = True,
+    ):
+        video_out = self.get_visual_feature(
+            video_embed, video_padding_mask, interpolate_from, deterministic
+        )
+        lang_raw = self.get_textual_feature(lang_embed)
+
+        video_n = _l2norm(video_out)
+        text_n = _l2norm(lang_raw)
+        logits_dual = jnp.einsum("astc,bkc->astbk", video_n, text_n)
+
+        if self.use_text_pos_enc:
+            lang_with_time = self.get_textual_feature_with_time(
+                lang_embed, interpolate_from, deterministic
+            )
+        else:
+            lang_with_time = lang_raw
+
+        joint_video, joint_text = self.get_joint_feature(
+            video_embed, video_padding_mask, lang_with_time, lang_padding_mask,
+            interpolate_from, deterministic,
+        )
+        video_nj = _l2norm(joint_video)
+        text_nj = _l2norm(joint_text)
+        logits_joint = jnp.einsum("astc,bskc->astbk", video_nj, text_nj)
+
+        out = {"logits_dual": logits_dual, "logits_joint": logits_joint}
+        if self.return_dual_feature:
+            out["dual_feature_video"] = video_n
+            out["dual_feature_text"] = text_n
+        if self.use_alignability_head:
+            out["dual_logits_alignability"] = self.binary_head(lang_raw)
+            out["joint_logits_alignability"] = self.binary_head(joint_text)
+        return out
+
+    # ------------------------------------------------------------------
+    # inference entry points for HTM-Align eval (tan_model.py:231-306)
+    # ------------------------------------------------------------------
+
+    def text_visual_sim(self, video_embed, lang_embed, interpolate_from=None):
+        """Per-video similarity dict used by the overlap-seq/global stitchers.
+
+        interpolate_from may be an int (video only) or (video, text) tuple.
+        Returns {'sim': (B,S,T,K) joint, 'dual-sim': (B,S,T,K) dual
+                 [, 'alignability-dual'/'alignability-joint']}.
+        """
+        if isinstance(interpolate_from, (tuple, list)):
+            video_if, text_if = interpolate_from
+        else:
+            video_if, text_if = interpolate_from, None
+
+        b, t, _ = video_embed.shape
+        n = lang_embed.shape[1]
+        vmask = jnp.zeros((b, t), dtype=bool)
+        lmask = jnp.zeros((b, n), dtype=bool)
+
+        if self.use_text_pos_enc:
+            lang_with_time = self.get_textual_feature_with_time(lang_embed, text_if)
+        else:
+            lang_with_time = self.get_textual_feature(lang_embed)
+
+        joint_video, joint_text = self.get_joint_feature(
+            video_embed, vmask, lang_with_time, lmask, video_if
+        )
+        sim_joint = jnp.einsum("bstc,bskc->bstk", _l2norm(joint_video), _l2norm(joint_text))
+
+        video_out = self.get_visual_feature(video_embed, vmask, video_if)
+        lang_raw = self.get_textual_feature(lang_embed)
+        sim_dual = jnp.einsum("bstc,bkc->bstk", _l2norm(video_out), _l2norm(lang_raw))
+
+        out = {"sim": sim_joint, "dual-sim": sim_dual}
+        if self.use_alignability_head:
+            out["alignability-dual"] = self.binary_head(lang_raw)
+            out["alignability-joint"] = self.binary_head(joint_text)
+        return out

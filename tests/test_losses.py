@@ -1,0 +1,189 @@
+"""Golden + semantic tests for the loss layer.
+
+The torch code below implements the *documented formulas* (SURVEY.md §2.5) on
+dense tensors with explicit boolean indexing — the dynamic-shape style of the
+reference — and our static-shape masked JAX versions must match it exactly.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from exoground_tpu.losses import (
+    grounding_loss,
+    info_nce_diag,
+    symmetric_info_nce,
+    tan_loss,
+)
+from exoground_tpu.losses.grounding import GroundingLossConfig
+from exoground_tpu.losses.milnce import TANLossConfig
+from exoground_tpu.ops.masks import PAD_END, PAD_START
+
+
+def _rand(*shape, seed=0):
+    return np.random.RandomState(seed).randn(*shape).astype(np.float32)
+
+
+def _torch_milnce_reference(logits, tgt_flat_valid, row_has_pos, col_has_pos_valid):
+    """Two-way MIL-NCE on the dynamically-indexed grid, torch style.
+
+    logits: (S, B*T, M) with only VALID text columns; tgt: (B*T, M)."""
+    pos = logits.clone()
+    pos[:, ~tgt_flat_valid.bool()] = -6e4
+    v = (torch.logsumexp(logits, -1) - torch.logsumexp(pos, -1))[:, row_has_pos]
+    t = (torch.logsumexp(logits, -2) - torch.logsumexp(pos, -2))[:, col_has_pos_valid]
+    return (v.mean() + t.mean()) / 2
+
+
+class TestTANMilNCE:
+    def test_matches_torch_reference_formula(self):
+        """No agreement/threshold: pure per-layer two-way MIL-NCE."""
+        B, S, T, N = 2, 3, 12, 4
+        rng = np.random.RandomState(7)
+        ld = rng.randn(B, S, T, B, N).astype(np.float32)
+        lj = rng.randn(B, S, T, B, N).astype(np.float32)
+        text_pad = np.array([[0, 0, 0, 1], [0, 0, 1, 1]], dtype=bool)
+        video_pad = np.zeros((B, T), dtype=bool)
+        start = np.array([[0.0, 4.0, 8.0, PAD_START], [2.0, 6.0, PAD_START, PAD_START]], np.float32)
+        end = np.array([[4.0, 8.0, 12.0, PAD_END], [6.0, 10.0, PAD_END, PAD_END]], np.float32)
+
+        # ---- torch reference computation -------------------------------
+        steps = torch.arange(T)[None, None, :].float()
+        st, en = torch.from_numpy(start), torch.from_numpy(end)
+        binary_raw = ((st[:, :, None] <= steps) & (steps < en[:, :, None])).float()  # B,N,T
+        eye = torch.eye(B)
+        tgt = binary_raw.permute(0, 2, 1)[:, :, None, :].repeat(1, 1, B, 1) * eye[:, None, :, None]
+        tp = torch.from_numpy(text_pad)
+        tgt_valid = tgt.reshape(B * T, B, N)[:, ~tp]  # (B*T, M)
+        row_has_pos = tgt_valid.sum(-1) > 0
+        col_has_pos = tgt_valid.sum(0) > 0
+
+        def to_flat(x):
+            x = torch.from_numpy(x) / 0.07
+            x = x[:, :, :, ~tp]  # (B,S,T,M)
+            return x.permute(1, 0, 2, 3).reshape(S, B * T, -1)
+
+        ref_dual = _torch_milnce_reference(to_flat(ld), tgt_valid, row_has_pos, col_has_pos)
+        ref_joint = _torch_milnce_reference(to_flat(lj), tgt_valid, row_has_pos, col_has_pos)
+        ref_loss = (ref_dual + ref_joint) / 2
+
+        # ---- ours ------------------------------------------------------
+        out = tan_loss(
+            jnp.asarray(start),
+            jnp.asarray(end),
+            {"logits_dual": jnp.asarray(ld), "logits_joint": jnp.asarray(lj)},
+            jnp.asarray(video_pad),
+            jnp.asarray(text_pad),
+            TANLossConfig(),
+        )
+        np.testing.assert_allclose(float(out["loss-dual"]), ref_dual.item(), rtol=1e-5)
+        np.testing.assert_allclose(float(out["loss-joint"]), ref_joint.item(), rtol=1e-5)
+        np.testing.assert_allclose(float(out["loss"]), ref_loss.item(), rtol=1e-5)
+
+    def test_agreement_dedup_semantics(self):
+        """Agreement targets: at most one labelled text per timestep (except
+        text 0 which keeps original values); texts losing all steps fall back."""
+        B, S, T, N = 2, 2, 16, 3
+        rng = np.random.RandomState(3)
+        ld = rng.randn(B, S, T, B, N).astype(np.float32)
+        lj = rng.randn(B, S, T, B, N).astype(np.float32)
+        text_pad = np.zeros((B, N), dtype=bool)
+        video_pad = np.zeros((B, T), dtype=bool)
+        start = np.array([[1.0, 5.0, 9.0], [2.0, 6.0, 10.0]], np.float32)
+        end = np.array([[5.0, 9.0, 13.0], [6.0, 10.0, 14.0]], np.float32)
+        for mode in ("i", "u", "keep", "keep-joint"):
+            out = tan_loss(
+                jnp.asarray(start),
+                jnp.asarray(end),
+                {"logits_dual": jnp.asarray(ld), "logits_joint": jnp.asarray(lj)},
+                jnp.asarray(video_pad),
+                jnp.asarray(text_pad),
+                TANLossConfig(learn_agreement=True, temporal_agreement_type=mode),
+            )
+            assert np.isfinite(float(out["loss"])), mode
+            assert 0.0 <= float(out["confidence-ratio"]) <= 1.0
+
+    def test_loss_threshold_keeps_confident_fraction(self):
+        B, S, T, N = 2, 2, 12, 4
+        rng = np.random.RandomState(5)
+        ld = rng.randn(B, S, T, B, N).astype(np.float32)
+        lj = rng.randn(B, S, T, B, N).astype(np.float32)
+        text_pad = np.zeros((B, N), dtype=bool)
+        video_pad = np.zeros((B, T), dtype=bool)
+        start = np.tile(np.array([0.0, 3.0, 6.0, 9.0], np.float32), (B, 1))
+        end = start + 3.0
+        full = tan_loss(
+            jnp.asarray(start), jnp.asarray(end),
+            {"logits_dual": jnp.asarray(ld), "logits_joint": jnp.asarray(lj)},
+            jnp.asarray(video_pad), jnp.asarray(text_pad),
+            TANLossConfig(loss_threshold=0.5),
+        )
+        assert "loss-dual-all" in full
+        assert np.isfinite(float(full["loss"]))
+
+
+class TestGroundingLoss:
+    def test_center_duration_matches_torch(self):
+        B, N = 3, 5
+        preds = _rand(B, N, 2, seed=11)
+        c_gt = np.abs(_rand(B, N, seed=12)) % 1.0
+        d_gt = np.abs(_rand(B, N, seed=13)) % 0.5 + 0.05
+        pad = np.zeros((B, N), dtype=bool)
+        pad[1, 3:] = True
+        pad_t = torch.from_numpy(pad)
+
+        # torch reference
+        cp, dp = torch.from_numpy(preds[..., 0]), torch.from_numpy(preds[..., 1])
+        cg, dg = torch.from_numpy(c_gt), torch.from_numpy(d_gt)
+        l1c = F.l1_loss(cp[~pad_t], cg[~pad_t])
+        l1d = F.l1_loss(dp[~pad_t], dg[~pad_t])
+        sp, ep = cp[~pad_t] - dp[~pad_t] / 2, cp[~pad_t] + dp[~pad_t] / 2
+        sg, eg = cg[~pad_t] - dg[~pad_t] / 2, cg[~pad_t] + dg[~pad_t] / 2
+        inter = torch.clamp(torch.min(ep, eg) - torch.max(sp, sg), min=0)
+        union = torch.max(ep, eg) - torch.min(sp, sg)
+        iou = inter / (union + 1e-6)
+        ref_loss = (1 - iou.mean()) + l1d + l1c
+
+        cfg = GroundingLossConfig(use_center_duration=True)
+        ours, iou_map = grounding_loss(
+            jnp.asarray(preds),
+            {"mean": jnp.asarray(c_gt), "duration": jnp.asarray(d_gt)},
+            jnp.asarray(pad),
+            cfg,
+        )
+        np.testing.assert_allclose(float(ours["loss"]), ref_loss.item(), rtol=1e-5)
+        np.testing.assert_allclose(float(ours["mean IoU"]), iou.mean().item(), rtol=1e-5)
+        # per-text IoU map matches on valid entries
+        np.testing.assert_allclose(
+            np.asarray(iou_map)[~pad], iou.numpy(), rtol=1e-5
+        )
+        for th in cfg.iou_thresholds:
+            ref_frac = (iou > th).float().sum().item() / (~pad).sum()
+            np.testing.assert_allclose(float(ours[f"IoU>={th}"]), ref_frac, rtol=1e-5)
+
+
+class TestInfoNCE:
+    def test_diag_info_nce_matches_torch(self):
+        B, T, C = 2, 6, 8
+        f = _rand(B, T, C, seed=20)
+        p = _rand(B, T, C, seed=21)
+        fn = F.normalize(torch.from_numpy(f), dim=2)
+        pn = F.normalize(torch.from_numpy(p), dim=2)
+        sim = torch.bmm(fn, pn.transpose(1, 2)) / 0.1
+        logp = F.log_softmax(sim, dim=2)
+        ref = -logp.diagonal(dim1=1, dim2=2).mean()
+        ours = info_nce_diag(jnp.asarray(f), jnp.asarray(p))
+        np.testing.assert_allclose(float(ours), ref.item(), rtol=1e-5)
+
+    def test_symmetric_info_nce_matches_torch(self):
+        B, C = 6, 8
+        v = _rand(B, C, seed=22)
+        t = _rand(B, C, seed=23)
+        sim = torch.from_numpy(v) @ torch.from_numpy(t).T / 0.07
+        labels = torch.arange(B)
+        ref = (F.cross_entropy(sim, labels) + F.cross_entropy(sim.T, labels)) / 2
+        ours = symmetric_info_nce(jnp.asarray(v), jnp.asarray(t))
+        np.testing.assert_allclose(float(ours), ref.item(), rtol=1e-5)
