@@ -1,0 +1,301 @@
+"""HTM-Align zero-shot alignment evaluation.
+
+Protocol parity with reference eval/eval_zeroshot_align.py:96-252:
+
+  * overlap-seq: seq_len windows at stride seq_len/4; per window, the active
+    text span is derived from NON-alignable texts' ASR midpoints only (no GT
+    leakage, :143-167, with the head/tail edge-case widening); per-window
+    joint+dual sims accumulate into (text, time) canvases averaged by overlap
+    counters (:197-204); final sim = (joint + dual) / 2 (:205); uncovered
+    cells filled -6e4 before the time softmax (:221-222); R@1 = argmax frame
+    inside [floor(start), ceil(end)] for alignable texts (:234-237); ROC-AUC
+    over per-text max-over-time sim or the alignability head (:225-229,248).
+  * global: one pass over the full video with pos-emb interpolation (:207-216).
+
+TPU-first redesign of the hot loop: the reference runs ~vlen/16 sequential
+model calls per video with ragged text sets. Here all windows of a video are
+padded to shared (window, text) shapes — tail frames and inactive texts are
+key-padding-masked, which is numerically identical to excluding them — and
+run as a handful of big batched jitted calls. That turns ~40 tiny kernel
+launches per video into 1-2 MXU-saturating ones; shapes are bucketed so XLA
+compiles each (W, N) bucket once for the whole eval set.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG_FILL = -6e4
+
+
+def roc_auc(labels: np.ndarray, scores: np.ndarray) -> float:
+    """ROC-AUC via the rank statistic (Mann-Whitney U), ties averaged.
+
+    Replaces sklearn.metrics.roc_auc_score (reference :248) without the dep.
+    """
+    labels = np.asarray(labels).astype(bool)
+    scores = np.asarray(scores).astype(np.float64)
+    n_pos = int(labels.sum())
+    n_neg = int((~labels).sum())
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    order = np.argsort(scores, kind="mergesort")
+    ranks = np.empty_like(scores)
+    sorted_scores = scores[order]
+    # average ranks over ties
+    i = 0
+    rank_vals = np.arange(1, len(scores) + 1, dtype=np.float64)
+    while i < len(scores):
+        j = i
+        while j + 1 < len(scores) and sorted_scores[j + 1] == sorted_scores[i]:
+            j += 1
+        rank_vals[i : j + 1] = (i + j + 2) / 2.0
+        i = j + 1
+    ranks[order] = rank_vals
+    u = ranks[labels].sum() - n_pos * (n_pos + 1) / 2.0
+    return float(u / (n_pos * n_neg))
+
+
+@dataclasses.dataclass
+class AlignEvalConfig:
+    seq_len: int = 64
+    method: str = "overlap-seq"  # 'overlap-seq' | 'global'
+    use_alignability_head: bool = False
+    sim_scale: float = 1.0 / 0.07  # closure divides cos sims by 0.07 (main.py:177)
+    window_chunk: int = 32  # windows per device call (batch dim, padded to this)
+    pad_window_chunk: bool = True  # pad W to window_chunk: one compile per text bucket
+    text_bucket: int = 16  # pad active-text count to a multiple (recompile control)
+    global_len_bucket: int = 128  # pad full-video length to a multiple in global mode
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def make_tan_sim_fn(model, params) -> Callable:
+    """Jitted batched-window similarity fn for a TemporalAligner.
+
+    Returns fn(video (W,L,Dv), vmask (W,L), text (W,N,Dt), tmask (W,N),
+    interpolate_from=None) -> dict of numpy arrays:
+      sim, dual-sim: (W, K, L) last-stage, temperature-scaled
+      alignability-dual (W, K), alignability-joint (W, K) when enabled.
+    """
+
+    @jax.jit
+    def _call(video, vmask, text, tmask):
+        out = model.apply(
+            params, video, text,
+            video_padding_mask=vmask, lang_padding_mask=tmask,
+            method=type(model).text_visual_sim,
+        )
+        return out
+
+    cache: Dict[int, Callable] = {}
+
+    def _call_interp(video, vmask, text, tmask, interpolate_from):
+        key = interpolate_from
+        if key not in cache:
+            cache[key] = jax.jit(
+                lambda v, vm, t, tm: model.apply(
+                    params, v, t, interpolate_from=key,
+                    video_padding_mask=vm, lang_padding_mask=tm,
+                    method=type(model).text_visual_sim,
+                )
+            )
+        return cache[key](video, vmask, text, tmask)
+
+    def sim_fn(video, vmask, text, tmask, interpolate_from=None):
+        video = jnp.asarray(video)
+        text = jnp.asarray(text)
+        vmask = jnp.asarray(vmask, dtype=bool)
+        tmask = jnp.asarray(tmask, dtype=bool)
+        if interpolate_from is None:
+            out = _call(video, vmask, text, tmask)
+        else:
+            out = _call_interp(video, vmask, text, tmask, interpolate_from)
+        res = {
+            # last stage, (W, K, L) orientation like the reference closure
+            "sim": np.asarray(out["sim"][:, -1].transpose(0, 2, 1)),
+            "dual-sim": np.asarray(out["dual-sim"][:, -1].transpose(0, 2, 1)),
+        }
+        if "alignability-dual" in out:
+            res["alignability-dual"] = np.asarray(out["alignability-dual"][..., 0])
+            res["alignability-joint"] = np.asarray(
+                out["alignability-joint"][:, min(2, out["alignability-joint"].shape[1] - 1), :, 0]
+            )
+        return res
+
+    return sim_fn
+
+
+def _active_text_masks(
+    steps: np.ndarray,
+    vlen: int,
+    seq_len: int,
+    num_text: int,
+    mid_ts: np.ndarray,
+    aligned: np.ndarray,
+):
+    """Per-window active-text masks from non-alignable ASR midpoints
+    (reference :143-167). Returns list of (step, mask) for non-skipped windows."""
+    nonalignable = ~aligned.astype(bool)
+    na_idx = np.arange(num_text)[nonalignable]
+    na_mid = mid_ts[nonalignable]
+    out = []
+    for idx, step in enumerate(steps):
+        in_win = (step - seq_len <= na_mid) & (na_mid <= step + 2 * seq_len)
+        active_na = na_idx[in_win]
+        if len(active_na) == 0:
+            continue
+        left, right = int(active_na.min()), int(active_na.max())
+        if idx <= 3:
+            left = 0
+        elif idx >= len(steps) - 4:
+            right = vlen  # reference quirk: clamps to num_text via slicing
+        mask = np.zeros(num_text, dtype=bool)
+        mask[left : right + 1] = True
+        out.append((int(step), mask))
+    return out
+
+
+def test_alignment_htm(
+    dataset: Iterable[Dict],
+    sim_fn: Callable,
+    cfg: AlignEvalConfig,
+    text_embed_fn: Optional[Callable[[List[str]], np.ndarray]] = None,
+) -> Dict[str, float]:
+    """Run the HTM-Align protocol.
+
+    dataset yields per-video dicts with:
+      'video' (vlen, Dv) float features, 'start'/'end' (N,) seconds,
+      'aligned' (N,) 0/1, and either 'text_embed' (N, Dt) or 'text' [str]*N
+      (then text_embed_fn must be given).
+    """
+    recalls: List[bool] = []
+    all_scores: List[np.ndarray] = []
+    all_tgts: List[np.ndarray] = []
+    seq_len = cfg.seq_len
+
+    for item in dataset:
+        video = np.asarray(item["video"], dtype=np.float32)
+        start = np.asarray(item["start"], dtype=np.float64)
+        end = np.asarray(item["end"], dtype=np.float64)
+        aligned = np.asarray(item["aligned"]).astype(bool)
+        if "text_embed" in item:
+            text_embed = np.asarray(item["text_embed"], dtype=np.float32)
+        else:
+            text_embed = np.asarray(text_embed_fn(item["text"]), dtype=np.float32)
+        vlen, num_text = video.shape[0], len(start)
+
+        if cfg.method == "overlap-seq":
+            steps = np.arange(0, vlen - seq_len // 2, seq_len // 4)
+            mid_ts = (start + end) / 2.0
+            windows = _active_text_masks(steps, vlen, seq_len, num_text, mid_ts, aligned)
+
+            sim_canvas = np.zeros((num_text, vlen), dtype=np.float64)
+            dual_canvas = np.zeros((num_text, vlen), dtype=np.float64)
+            counter = np.zeros((num_text, vlen), dtype=np.float64)
+            a_dual = np.zeros(num_text, dtype=np.float64)
+            a_joint = np.zeros(num_text, dtype=np.float64)
+            t_counter = np.zeros(num_text, dtype=np.float64)
+
+            if windows:
+                n_active = [int(m.sum()) for _, m in windows]
+                n_pad = _round_up(max(n_active), cfg.text_bucket)
+                for lo in range(0, len(windows), cfg.window_chunk):
+                    chunk = windows[lo : lo + cfg.window_chunk]
+                    w = len(chunk)
+                    # pad the batch dim so every chunk shares one compiled
+                    # shape; dummy windows are fully masked and discarded
+                    w_pad = cfg.window_chunk if cfg.pad_window_chunk else w
+                    vb = np.zeros((w_pad, seq_len, video.shape[1]), np.float32)
+                    vm = np.ones((w_pad, seq_len), bool)
+                    tb = np.zeros((w_pad, n_pad, text_embed.shape[1]), np.float32)
+                    tm = np.ones((w_pad, n_pad), bool)
+                    spans = []
+                    idx_lists = []
+                    for i, (step, mask) in enumerate(chunk):
+                        hi = min(vlen, step + seq_len)
+                        ln = hi - step
+                        vb[i, :ln] = video[step:hi]
+                        vm[i, :ln] = False
+                        idxs = np.nonzero(mask)[0]
+                        tb[i, : len(idxs)] = text_embed[idxs]
+                        tm[i, : len(idxs)] = False
+                        spans.append((step, hi))
+                        idx_lists.append(idxs)
+
+                    out = sim_fn(vb, vm, tb, tm)
+                    sim = out["sim"] * cfg.sim_scale  # (W, K, L)
+                    dual = out["dual-sim"] * cfg.sim_scale
+                    for i, ((step, hi), idxs) in enumerate(zip(spans, idx_lists)):
+                        ln = hi - step
+                        k = len(idxs)
+                        sim_canvas[idxs, step:hi] += sim[i, :k, :ln]
+                        dual_canvas[idxs, step:hi] += dual[i, :k, :ln]
+                        counter[idxs, step:hi] += 1
+                        if cfg.use_alignability_head:
+                            a_dual[idxs] += out["alignability-dual"][i, :k]
+                            a_joint[idxs] += out["alignability-joint"][i, :k]
+                        else:
+                            # per-text max over the window's REAL frames (:191-192)
+                            a_dual[idxs] += dual[i, :k, :ln].max(axis=1)
+                            a_joint[idxs] += sim[i, :k, :ln].max(axis=1)
+                        t_counter[idxs] += 1
+
+            eps = 1e-5
+            sim_canvas /= np.maximum(counter, eps)
+            dual_canvas /= np.maximum(counter, eps)
+            a_dual /= np.maximum(t_counter, eps)
+            a_joint /= np.maximum(t_counter, eps)
+            sim = (sim_canvas + dual_canvas) / 2.0
+
+        elif cfg.method == "global":
+            pad_len = _round_up(vlen, cfg.global_len_bucket)
+            vb = np.zeros((1, pad_len, video.shape[1]), np.float32)
+            vb[0, :vlen] = video
+            vm = np.ones((1, pad_len), bool)
+            vm[0, :vlen] = False
+            tb = text_embed[None]
+            tm = np.zeros((1, num_text), bool)
+            out = sim_fn(vb, vm, tb, tm, interpolate_from=seq_len)
+            sim = out["sim"][0, :, :vlen] * cfg.sim_scale
+            dual = out["dual-sim"][0, :, :vlen] * cfg.sim_scale
+            if cfg.use_alignability_head:
+                a_dual = out["alignability-dual"][0]
+                a_joint = out["alignability-joint"][0]
+            else:
+                a_dual = dual.max(axis=1)
+                a_joint = sim.max(axis=1)
+        else:
+            raise ValueError(cfg.method)
+
+        sim = np.where(sim == 0, NEG_FILL, sim)
+        prob = jax.nn.softmax(jnp.asarray(sim), axis=-1)
+        prob = np.asarray(prob)
+
+        all_tgts.append(aligned.astype(np.int32))
+        if cfg.use_alignability_head:
+            all_scores.append(np.asarray(a_joint))
+        else:
+            all_scores.append(sim.max(axis=-1))
+
+        sim_al = sim[aligned]
+        prob_al = prob[aligned]
+        s_al = start[aligned]
+        e_al = end[aligned]
+        for ti in range(sim_al.shape[0]):
+            s = math.floor(s_al[ti])
+            e = math.ceil(e_al[ti])
+            am = int(prob_al[ti].argmax())
+            recalls.append(s <= am <= e)
+
+    scores = np.concatenate(all_scores, 0)
+    tgts = np.concatenate(all_tgts, 0)
+    return {"Recall": float(np.mean(recalls)), "AUC": roc_auc(tgts, scores)}

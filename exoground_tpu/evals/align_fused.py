@@ -1,0 +1,205 @@
+"""Device-resident (fused) HTM-Align overlap-seq evaluator.
+
+Same protocol as evals/align.py::test_alignment_htm (reference
+eval/eval_zeroshot_align.py:127-252) but the whole per-video loop runs as ONE
+jitted computation per video:
+
+  upload features once -> gather stride-16 windows on device -> batched
+  model over all windows -> scatter-add joint/dual sims into the
+  (text, time) canvases -> overlap-average -> R@1 hits + per-text AUC
+  scores on device -> fetch two tiny (N,) vectors.
+
+Why: the host-stitched version downloads (W, K, L) sim blocks per chunk and
+re-uploads overlapping windows; on TPU the video features cross PCIe ~4x and
+the sims come back every chunk. Fused, each video costs one H2D of its
+features and a few hundred bytes D2H — this is where the >=5x per-chip
+inference target is won (SURVEY.md §7 "eval-loop host logic").
+
+Shapes are bucketed (video length / window count / text counts) so the whole
+eval set shares a handful of compilations. Host-side active-text selection
+(data-dependent, string-free) stays in numpy and feeds index arrays.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Dict, Iterable, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exoground_tpu.evals.align import (
+    AlignEvalConfig,
+    NEG_FILL,
+    _active_text_masks,
+    _round_up,
+    roc_auc,
+)
+
+
+def _make_video_processor(model, params, cfg: AlignEvalConfig):
+    """jit-per-bucket processor over (Vmax, Wmax, Npad, Ntot) shapes."""
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _process(dims, video, text_embed, win_start, win_len, text_idx, text_valid):
+        vmax, seq_len = dims
+        w, npad = text_idx.shape
+        ntot = text_embed.shape[0]
+
+        l_idx = jnp.arange(seq_len)
+        gidx = jnp.clip(win_start[:, None] + l_idx[None, :], 0, vmax - 1)  # (W, L)
+        vb = video[gidx]  # (W, L, Dv)
+        vmask = l_idx[None, :] >= win_len[:, None]  # (W, L) True=PAD
+        tb = text_embed[text_idx]  # (W, Npad, Dt)
+        tmask = ~text_valid
+
+        out = model.apply(
+            params, vb, tb,
+            video_padding_mask=vmask, lang_padding_mask=tmask,
+            method=type(model).text_visual_sim,
+        )
+        sim = jnp.transpose(out["sim"][:, -1], (0, 2, 1)) * cfg.sim_scale  # (W,K,L)
+        dual = jnp.transpose(out["dual-sim"][:, -1], (0, 2, 1)) * cfg.sim_scale
+
+        valid3 = text_valid[:, :, None] & (l_idx[None, None, :] < win_len[:, None, None])
+        dump = ntot * vmax
+        flat_idx = jnp.where(
+            valid3, text_idx[:, :, None] * vmax + gidx[:, None, :], dump
+        ).reshape(-1)
+        z = jnp.zeros(ntot * vmax + 1, jnp.float32)
+        sim_c = z.at[flat_idx].add(jnp.where(valid3, sim, 0.0).reshape(-1))[:-1]
+        dual_c = z.at[flat_idx].add(jnp.where(valid3, dual, 0.0).reshape(-1))[:-1]
+        cnt = z.at[flat_idx].add(valid3.reshape(-1).astype(jnp.float32))[:-1]
+        sim_c = sim_c.reshape(ntot, vmax)
+        dual_c = dual_c.reshape(ntot, vmax)
+        cnt = cnt.reshape(ntot, vmax)
+
+        # per-text alignability scores: window max over REAL frames (:191-195)
+        neg = jnp.float32(NEG_FILL)
+        win_max_dual = jnp.max(jnp.where(valid3, dual, neg), axis=-1)  # (W, K)
+        win_max_joint = jnp.max(jnp.where(valid3, sim, neg), axis=-1)
+        t_dump = ntot
+        t_idx_flat = jnp.where(text_valid, text_idx, t_dump).reshape(-1)
+        zt = jnp.zeros(ntot + 1, jnp.float32)
+        a_dual = zt.at[t_idx_flat].add(jnp.where(text_valid, win_max_dual, 0.0).reshape(-1))[:-1]
+        a_joint = zt.at[t_idx_flat].add(jnp.where(text_valid, win_max_joint, 0.0).reshape(-1))[:-1]
+        t_cnt = zt.at[t_idx_flat].add(text_valid.reshape(-1).astype(jnp.float32))[:-1]
+
+        eps = 1e-5
+        sim_avg = (sim_c + dual_c) / 2.0 / jnp.maximum(cnt, eps)
+        # reference fills exact zeros (uncovered cells) with -6e4 (:221)
+        sim_avg = jnp.where(sim_avg == 0.0, neg, sim_avg)
+        a_dual = a_dual / jnp.maximum(t_cnt, eps)
+        a_joint = a_joint / jnp.maximum(t_cnt, eps)
+
+        argmax_t = jnp.argmax(sim_avg, axis=-1)  # == prob argmax (softmax monotone)
+        scores = jnp.max(sim_avg, axis=-1)  # AUC score per text (:229)
+        return argmax_t, scores, a_dual, a_joint
+
+    return _process
+
+
+class FusedAlignEvaluator:
+    """Reusable fused evaluator: builds the jitted processor ONCE.
+
+    Re-tracing the 12-layer graph per eval call costs seconds; hold one of
+    these for the lifetime of the params and call it per eval sweep.
+    """
+
+    def __init__(self, model, params, cfg: AlignEvalConfig):
+        assert not cfg.use_alignability_head, (
+            "fused path scores alignability from sims; use evals.align."
+            "test_alignment_htm for the binary-head protocol"
+        )
+        self.cfg = cfg
+        self._process = _make_video_processor(model, params, cfg)
+
+    def __call__(self, dataset: Iterable[Dict]) -> Dict[str, float]:
+        return _run_fused(dataset, self._process, self.cfg)
+
+
+def test_alignment_htm_fused(
+    dataset: Iterable[Dict], model, params, cfg: AlignEvalConfig
+) -> Dict[str, float]:
+    """One-shot convenience wrapper around FusedAlignEvaluator."""
+    return FusedAlignEvaluator(model, params, cfg)(dataset)
+
+
+def _run_fused(dataset, process, cfg: AlignEvalConfig) -> Dict[str, float]:
+    seq_len = cfg.seq_len
+    recalls: List[bool] = []
+    all_scores: List[np.ndarray] = []
+    all_tgts: List[np.ndarray] = []
+
+    # phase 1: dispatch every video asynchronously (JAX dispatch returns
+    # immediately) so H2D uploads pipeline with device compute
+    pending = []
+    for item in dataset:
+        video = np.asarray(item["video"], dtype=np.float32)
+        start = np.asarray(item["start"], dtype=np.float64)
+        end = np.asarray(item["end"], dtype=np.float64)
+        aligned = np.asarray(item["aligned"]).astype(bool)
+        text_embed = np.asarray(item["text_embed"], dtype=np.float32)
+        vlen, num_text = video.shape[0], len(start)
+
+        steps = np.arange(0, vlen - seq_len // 2, seq_len // 4)
+        mid = (start + end) / 2.0
+        windows = _active_text_masks(steps, vlen, seq_len, num_text, mid, aligned)
+
+        if not windows:
+            pending.append((start, end, aligned, num_text, None))
+            continue
+
+        # bucketed shapes: one compile per (Vmax, Wmax, Npad, Ntot) combo
+        vmax = _round_up(vlen, cfg.global_len_bucket)
+        wmax = _round_up(len(windows), 16)
+        npad = _round_up(max(int(m.sum()) for _, m in windows), cfg.text_bucket)
+        ntot = _round_up(num_text, cfg.text_bucket)
+
+        vb = np.zeros((vmax, video.shape[1]), np.float32)
+        vb[:vlen] = video
+        tb = np.zeros((ntot, text_embed.shape[1]), np.float32)
+        tb[:num_text] = text_embed
+        win_start = np.zeros(wmax, np.int32)
+        win_len = np.zeros(wmax, np.int32)
+        text_idx = np.zeros((wmax, npad), np.int32)
+        text_valid = np.zeros((wmax, npad), bool)
+        for i, (step, mask) in enumerate(windows):
+            win_start[i] = step
+            win_len[i] = min(vlen, step + seq_len) - step
+            idxs = np.nonzero(mask)[0]
+            text_idx[i, : len(idxs)] = idxs
+            text_valid[i, : len(idxs)] = True
+
+        out = process(
+            (vmax, seq_len), jnp.asarray(vb), jnp.asarray(tb),
+            jnp.asarray(win_start), jnp.asarray(win_len),
+            jnp.asarray(text_idx), jnp.asarray(text_valid),
+        )
+        pending.append((start, end, aligned, num_text, out))
+
+    # phase 2: fetch tiny per-video results and reduce
+    for start, end, aligned, num_text, out in pending:
+        if out is None:
+            all_tgts.append(aligned.astype(np.int32))
+            all_scores.append(np.full(num_text, NEG_FILL))
+            recalls.extend([False] * int(aligned.sum()))
+            continue
+        argmax_t_d, scores_d, a_dual_d, a_joint_d = out
+        argmax_t = np.asarray(argmax_t_d)[:num_text]
+        scores = np.asarray(scores_d)[:num_text]
+        a_joint_np = np.asarray(a_joint_d)[:num_text]
+
+        all_tgts.append(aligned.astype(np.int32))
+        all_scores.append(a_joint_np if cfg.use_alignability_head else scores)
+        for ti in np.nonzero(aligned)[0]:
+            s = math.floor(start[ti])
+            e = math.ceil(end[ti])
+            recalls.append(s <= int(argmax_t[ti]) <= e)
+
+    return {
+        "Recall": float(np.mean(recalls)),
+        "AUC": roc_auc(np.concatenate(all_tgts), np.concatenate(all_scores)),
+    }

@@ -52,10 +52,12 @@ class TANLossConfig:
     alignability_joint_layer: int = 2  # 3rd layer works best (loss.py:344)
 
 
-def _diag_batch(x: jnp.ndarray) -> jnp.ndarray:
-    """(B,S,T,B,N) -> (B,S,T,N) taking the video-batch == text-batch diagonal."""
-    d = jnp.diagonal(x, axis1=0, axis2=3)  # (S,T,N,B)
-    return jnp.transpose(d, (3, 0, 1, 2))
+def _diag_batch(x: jnp.ndarray, col_offset=0) -> jnp.ndarray:
+    """(Br,S,T,Bc,N) -> (Br,S,T,N): video-batch row i pairs text column
+    i + col_offset (offset != 0 under gathered-negative data parallelism)."""
+    br = x.shape[0]
+    rows = jnp.arange(br)
+    return x[rows, :, :, rows + col_offset, :]
 
 
 def _masked_mean(x, mask):
@@ -96,7 +98,7 @@ def _two_way_softmax(diag_logits, video_pad, text_pad):
 
 
 def _agreement_targets(
-    logits_dual, logits_joint, binary_tgt_raw, video_pad, text_pad, cfg
+    logits_dual, logits_joint, binary_tgt_raw, video_pad, text_pad, cfg, col_offset=0
 ) -> Dict[str, jnp.ndarray]:
     """Self-labelling pipeline (loss.py:91-232). All under stop_gradient."""
     b, _, t, _, n = logits_joint.shape
@@ -105,10 +107,14 @@ def _agreement_targets(
     durations = jnp.where(text_pad, 0.0, durations)
     windows = window_scan_kernel(durations, t)  # (B,N,T,T)
 
-    jd, j_prob = _two_way_softmax(_diag_batch(logits_joint), video_pad, text_pad)
+    jd, j_prob = _two_way_softmax(
+        _diag_batch(logits_joint, col_offset), video_pad, text_pad
+    )
     j_tgt, _, j_max_logits = _best_window_scan(j_prob[:, -1], jd[:, -1], windows)
 
-    dd, d_prob = _two_way_softmax(_diag_batch(logits_dual), video_pad, text_pad)
+    dd, d_prob = _two_way_softmax(
+        _diag_batch(logits_dual, col_offset), video_pad, text_pad
+    )
     d_tgt, _, d_max_logits = _best_window_scan(d_prob[:, -1], dd[:, -1], windows)
 
     # mutual IoU between dual/joint window labels (loss.py:184-189)
@@ -190,14 +196,22 @@ def tan_loss(
     text_padding_mask: jnp.ndarray,  # (B, N) True=PAD
     cfg: TANLossConfig,
     abs_text_pos: Optional[jnp.ndarray] = None,  # (B, N, 2) normalized
+    col_text_padding_mask: Optional[jnp.ndarray] = None,  # (Bc, N): global pads
+    col_offset=0,  # this shard's row block position among the gathered columns
 ) -> Dict[str, jnp.ndarray]:
     logits_dual = logits["logits_dual"]
     logits_joint = logits["logits_joint"]
     if cfg.sim == "cos":
         logits_dual = logits_dual / TEMP
         logits_joint = logits_joint / TEMP
-    b, _, t, _, n = logits_dual.shape
-    eye = jnp.eye(b)
+    b, _, t, bc, n = logits_dual.shape
+    if col_text_padding_mask is None:
+        col_text_padding_mask = text_padding_mask
+    # row i of the grid pairs column (i + col_offset); identity when not
+    # gathering negatives across the data axis
+    cross = (
+        jnp.arange(bc)[None, :] == (jnp.arange(b)[:, None] + col_offset)
+    ).astype(jnp.float32)
     loss_dict: Dict[str, jnp.ndarray] = {}
 
     binary_tgt_raw = mask_from_time(start, end, t)  # (B,N,T)
@@ -213,7 +227,7 @@ def tan_loss(
             jax.lax.stop_gradient,
             _agreement_targets(
                 a_dual, a_joint, binary_tgt_raw, video_padding_mask,
-                text_padding_mask, cfg,
+                text_padding_mask, cfg, col_offset=col_offset,
             ),
         )
         tgt_tn = agree["tgt_tn"]
@@ -222,13 +236,18 @@ def tan_loss(
     else:
         tgt_tn = bt_tn
 
-    # (B,T,N) diag -> (B*T, B*N) cross-batch grid via eye (loss.py:87-88,228)
-    tgt = tgt_tn[:, :, None, :] * eye[:, None, :, None]  # (B,T,B,N)
-    tgt_flat = tgt.reshape(b * t, b * n)
-    col_valid = (~text_padding_mask).reshape(-1)  # (B*N,)
+    # (B,T,N) diag -> (B*T, Bc*N) cross-batch grid (loss.py:87-88,228)
+    tgt = tgt_tn[:, :, None, :] * cross[:, None, :, None]  # (B,T,Bc,N)
+    tgt_flat = tgt.reshape(b * t, bc * n)
+    col_valid = (~col_text_padding_mask).reshape(-1)  # (Bc*N,)
     tgt_flat = tgt_flat * col_valid[None, :]
     row_has_pos = jnp.sum(tgt_flat, axis=-1) > 0
     col_has_pos = (jnp.sum(tgt_flat, axis=-2) > 0) & col_valid
+
+    # this shard's own text columns inside the (possibly gathered) column space
+    own_cols = jax.lax.dynamic_slice(
+        col_has_pos.reshape(bc, n), (jnp.asarray(col_offset, jnp.int32), 0), (b, n)
+    )
 
     v_loss_d, t_loss_d, loss_dual = _milnce_two_way(
         logits_dual, tgt_flat, col_valid, row_has_pos, col_has_pos
@@ -246,8 +265,8 @@ def tan_loss(
     if cfg.loss_threshold > 0 or cfg.use_alignability_head:
         # per-text confidence (max over time of last-layer diag logits),
         # standardized over texts (loss.py:283-289)
-        d_diag = _diag_batch(logits_dual)[:, -1]  # (B,T,N)
-        j_diag = _diag_batch(logits_joint)[:, -1]
+        d_diag = _diag_batch(logits_dual, col_offset)[:, -1]  # (B,T,N)
+        j_diag = _diag_batch(logits_joint, col_offset)[:, -1]
         valid = ~text_padding_mask  # (B,N)
         big_neg = jnp.full_like(d_diag, NEG_FILL)
         d_max = jnp.max(jnp.where(valid[:, None, :], d_diag, big_neg), axis=1)  # (B,N)
@@ -265,9 +284,14 @@ def tan_loss(
         if cfg.loss_threshold > 0:
             loss_dict["loss-dual-all"] = loss_dual
             loss_dict["loss-joint-all"] = loss_joint
-            tgt_th = tgt_flat * t_th_mask.reshape(-1)[None, :]
+            # scatter the row-text threshold mask into column space
+            t_th_cols = jax.lax.dynamic_update_slice(
+                jnp.zeros((bc, n), bool), t_th_mask,
+                (jnp.asarray(col_offset, jnp.int32), 0),
+            ).reshape(-1)
+            tgt_th = tgt_flat * t_th_cols[None, :]
             row_pos_th = jnp.sum(tgt_th, axis=-1) > 0
-            t_sel = t_th_mask.reshape(-1) & col_has_pos
+            t_sel = t_th_cols & col_has_pos
 
             t_loss_d_th = _masked_mean(t_loss_d, jnp.broadcast_to(t_sel[None, :], t_loss_d.shape).astype(jnp.float32))
             v_loss_d_th = _masked_mean(v_loss_d, jnp.broadcast_to(row_pos_th[None, :], v_loss_d.shape).astype(jnp.float32))
@@ -290,7 +314,7 @@ def tan_loss(
                 center = jnp.mean(abs_text_pos, axis=-1)  # (B,N)
                 labels = jnp.where((center < 0.2) | (center > 0.8), 0.0, labels)
 
-            sel = valid & col_has_pos.reshape(b, n) & (labels != 2.0)
+            sel = valid & own_cols & (labels != 2.0)
             lab_bin = jnp.where(sel, labels, 0.0)
             mean_lab = _masked_mean(lab_bin, sel.astype(jnp.float32))
             pos_weight = 1.0 / jnp.clip(mean_lab, 1e-6) - 1.0

@@ -78,9 +78,6 @@ class TemporalAligner(nn.Module):
         self.text_temporal_pos_embed = self.param(
             "text_temporal_pos_embed", nn.initializers.normal(0.01), (self.max_pos, w)
         )
-        # present-but-unused projection kept for checkpoint-shape parity
-        # (reference tan_model.py:62 creates it; forward never calls it)
-        self.mlp = nn.Dense(w, kernel_init=dense_init)
         if self.use_alignability_head:
             self.binary_head = nn.Dense(
                 1, kernel_init=nn.initializers.normal(0.01), bias_init=nn.initializers.zeros
@@ -193,6 +190,10 @@ class TemporalAligner(nn.Module):
         if self.return_dual_feature:
             out["dual_feature_video"] = video_n
             out["dual_feature_text"] = text_n
+            # normalized joint features: lets the data-parallel train step
+            # all_gather text features and widen the contrastive grids
+            out["joint_feature_video"] = video_nj
+            out["joint_feature_text"] = text_nj
         if self.use_alignability_head:
             out["dual_logits_alignability"] = self.binary_head(lang_raw)
             out["joint_logits_alignability"] = self.binary_head(joint_text)
@@ -202,10 +203,23 @@ class TemporalAligner(nn.Module):
     # inference entry points for HTM-Align eval (tan_model.py:231-306)
     # ------------------------------------------------------------------
 
-    def text_visual_sim(self, video_embed, lang_embed, interpolate_from=None):
+    def text_visual_sim(
+        self,
+        video_embed,
+        lang_embed,
+        interpolate_from=None,
+        video_padding_mask=None,
+        lang_padding_mask=None,
+    ):
         """Per-video similarity dict used by the overlap-seq/global stitchers.
 
         interpolate_from may be an int (video only) or (video, text) tuple.
+        Optional padding masks allow the TPU-first *batched-window* eval:
+        several stitcher windows run as one batch with tail frames / inactive
+        texts masked out — key-padding removes them as attention keys, so the
+        result on real entries is bit-identical to per-window calls
+        (reference runs one unpadded window at a time,
+        eval_zeroshot_align.py:179).
         Returns {'sim': (B,S,T,K) joint, 'dual-sim': (B,S,T,K) dual
                  [, 'alignability-dual'/'alignability-joint']}.
         """
@@ -216,8 +230,16 @@ class TemporalAligner(nn.Module):
 
         b, t, _ = video_embed.shape
         n = lang_embed.shape[1]
-        vmask = jnp.zeros((b, t), dtype=bool)
-        lmask = jnp.zeros((b, n), dtype=bool)
+        vmask = (
+            jnp.zeros((b, t), dtype=bool)
+            if video_padding_mask is None
+            else video_padding_mask
+        )
+        lmask = (
+            jnp.zeros((b, n), dtype=bool)
+            if lang_padding_mask is None
+            else lang_padding_mask
+        )
 
         if self.use_text_pos_enc:
             lang_with_time = self.get_textual_feature_with_time(lang_embed, text_if)

@@ -17,8 +17,14 @@ import jax
 
 
 def ema_init(online_params):
-    """Initialize target params as a copy of the online params (:329-332)."""
-    return jax.tree_util.tree_map(lambda x: x, online_params)
+    """Initialize target params as a copy of the online params (:329-332).
+
+    A real buffer copy, not an alias: train steps donate both trees, and XLA
+    rejects donating the same buffer twice.
+    """
+    import jax.numpy as jnp
+
+    return jax.tree_util.tree_map(jnp.copy, online_params)
 
 
 @jax.jit

@@ -94,7 +94,6 @@ class ExoGroundingTransformer(nn.Module):
         self.text_temporal_pos_embed = self.param(
             "text_temporal_pos_embed", nn.initializers.normal(0.01), (self.text_embed_dim, w)
         )
-        self.mlp = nn.Dense(w, kernel_init=init01)  # parity-only, unused in forward
 
     # ------------------------------------------------------------------
 

@@ -1,0 +1,2 @@
+from exoground_tpu.parallel.mesh import make_mesh, shard_batch, replicate
+from exoground_tpu.parallel.train_step import make_tan_train_step, make_grounding_train_step

@@ -1,0 +1,44 @@
+"""Device mesh + sharding helpers.
+
+Replaces the reference's NCCL/DDP bootstrap (reference train/main.py:250-285,
+main_egoexo4d_distributed.py:364-400: env-rank init_process_group, barriers,
+per-rank device binding) with the JAX SPMD model: one 1-D 'data' mesh over all
+chips, batches sharded over it, params replicated, gradients psum'd by
+shard_map. Collectives ride ICI automatically; no rendezvous code.
+
+Multi-host: call jax.distributed.initialize() once at program start (the
+trainer CLI does) and the same mesh spans all hosts' devices.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
+    """1-D data-parallel mesh over the first n (default: all) devices."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
+    """Place every array in the batch pytree with its leading dim sharded."""
+    def put(x):
+        spec = P(axis, *([None] * (np.ndim(x) - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+    return jax.tree_util.tree_map(put, batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Replicate a pytree (params/opt state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

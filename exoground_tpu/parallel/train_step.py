@@ -1,0 +1,182 @@
+"""Data-parallel train steps (shard_map + psum gradients).
+
+Replaces DDP's autograd-hook all-reduce (reference train/main.py:413,
+main_egoexo4d_distributed.py:716) with an explicit SPMD step: the loss is
+computed per shard on the local batch — matching the reference's *per-device*
+contrastive-negative semantics (SURVEY.md §5: no embedding all_gather) — and
+gradients are pmean'd over the 'data' axis inside one jitted computation, so
+the collective overlaps with backward compute under XLA's scheduler.
+
+``gather_negatives=True`` is the TPU-native improvement switch (default off
+for parity): all_gather the normalized text features over the data axis so
+the MIL-NCE denominator sees the GLOBAL batch's negatives.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from exoground_tpu.losses.grounding import GroundingLossConfig, egoexo_loss
+from exoground_tpu.losses.milnce import TANLossConfig, tan_loss
+from exoground_tpu.parallel.mesh import DATA_AXIS
+
+
+def _scalars(d: Dict) -> Dict:
+    return {k: v for k, v in d.items() if getattr(v, "ndim", None) == 0}
+
+
+def make_tan_train_step(
+    model,
+    loss_cfg: TANLossConfig,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    ema_momentum: Optional[float] = None,
+    gather_negatives: bool = False,
+) -> Callable:
+    """Build the jitted TAN train step.
+
+    step(params, target_params, opt_state, batch, rng)
+      -> (params, target_params, opt_state, metrics)
+
+    batch: video, text, video_padding_mask, text_padding_mask, start, end
+    [, abs_text_pos]; leading dim sharded over the mesh. target_params is the
+    EMA twin (pass params when not cotraining); EMA update runs fused in the
+    same computation every step when ema_momentum is set (the trainer controls
+    cadence by passing ema_momentum=None steps).
+    """
+    cotrain = loss_cfg.model == "cotrain"
+
+    def local_step(params, target_params, opt_state, batch, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p},
+                batch["video"], batch["text"],
+                batch["video_padding_mask"], batch["text_padding_mask"],
+                deterministic=False, rngs={"pos": rng},
+            )
+            if gather_negatives:
+                out = _gathered_logits(out)
+            logits = dict(out)
+            if cotrain:
+                ema_out = model.apply(
+                    {"params": target_params},
+                    batch["video"], batch["text"],
+                    batch["video_padding_mask"], batch["text_padding_mask"],
+                    deterministic=True,
+                )
+                if gather_negatives:
+                    ema_out = _gathered_logits(ema_out)
+                logits["ema-logits_dual"] = ema_out["logits_dual"]
+                logits["ema-logits_joint"] = ema_out["logits_joint"]
+            kw = {}
+            if gather_negatives:
+                b_local = batch["video"].shape[0]
+                kw["col_text_padding_mask"] = jax.lax.all_gather(
+                    batch["text_padding_mask"], DATA_AXIS, tiled=True
+                )
+                kw["col_offset"] = jax.lax.axis_index(DATA_AXIS) * b_local
+            ld = tan_loss(
+                batch["start"], batch["end"], logits,
+                batch["video_padding_mask"], batch["text_padding_mask"],
+                loss_cfg, abs_text_pos=batch.get("abs_text_pos"), **kw,
+            )
+            return ld["loss"], _scalars(ld)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if ema_momentum is not None:
+            target_params = jax.tree_util.tree_map(
+                lambda t, o: t * ema_momentum + o * (1.0 - ema_momentum),
+                target_params, params,
+            )
+        return params, target_params, opt_state, metrics
+
+    def _gathered_logits(out):
+        """Enlarge the negative pool: all_gather text features over 'data' and
+        rebuild the cross-batch logit volumes against the global batch."""
+        gathered = {}
+        text_n = jax.lax.all_gather(out["dual_feature_text"], DATA_AXIS, tiled=True)
+        gathered["logits_dual"] = jnp.einsum(
+            "astc,bkc->astbk", out["dual_feature_video"], text_n
+        )
+        # joint volume needs joint text features; fall back to local when the
+        # model did not return them (gather then only widens the dual grid)
+        if "joint_feature_text" in out:
+            jt = jax.lax.all_gather(out["joint_feature_text"], DATA_AXIS, tiled=True)
+            gathered["logits_joint"] = jnp.einsum(
+                "astc,bskc->astbk", out["joint_feature_video"], jt
+            )
+        else:
+            gathered["logits_joint"] = out["logits_joint"]
+        res = dict(out)
+        res.update(gathered)
+        return res
+
+    step = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def make_grounding_train_step(
+    model,
+    loss_cfg: GroundingLossConfig,
+    optimizer: optax.GradientTransformation,
+    mesh,
+) -> Callable:
+    """Jitted EgoExo4D/LEMMA train step for grounding / view_invariant / joint.
+
+    step(params, opt_state, batch, rng) -> (params, opt_state, metrics)
+    batch carries model inputs + loss targets (see losses/grounding.py).
+    """
+
+    def local_step(params, opt_state, batch, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+
+        def loss_fn(p):
+            out = model.apply(
+                {"params": p},
+                batch["video_features"], batch["narration_features"],
+                batch["video_padding_mask"], batch["narration_padding_mask"],
+                audio_embed=batch.get("audio_features"),
+                audio_padding_mask=batch.get("audio_padding_mask"),
+                egocentric_video_embed=batch.get("ego_video_features_flat"),
+                view_mask=batch.get("view_mask"),
+                deterministic=False, rngs={"pos": rng},
+            )
+            ld, _ = egoexo_loss(out, batch, batch["narration_padding_mask"], loss_cfg)
+            loss = ld["loss"]
+            if "distill_infonce_loss" in out:
+                loss = loss + out["distill_infonce_loss"]
+            return loss, _scalars(ld)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    step = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(DATA_AXIS), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(step, donate_argnums=(0, 1))

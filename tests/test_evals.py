@@ -1,0 +1,229 @@
+"""Eval protocol tests: ROC-AUC, retrieval metrics, overlap-seq stitcher
+exactness (batched+padded windows == naive per-window), global mode."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exoground_tpu.evals import AlignEvalConfig, compute_retrieval_metrics, make_tan_sim_fn, roc_auc
+from exoground_tpu.evals import test_alignment_htm as run_alignment_htm
+from exoground_tpu.models import TemporalAligner
+
+
+class TestROCAUC:
+    def test_simple_cases(self):
+        assert roc_auc(np.array([0, 0, 1, 1]), np.array([0.1, 0.2, 0.8, 0.9])) == 1.0
+        assert roc_auc(np.array([1, 1, 0, 0]), np.array([0.1, 0.2, 0.8, 0.9])) == 0.0
+        np.testing.assert_allclose(
+            roc_auc(np.array([0, 1, 0, 1]), np.array([0.5, 0.5, 0.5, 0.5])), 0.5
+        )
+
+    def test_matches_quadratic_definition(self):
+        rng = np.random.RandomState(0)
+        labels = rng.rand(50) > 0.6
+        scores = rng.randn(50)
+        pos = scores[labels]
+        neg = scores[~labels]
+        ref = np.mean(
+            (pos[:, None] > neg[None, :]).astype(float)
+            + 0.5 * (pos[:, None] == neg[None, :])
+        )
+        np.testing.assert_allclose(roc_auc(labels, scores), ref, rtol=1e-9)
+
+
+class TestRetrievalMetrics:
+    def test_perfect_and_worst(self):
+        sim = np.eye(12)
+        m = compute_retrieval_metrics(sim)
+        assert m["R1"] == 1.0 and m["MR"] == 1.0
+        sim = -np.eye(12) + 0.5
+        m = compute_retrieval_metrics(sim)
+        assert m["R1"] == 0.0
+
+
+def _synthetic_video_item(seed, vlen=180, num_text=14, dim=32):
+    rng = np.random.RandomState(seed)
+    video = rng.randn(vlen, dim).astype(np.float32)
+    aligned = (rng.rand(num_text) > 0.4).astype(np.int64)
+    if aligned.sum() == 0:
+        aligned[0] = 1
+    if (1 - aligned).sum() == 0:
+        aligned[1] = 0
+    centers = np.sort(rng.rand(num_text)) * (vlen - 10) + 5
+    start = np.maximum(centers - rng.randint(2, 8, num_text), 0.0)
+    end = np.minimum(centers + rng.randint(2, 8, num_text), vlen)
+    text_embed = rng.randn(num_text, dim).astype(np.float32)
+    return {
+        "video": video,
+        "start": start,
+        "end": end,
+        "aligned": aligned,
+        "text_embed": text_embed,
+        "vid": f"v{seed}",
+    }
+
+
+def _naive_reference_protocol(items, sim_fn_single, seq_len=64):
+    """Direct transcription of the reference overlap-seq loop semantics
+    (eval_zeroshot_align.py:127-252) using unbatched single-window calls."""
+    recalls, all_scores, all_tgts = [], [], []
+    for item in items:
+        video, start, end = item["video"], item["start"], item["end"]
+        aligned = item["aligned"].astype(bool)
+        text_embed = item["text_embed"]
+        vlen, num_text = video.shape[0], len(start)
+        eps = 1e-5
+        steps = np.arange(0, vlen - seq_len // 2, seq_len // 4)
+        mid = (start + end) / 2
+
+        logits = np.zeros((num_text, vlen))
+        logits_dual = np.zeros((num_text, vlen))
+        counter = np.zeros((num_text, vlen))
+        a_dual = np.zeros(num_text)
+        a_joint = np.zeros(num_text)
+        t_counter = np.zeros(num_text)
+        for idx, step in enumerate(steps):
+            na_idx = np.arange(num_text)[~aligned]
+            na_mid = mid[~aligned]
+            m = (step - seq_len <= na_mid) & (na_mid <= step + 2 * seq_len)
+            act = na_idx[m]
+            if len(act) == 0:
+                continue
+            left, right = act.min(), act.max()
+            if idx <= 3:
+                left = 0
+            elif idx >= len(steps) - 4:
+                right = vlen
+            amask = np.zeros(num_text, dtype=bool)
+            amask[left : right + 1] = True
+            hi = min(vlen, step + seq_len)
+            out = sim_fn_single(video[step:hi], text_embed[amask])
+            sim, dual = out["sim"], out["dual-sim"]  # (K, L)
+            a_dual[amask] += dual.max(1)
+            a_joint[amask] += sim.max(1)
+            t_counter[amask] += 1
+            logits[amask, step:hi] += sim
+            logits_dual[amask, step:hi] += dual
+            counter[amask, step:hi] += 1
+        logits /= np.maximum(counter, eps)
+        logits_dual /= np.maximum(counter, eps)
+        a_dual /= np.maximum(t_counter, eps)
+        a_joint /= np.maximum(t_counter, eps)
+        sim = (logits + logits_dual) / 2
+        sim[sim == 0] = -6e4
+        prob = np.exp(sim - sim.max(-1, keepdims=True))
+        prob /= prob.sum(-1, keepdims=True)
+        all_tgts.append(aligned.astype(int))
+        all_scores.append(sim.max(-1))
+        for ti in np.arange(num_text)[aligned]:
+            s, e = math.floor(start[ti]), math.ceil(end[ti])
+            am = prob[ti].argmax()
+            recalls.append(s <= am <= e)
+    return {
+        "Recall": float(np.mean(recalls)),
+        "AUC": roc_auc(np.concatenate(all_tgts), np.concatenate(all_scores)),
+    }
+
+
+class TestOverlapSeqStitcher:
+    def test_batched_matches_naive_protocol(self):
+        """Batched/padded stitcher == direct reference transcription, using a
+        padding-invariant linear sim (dot products)."""
+        items = [_synthetic_video_item(s) for s in range(3)]
+
+        def sim_fn_single(video, text):
+            s = text @ video.T  # (K, L)
+            return {"sim": s, "dual-sim": 0.5 * s}
+
+        def sim_fn_batched(video, vmask, text, tmask, interpolate_from=None):
+            s = np.einsum("wnc,wlc->wnl", text, video)
+            return {"sim": s, "dual-sim": 0.5 * s}
+
+        cfg = AlignEvalConfig(sim_scale=1.0, window_chunk=7, text_bucket=4)
+        got = run_alignment_htm(items, sim_fn_batched, cfg)
+        ref = _naive_reference_protocol(items, sim_fn_single)
+        np.testing.assert_allclose(got["Recall"], ref["Recall"], atol=1e-9)
+        np.testing.assert_allclose(got["AUC"], ref["AUC"], atol=1e-9)
+
+    def test_model_padding_invariance(self):
+        """TemporalAligner batched padded windows == per-window unpadded calls."""
+        model = TemporalAligner(
+            num_encoder_layers=2, num_joint_layers=2, width=32, heads=4,
+            max_pos=64, attn_impl="xla",
+        )
+        rng = np.random.RandomState(0)
+        video = jnp.asarray(rng.randn(1, 20, 24).astype(np.float32))
+        text = jnp.asarray(rng.randn(1, 3, 24).astype(np.float32))
+        params = model.init(jax.random.PRNGKey(0), video, text,
+                            jnp.zeros((1, 20), bool), jnp.zeros((1, 3), bool))
+
+        # unpadded single window
+        ref = model.apply(params, video, text, method=TemporalAligner.text_visual_sim)
+
+        # padded: +12 pad frames, +2 pad texts, batched with a decoy window
+        vpad = jnp.concatenate([video, jnp.ones((1, 12, 24))], axis=1)
+        tpad = jnp.concatenate([text, jnp.zeros((1, 2, 24))], axis=1)
+        vb = jnp.concatenate([vpad, vpad * 2.0], axis=0)
+        tb = jnp.concatenate([tpad, tpad * 0.5], axis=0)
+        vmask = jnp.asarray(np.array([[False] * 20 + [True] * 12] * 2))
+        tmask = jnp.asarray(np.array([[False, False, False, True, True]] * 2))
+        got = model.apply(
+            params, vb, tb, video_padding_mask=vmask, lang_padding_mask=tmask,
+            method=TemporalAligner.text_visual_sim,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["sim"][0, :, :20, :3]),
+            np.asarray(ref["sim"][0]),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["dual-sim"][0, :, :20, :3]),
+            np.asarray(ref["dual-sim"][0]),
+            atol=1e-5,
+        )
+
+    def test_end_to_end_with_tan_model(self):
+        """Full stitcher over a real (tiny) TemporalAligner: runs, metrics sane."""
+        model = TemporalAligner(
+            num_encoder_layers=2, num_joint_layers=2, width=32, heads=4,
+            max_pos=128, attn_impl="xla",
+        )
+        items = [_synthetic_video_item(s, vlen=150, dim=24) for s in range(2)]
+        dummy_v = jnp.zeros((1, 8, 24))
+        dummy_t = jnp.zeros((1, 2, 24))
+        params = model.init(jax.random.PRNGKey(1), dummy_v, dummy_t,
+                            jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool))
+        sim_fn = make_tan_sim_fn(model, params)
+        cfg = AlignEvalConfig()
+        metrics = run_alignment_htm(items, sim_fn, cfg)
+        assert 0.0 <= metrics["Recall"] <= 1.0
+        assert 0.0 <= metrics["AUC"] <= 1.0
+
+        g_metrics = run_alignment_htm(
+            items, sim_fn, AlignEvalConfig(method="global")
+        )
+        assert 0.0 <= g_metrics["Recall"] <= 1.0
+
+
+class TestFusedStitcher:
+    def test_fused_matches_host_stitcher(self):
+        """Device-resident fused eval == host-stitched eval on a real model."""
+        from exoground_tpu.evals import test_alignment_htm_fused
+
+        model = TemporalAligner(
+            num_encoder_layers=2, num_joint_layers=2, width=32, heads=4,
+            max_pos=128, attn_impl="xla",
+        )
+        items = [_synthetic_video_item(s, vlen=150, dim=24) for s in range(2)]
+        params = model.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 8, 24)), jnp.zeros((1, 2, 24)),
+            jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
+        )
+        cfg = AlignEvalConfig()
+        host = run_alignment_htm(items, make_tan_sim_fn(model, params), cfg)
+        fused = test_alignment_htm_fused(items, model, params, cfg)
+        np.testing.assert_allclose(fused["Recall"], host["Recall"], atol=1e-9)
+        np.testing.assert_allclose(fused["AUC"], host["AUC"], atol=1e-6)
