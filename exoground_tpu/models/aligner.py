@@ -39,7 +39,8 @@ from exoground_tpu.ops.pos_embed import (
 
 
 def _l2norm(x: jnp.ndarray) -> jnp.ndarray:
-    return x / jnp.linalg.norm(x, axis=-1, keepdims=True)
+    # eps guards all-pad rows (exactly-zero embeddings) from 0/0 -> NaN
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
 
 
 class TemporalAligner(nn.Module):

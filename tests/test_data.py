@@ -1,0 +1,389 @@
+"""Data layer tests: samplers, collate, pipelines, all dataset families."""
+
+import numpy as np
+import pytest
+
+from exoground_tpu.data import (
+    CurriculumShardedSampler,
+    EgoExo4DDataset,
+    EgoExo4DTANDataset,
+    EgoExoConfig,
+    EgoExoSource,
+    FeatureStore,
+    HTMAlignDataset,
+    HTMConfig,
+    HTMFeatureDataset,
+    LemmaConfig,
+    LemmaDataset,
+    ShardedSampler,
+    ThreadedLoader,
+    YouCook2Config,
+    YouCook2Dataset,
+    camera_view_order,
+    get_phase,
+    pad_by_last,
+)
+from exoground_tpu.data.collate import stack_texts, stack_videos
+from exoground_tpu.data.pipeline import BackgroundIterator
+
+
+class DummyTokenizer:
+    def __call__(self, text, **kw):
+        if isinstance(text, str):
+            text = [text]
+        ids = [[(hash(w) % 100) + 1 for w in t.split()][:32] for t in text]
+        ids = [i + [0] * (32 - len(i)) for i in ids]
+        arr = np.asarray(ids, np.int32)
+        out = arr[0] if len(text) == 1 else arr
+        return {"input_ids": out, "attention_mask": (out != 0).astype(np.int32)}
+
+
+# --------------------------------------------------------------------- samplers
+def test_sharded_sampler_partitions():
+    n, shards = 103, 4
+    all_idx = []
+    lens = set()
+    for s in range(shards):
+        smp = ShardedSampler(n, num_shards=shards, shard=s, shuffle=True, seed=3)
+        smp.set_epoch(2)
+        idx = list(smp)
+        lens.add(len(idx))
+        all_idx.extend(idx)
+    assert lens == {26}  # ceil(103/4), padded
+    assert set(all_idx) == set(range(n))  # covers everything
+
+
+def test_sharded_sampler_deterministic_per_epoch():
+    a = ShardedSampler(50, 2, 0, seed=1)
+    b = ShardedSampler(50, 2, 0, seed=1)
+    a.set_epoch(5), b.set_epoch(5)
+    assert list(a) == list(b)
+    b.set_epoch(6)
+    assert list(a) != list(b)
+
+
+def test_curriculum_progress_matches_reference_formula():
+    # reference main_egoexo4d_distributed.py:48
+    smp = CurriculumShardedSampler(
+        1000, max_epochs=100, start_frac=0.5, end_epoch_frac=0.75
+    )
+    for epoch in [0, 10, 50, 74, 75, 99]:
+        smp.set_epoch(epoch)
+        expect = max(0.5, min(1.0, 0.5 + (epoch / (100 * 0.75)) * 0.75))
+        assert smp.curriculum_progress() == pytest.approx(expect)
+    smp.set_epoch(0)
+    assert max(list(smp)) < 500  # only easy prefix visible early
+
+
+def test_get_phase():
+    # reference :92-103 — 4 phases, final phase = 40% of 100 epochs
+    assert get_phase(0, 100, 4, 0.4) == 0
+    assert get_phase(59, 100, 4, 0.4) == 2
+    assert get_phase(60, 100, 4, 0.4) == 3
+    assert get_phase(99, 100, 4, 0.4) == 3
+
+
+# ---------------------------------------------------------------------- collate
+def test_pad_by_last_and_masks():
+    v = np.arange(6, dtype=np.float32).reshape(3, 2)
+    p = pad_by_last(v, 5)
+    assert p.shape == (5, 2)
+    assert (p[3] == v[-1]).all() and (p[4] == v[-1]).all()
+
+    out = stack_videos([v, np.ones((5, 2), np.float32)], seq_bucket=5)
+    assert out["video"].shape == (2, 5, 2)
+    assert out["video_padding_mask"].tolist() == [
+        [False, False, False, True, True], [False] * 5
+    ]
+
+
+def test_stack_texts_static_shape():
+    toks = [np.ones((2, 32), np.int32), np.ones((5, 32), np.int32)]
+    out = stack_texts(toks, [[0, 1], [0, 1, 2, 3, 4]], [[1, 2], [1, 2, 3, 4, 5]], 4)
+    assert out["token"].shape == (2, 4, 32)
+    assert out["text_padding_mask"][0].tolist() == [False, False, True, True]
+    # over-bucket texts truncated
+    assert out["start"][1].tolist() == [0, 1, 2, 3]
+
+
+# --------------------------------------------------------------------- pipeline
+def test_threaded_loader_order_and_shapes():
+    class DS:
+        def __len__(self):
+            return 20
+
+        def __getitem__(self, i):
+            return {"x": np.full((3,), i, np.float32)}
+
+    loader = ThreadedLoader(DS(), batch_size=4, num_workers=4, shuffle=False)
+    batches = list(loader)
+    assert len(batches) == 5
+    assert batches[0]["x"][:, 0].tolist() == [0, 1, 2, 3]
+    assert batches[4]["x"][:, 0].tolist() == [16, 17, 18, 19]
+
+
+def test_background_iterator_propagates_errors():
+    def gen():
+        yield 1
+        raise ValueError("boom")
+
+    it = BackgroundIterator(gen())
+    assert next(it) == 1
+    with pytest.raises(ValueError):
+        next(it)
+
+
+# --------------------------------------------------------------------- HTM data
+def _htm_fixture(n_vids=25, vlen=200):
+    rng = np.random.RandomState(0)
+    mem, asr = {}, {}
+    for i in range(n_vids):
+        vid = f"vid{i:03d}"
+        mem[vid] = rng.randn(vlen, 16).astype(np.float32)
+        starts = np.sort(rng.rand(12) * (vlen - 20)).tolist()
+        asr[vid] = {
+            "text": [f"sentence {j} of {vid}" for j in range(12)],
+            "start": starts,
+            "end": [s + 3 + rng.rand() * 5 for s in starts],
+        }
+    return mem, asr
+
+
+def test_htm_feature_dataset():
+    mem, asr = _htm_fixture()
+    cfg = HTMConfig(duration=64, text_bucket=8)
+    ds = HTMFeatureDataset(
+        cfg, DummyTokenizer(), mode="train", asr=asr,
+        store=FeatureStore(mem=mem),
+    )
+    # split: first 5% of 25 = 1 val vid
+    val = HTMFeatureDataset(
+        cfg, DummyTokenizer(), mode="val", asr=asr, store=FeatureStore(mem=mem)
+    )
+    assert len(ds) == 24 and len(val) == 1
+
+    batch = ds.collate_fn([ds[0], ds[1]])
+    assert batch["video"].shape == (2, 64, 16)
+    assert batch["token"].shape == (2, 8, 32)
+    assert batch["start"].shape == (2, 8)
+    assert not batch["video_padding_mask"][:, 0].any()
+    # text spans live inside the window
+    valid = ~batch["text_padding_mask"]
+    assert (batch["end"][valid] <= 64).all()
+    assert (batch["start"][valid] >= 0).all()
+    assert (batch["abs_text_pos"] <= 1.0).all()
+
+    # determinism per (seed, epoch, index)
+    a, b = ds[3], ds[3]
+    assert a["cut_start"] == b["cut_start"]
+    ds.set_epoch(1)
+    c = ds[3]
+    assert a["cut_start"] != c["cut_start"] or a["_texts"]["text"] != c["_texts"]["text"]
+
+
+def test_htm_align_full_mode():
+    mem, _ = _htm_fixture(n_vids=3)
+    anno = {
+        vid: [[1, 5.0, 9.0, "wash the car"], [0, 20.0, 30.0, "umm so yeah"]]
+        for vid in mem
+    }
+    ds = HTMAlignDataset(HTMConfig(), mode="full", anno=anno,
+                         store=FeatureStore(mem=mem))
+    item = ds[0]
+    assert item["video"].shape == (200, 16)
+    assert item["aligned"].tolist() == [1, 0]
+    assert item["start"].tolist() == [5.0, 20.0]
+
+
+def test_htm_align_window_mode():
+    mem, _ = _htm_fixture(n_vids=3, vlen=300)
+    anno = {
+        vid: [[j % 2, 10.0 * j, 10.0 * j + 6, f"step {j}"] for j in range(20)]
+        for vid in mem
+    }
+    ds = HTMAlignDataset(
+        HTMConfig(duration=64, text_bucket=8), tokenizer=DummyTokenizer(),
+        mode="window", anno=anno, store=FeatureStore(mem=mem),
+    )
+    batch = ds.collate_fn([ds[0], ds[1]])
+    assert batch["video"].shape == (2, 64, 16)
+    assert batch["aligned"].shape == (2, 8)
+
+
+# ------------------------------------------------------------------- EgoExo4D
+def _egoexo_fixture(n_takes=2, dur=60, c=24):
+    rng = np.random.RandomState(1)
+    cams = ["cam01", "cam02", "gp03"]
+    mem_v, mem_n = {}, {}
+    split_rows, annotations, rankings, takes_cams = [], [], {}, {}
+    for k in range(n_takes):
+        take, uid = f"take{k}", f"uid{k}"
+        split_rows.append({
+            "take_name": take, "take_uid": uid,
+            "duration_sec": dur, "ego_cam": "aria01",
+        })
+        takes_cams[take] = [f"{c_}.mp4" for c_ in cams]
+        for cam in cams + ["aria01"]:
+            mem_v[f"{take}_{cam}"] = rng.randn(dur, c).astype(np.float32)
+        rankings[uid] = {
+            str(t): {str(r): cams[(t + r) % len(cams)] for r in range(len(cams))}
+            for t in range(dur)
+        }
+        for j in range(6):
+            nid = f"narr{k}_{j}"
+            s = int(rng.randint(0, dur - 8))
+            annotations.append({
+                "video_id": take, "unique_narration_id": nid,
+                "start_frame": s * 30, "end_frame": (s + 5) * 30,
+                "narration": f"does step {j}",
+            })
+            mem_n[f"{take}/{nid}"] = rng.randn(1, c).astype(np.float32)
+    src = EgoExoSource(
+        split_rows=split_rows, annotations=annotations,
+        camera_rankings=rankings, takes_cams=takes_cams,
+        video_store=FeatureStore(mem=mem_v),
+        narration_store=FeatureStore(mem=mem_n),
+    )
+    return src
+
+
+def test_egoexo4d_grounding_dataset():
+    src = _egoexo_fixture()
+    cfg = EgoExoConfig(
+        duration=20, hop_length=10, views="exo", feature_dim=24,
+        use_distill_nce_loss=True, use_center_duration=True,
+        same_view_negative=True,
+    )
+    ds = EgoExo4DDataset(cfg, src, split="train")
+    assert len(ds) > 0
+    item = ds[0]
+    assert item["video_features"].shape == (20, 24)
+    assert item["narration_features"].shape == (20, 24)
+    assert item["starts"].shape == (20,)
+    assert (item["starts"] >= 0).all() and (item["ends"] <= 1).all()
+    assert item["mean"].shape == (20,)
+    assert item["ego_video_features"].shape == (7, 20, 24)  # padded to 7 views
+    assert item["view_rank_label"].shape == (20,)
+    assert item["valid_views_mask"].shape == (7, 20)
+    # valid view mask marks the positive view at each timestep
+    for t in range(20):
+        assert item["valid_views_mask"][item["view_rank_label"][t], t]
+    assert item["same_view_neg_idxs"].shape == (20,)
+    assert (item["same_view_neg_idxs"] >= 0).all()
+    assert (item["same_view_neg_idxs"] < 20).all()
+
+    batch = ds.collate_fn([ds[0], ds[1]])
+    assert batch["video_features"].shape == (2, 20, 24)
+    assert isinstance(batch["metadata"]["video_id"], list)
+
+
+def test_egoexo4d_multiview_stitching():
+    src = _egoexo_fixture()
+    cfg = EgoExoConfig(
+        duration=20, hop_length=10, views="multi", num_max_views=6,
+        feature_dim=24, model="grounding",
+    )
+    ds = EgoExo4DDataset(cfg, src, split="train")
+    item = ds[0]
+    assert item["video_features"].shape == (120, 24)  # 6 views x 20 s
+    # every available view has real (non-ones) features and False padding
+    avail = item["view_available_mask"]
+    assert avail.any()
+    assert (~item["video_padding_mask"] == avail).all()
+    # all 3 cams stitched in (intended behavior; reference bug fixed)
+    assert avail.reshape(6, 20).any(axis=1).sum() == 3
+
+
+def test_egoexo4d_tan_variant():
+    src = _egoexo_fixture()
+    cfg = EgoExoConfig(duration=20, hop_length=10, views="exo", feature_dim=24)
+    ds = EgoExo4DTANDataset(cfg, src, split="train")
+    item = ds[0]
+    assert item["video"].shape == (20, 24)
+    assert isinstance(item["start"], list)
+    batch = ds.collate_fn([ds[0], ds[1]])
+    assert batch["video"].shape == (2, 20, 24)
+    assert isinstance(batch["start"], list) and len(batch["start"]) == 2
+
+
+def test_egoexo4d_curriculum_windows_sorted():
+    src = _egoexo_fixture()
+    cfg = EgoExoConfig(
+        duration=20, hop_length=20, views="all", feature_dim=24,
+        curriculum_train=True, sorted_curr_train="sorted",
+    )
+    ds = EgoExo4DDataset(cfg, src, split="train")
+    dists = [w["cam_ego_distance"] for w in ds.windows]
+    assert dists == sorted(dists)
+
+
+def test_camera_view_order_fallback():
+    cams, dist = camera_view_order(None, ["cam01", "cam02", "aria01"],
+                                   0, 20, "aria01")
+    assert dist["aria01"] == 0  # ego first in distance order
+    assert cams[-1] == "aria01"  # reversed list ends with ego
+
+
+# ----------------------------------------------------------------------- LEMMA
+def test_lemma_dataset():
+    rng = np.random.RandomState(2)
+    dur = 80
+    mem_v = {
+        f"lv_{cam}": rng.randn(dur, 24).astype(np.float32)
+        for cam in ("fpv1", "master")
+    }
+    mem_n = {str(i): rng.randn(1, 32).astype(np.float32) for i in range(4)}
+    annotations = [
+        {
+            "vid_name": "lv", "unique_narration_id": f"n{i}",
+            "start_frame": i * 24 * 10, "end_frame": (i * 10 + 6) * 24,
+            "narration": f"HOI {i}",
+        }
+        for i in range(4)
+    ]
+    ds = LemmaDataset(
+        LemmaConfig(duration=64, hop_length=8, feature_dim=32,
+                    use_distill_nce_loss=True),
+        split_rows=[{"video_id": "lv", "duration_sec": dur}],
+        annotations=annotations,
+        hoi_text_map={i: f"text {i}" for i in range(4)},
+        video_store=FeatureStore(mem=mem_v),
+        narration_store=FeatureStore(mem=mem_n),
+        split="train",
+    )
+    assert len(ds) > 0
+    item = ds[0]
+    assert item["video_features"].shape == (64, 24)
+    assert item["ego_video_features"].shape == (2, 64, 24)
+    assert (item["view_rank_label"] == 0).all()
+    assert (item["view_rank_neg_label"] == 1).all()
+    assert item["metadata"]["per_second_views"] == ["1"] * 64
+
+
+# -------------------------------------------------------------------- YouCook2
+def test_youcook2_dataset_modes():
+    rng = np.random.RandomState(3)
+    mem = {"ycvid": rng.randn(300, 16).astype(np.float32)}
+    anno = {
+        "ycvid": {
+            "annotations": [
+                {"segment": [40.0, 90.0], "sentence": "mix the batter"},
+                {"segment": [120.0, 140.0], "sentence": "fry the egg"},
+            ]
+        }
+    }
+    ds = YouCook2Dataset(
+        YouCook2Config(num_clips=4, seq_len=-1), FeatureStore(mem=mem),
+        anno, mode="val", half_val=False,
+    )
+    assert len(ds) == 2
+    item = ds[0]
+    # duration 50 -> chosen_vlen = 100 covering windows
+    assert item["video"].shape == (4, 100, 16)
+    assert (item["end_idx"] - item["start_idx"] == 50).all()
+
+    ds2 = YouCook2Dataset(
+        YouCook2Config(num_clips=3, seq_len=32), FeatureStore(mem=mem),
+        anno, mode="val", half_val=False,
+    )
+    assert ds2[0]["video"].shape == (3, 32, 16)
