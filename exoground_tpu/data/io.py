@@ -105,6 +105,40 @@ class FeatureStore:
                 self._cache.popitem(last=False)
         return arr
 
+    def read_windows(
+        self,
+        vids: Sequence[str],
+        starts: Sequence[int],
+        ends: Sequence[int],
+        seq_bucket: int,
+        dim: int,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched window gather with pad-by-last collate: returns
+        (video (B, seq_bucket, dim) f32, padding_mask (B, seq_bucket) bool).
+
+        npy-backed stores route through the native C++ thread-pool reader
+        (csrc/exoground_io.cpp) when built; other backends use python reads
+        with identical semantics.
+        """
+        if self.mem is None:
+            paths = [self.path_of(v) for v in vids]
+            if all(p is not None and p.endswith(".npy") for p in paths):
+                from exoground_tpu.utils.native import gather_windows
+
+                return gather_windows(
+                    paths, np.asarray(starts), np.asarray(ends), seq_bucket, dim
+                )
+        out = np.zeros((len(vids), seq_bucket, dim), np.float32)
+        mask = np.ones((len(vids), seq_bucket), bool)
+        for i, v in enumerate(vids):
+            arr = self.read(v, int(starts[i]), int(ends[i]))
+            valid = min(arr.shape[0], seq_bucket)
+            if valid > 0:
+                out[i, :valid] = arr[:valid]
+                out[i, valid:] = arr[valid - 1]
+                mask[i, :valid] = False
+        return out, mask
+
     def read(self, vid: str, start: Optional[int] = None, end: Optional[int] = None) -> np.ndarray:
         """Rows [start:end) of vid's features; full array when unspecified."""
         if self.mem is not None:

@@ -133,6 +133,78 @@ def make_tan_train_step(
     return jax.jit(step, donate_argnums=(0, 1, 2))
 
 
+def make_s3d_nce_step(
+    model,
+    optimizer: optax.GradientTransformation,
+    mesh,
+    temperature: float = 0.07,
+    freeze_early: bool = True,
+    gather_negatives: bool = False,
+) -> Callable:
+    """End-to-end S3D finetune step (reference end2end/main_nce.py:30-47,
+    60-137): symmetric InfoNCE (sum of both directions) between S3D video
+    embeddings and the MIL-NCE sentence embedding, frozen BN, optionally
+    frozen early blocks (freeze_forward, s3dg.py:351-379).
+
+    params: {'s3d': ..., 'text': ...}; batch: video (B, n_clips, T, H, W, 3),
+    token (B, L). batch_stats stay frozen (FrozenBN ≡ reference
+    end2end/freeze_bn.py). ``gather_negatives`` all_gathers embeddings over
+    the data axis so the contrastive batch is global (TPU-native improvement;
+    reference negatives are per-device, SURVEY.md §5).
+    """
+    from exoground_tpu.models.s3d import sentence_embedding_forward
+
+    def local_step(params, batch_stats, opt_state, batch, rng):
+        def loss_fn(p):
+            video = batch["video"]
+            b, n = video.shape[:2]
+            v = model.apply(
+                {"params": p["s3d"], "batch_stats": batch_stats},
+                video.reshape((b * n,) + video.shape[2:]),
+                freeze_early=freeze_early,
+            )
+            t = sentence_embedding_forward(p["text"], batch["token"])[
+                "text_embedding"
+            ]
+            t = jnp.repeat(t, n, axis=0)
+            if gather_negatives:
+                v = jax.lax.all_gather(v, DATA_AXIS, tiled=True)
+                t = jax.lax.all_gather(t, DATA_AXIS, tiled=True)
+            sim = jnp.einsum("bc,kc->bk", v, t) / temperature
+            labels = jnp.arange(sim.shape[0])
+            loss_t = -jnp.mean(
+                jnp.take_along_axis(jax.nn.log_softmax(sim, 1), labels[:, None], 1)
+            )
+            loss_v = -jnp.mean(
+                jnp.take_along_axis(jax.nn.log_softmax(sim, 0), labels[None, :], 0)
+            )
+            loss = loss_t + loss_v  # sum, reference main_nce.py:47
+            metrics = {
+                "loss": loss,
+                "loss-per-text": loss_t,
+                "loss-per-video": loss_v,
+                "top1-per-text": jnp.mean((jnp.argmax(sim, -1) == labels) * 1.0),
+                "top1-per-video": jnp.mean((jnp.argmax(sim, 0) == labels) * 1.0),
+            }
+            return loss, metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grads = jax.lax.pmean(grads, DATA_AXIS)
+        metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, metrics
+
+    step = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(DATA_AXIS), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(step, donate_argnums=(0, 2))
+
+
 def make_grounding_train_step(
     model,
     loss_cfg: GroundingLossConfig,

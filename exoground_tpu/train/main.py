@@ -1,0 +1,205 @@
+"""CLI entry point: ``python -m exoground_tpu.train.main --dataset ... --model ...``
+
+Replaces the reference's torchrun scripts (train/main.py,
+train/main_egoexo4d.py, train/main_egoexo4d_distributed.py, selected by
+--dataset via importlib at main_egoexo4d_distributed.py:893-910). One entry
+covers every pipeline; multi-host TPU pods initialize via
+``--multihost`` -> jax.distributed.initialize() (all hosts run the same
+command; the mesh spans all chips).
+
+Model zoo dispatch (reference main_egoexo4d_distributed.py:626-713):
+  view_invariant -> ViewInvariantMLP (the variant actually trained, :679)
+  grounding      -> GroundingModel with frozen VI encoder from
+                    --vi_encoder_path (:628-657)
+  joint          -> ExoGroundingTransformer
+  init/cotrain   -> TemporalAligner (TAN pipeline)
+
+Expected --data_root layout (EgoExo4D):
+  splits/{split}.csv, narration_annotations/{split}.csv,
+  all_camera_rankings.json, takes.json,
+  egovlpv2_video_features/*.pt, narration_features/{take}/*.pt
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Optional
+
+import numpy as np
+
+
+def build_egoexo_dataset(cfg, split: str):
+    from exoground_tpu.data.egoexo4d import (
+        EgoExo4DDataset,
+        EgoExoConfig,
+        EgoExoSource,
+    )
+
+    root = cfg.data_root
+    src = EgoExoSource.from_paths(
+        split_csv=os.path.join(root, "splits", f"{split}.csv"),
+        annotations_csv=os.path.join(
+            root,
+            "keystep_annotations" if cfg.use_keysteps else "narration_annotations",
+            f"{split}.csv",
+        ),
+        camera_rankings_json=os.path.join(root, "all_camera_rankings.json"),
+        takes_json=os.path.join(root, "takes.json"),
+        video_feature_root=os.path.join(root, "egovlpv2_video_features"),
+        narration_feature_root=os.path.join(root, "narration_features"),
+        audio_feature_root=os.path.join(root, "audio_features", split)
+        if cfg.use_audio else None,
+        camera_pose_root=os.path.join(root, "camera_pose")
+        if os.path.isdir(os.path.join(root, "camera_pose")) else None,
+    )
+    dcfg = EgoExoConfig(
+        duration=cfg.seq_len, hop_length=cfg.seq_hop, use_audio=cfg.use_audio,
+        use_keysteps=cfg.use_keysteps, views=cfg.views,
+        use_distill_nce_loss=cfg.use_distill_nce_loss,
+        use_center_duration=cfg.use_center_duration,
+        multi_view_egoexo=cfg.multi_view_egoexo,
+        num_max_views=cfg.num_max_views,
+        randomize_narration_order=cfg.randomize_narration_order,
+        curriculum_train=cfg.curriculum_train,
+        sorted_curr_train=cfg.sorted_curr_train,
+        model=cfg.model, exo_mode=cfg.exos,
+        minimum_four_exo_takes=cfg.minimum_four_exo_takes,
+        same_view_negative=cfg.same_view_negative,
+        reverse_ranking=cfg.reverse_ranking,
+        randomize_ranking=cfg.randomize_ranking,
+        exo_exo_distill=cfg.exo_exo_distill,
+        feature_dim=cfg.text_feature_dim, seed=cfg.seed,
+    )
+    csv_cache = os.path.join(
+        root,
+        f"{'grounding' if cfg.model in ('grounding', 'joint') else 'view_invariant'}"
+        f"_{split}_{cfg.views}_ks={cfg.use_keysteps}_ct={cfg.curriculum_train}"
+        f"_exos={cfg.exos}_windows.csv",
+    )
+    return EgoExo4DDataset(dcfg, src, split=split, window_csv_path=csv_cache)
+
+
+def build_model(cfg):
+    from exoground_tpu.models import TemporalAligner
+    from exoground_tpu.models.grounding import ExoGroundingTransformer, GroundingModel
+    from exoground_tpu.models.vi_encoder import ViewInvariantMLP
+
+    attn = None if cfg.attn_impl == "auto" else cfg.attn_impl
+    if cfg.model in ("init", "cotrain"):
+        return TemporalAligner(
+            num_encoder_layers=cfg.num_encoder_layers,
+            num_joint_layers=cfg.num_decoder_layers,
+            sim=cfg.sim, pos_enc=cfg.pos_enc,
+            use_text_pos_enc=bool(cfg.use_text_pos_enc),
+            use_alignability_head=bool(cfg.use_alignability_head),
+            attn_impl=attn,
+        )
+    if cfg.model == "view_invariant":
+        return ViewInvariantMLP(video_embed_dim=cfg.video_feature_dim)
+    common = dict(
+        num_encoder_layers=cfg.num_encoder_layers,
+        num_decoder_layers=cfg.num_decoder_layers,
+        use_decoder=cfg.use_decoder,
+        pos_enc=cfg.pos_enc,
+        use_text_pos_enc=cfg.use_text_pos_enc,
+        use_audio=cfg.use_audio,
+        video_embed_dim=cfg.video_feature_dim,
+        text_embed_dim=cfg.text_feature_dim,
+        audio_embed_dim=cfg.audio_feature_dim,
+        feature_dim=cfg.feature_dim,
+        use_distill_nce_loss=cfg.use_distill_nce_loss,
+        multi_view=cfg.views == "multi",
+        num_max_views=cfg.num_max_views if cfg.views == "multi" else 1,
+        use_pairwise_distill_nce_loss=cfg.use_pairwise_distill_nce_loss,
+        pairwise_distill_mode=cfg.pairwise_distill_mode,
+        attn_impl=attn,
+    )
+    if cfg.model == "grounding":
+        return GroundingModel(vi_encoder_type="mlp", **common)
+    return ExoGroundingTransformer(**common)
+
+
+def load_frozen_vi_encoder(trainer, cfg):
+    """Reference :628-657: initialize GroundingModel's vi_encoder branch from
+    a pretrained view-invariant checkpoint, non-strict."""
+    if not cfg.vi_encoder_path or not os.path.exists(cfg.vi_encoder_path):
+        return
+    import jax
+
+    from exoground_tpu.train.checkpoint import load_state, restore_into
+
+    blob = load_state(cfg.vi_encoder_path)
+    params = jax.device_get(trainer.params)
+    if "vi_encoder" in params:
+        params["vi_encoder"] = restore_into(
+            params["vi_encoder"], blob["state_dict"]
+        )
+        trainer.params = params
+        trainer._replicate()
+        print(f"[main] loaded frozen VI encoder from {cfg.vi_encoder_path}")
+
+
+def main(argv=None):
+    from exoground_tpu.data import ShardedSampler, ThreadedLoader
+    from exoground_tpu.data.sampling import CurriculumShardedSampler
+    from exoground_tpu.train.config import parse_args, set_path
+    from exoground_tpu.train.trainer import EgoExoTrainer, TANTrainer
+
+    cfg = parse_args(argv)
+    if cfg.multihost:
+        import jax
+
+        jax.distributed.initialize()
+    set_path(cfg)
+
+    if cfg.dataset in ("egoexo4d", "lemma"):
+        train_ds = build_egoexo_dataset(cfg, "train")
+        val_ds = build_egoexo_dataset(cfg, "val" if not cfg.test else "test")
+        import jax
+
+        shards = jax.process_count()
+        shard = jax.process_index()
+        if cfg.curriculum_train and cfg.sorted_curr_train == "sorted":
+            sampler = CurriculumShardedSampler(
+                len(train_ds), shards, shard, seed=cfg.seed,
+                max_epochs=cfg.epochs, start_frac=cfg.start_frac,
+                end_epoch_frac=cfg.end_epoch_frac,
+            )
+        else:
+            sampler = ShardedSampler(len(train_ds), shards, shard, seed=cfg.seed)
+        train_loader = ThreadedLoader(
+            train_ds, cfg.batch_size, sampler=sampler,
+            num_workers=cfg.num_workers,
+        )
+        val_loader = ThreadedLoader(
+            val_ds, cfg.batch_size,
+            sampler=ShardedSampler(len(val_ds), shards, shard, shuffle=False),
+            num_workers=cfg.num_workers, drop_last=True,
+        )
+        model = build_model(cfg)
+        sample = next(iter(train_loader))
+        trainer = EgoExoTrainer(
+            model, cfg, sample, iters_per_epoch=len(train_loader)
+        )
+        if cfg.model == "grounding":
+            load_frozen_vi_encoder(trainer, cfg)
+        if cfg.resume:
+            trainer.load_checkpoint(cfg.resume, mode="resume")
+        elif cfg.pretrain:
+            trainer.load_checkpoint(cfg.pretrain, mode="pretrain")
+        if cfg.test:
+            trainer.load_checkpoint(cfg.test, mode="test")
+            loss, results = trainer.evaluate(val_loader, epoch=0, test=True)
+            print({"loss": loss, **{k: round(v, 4) for k, v in results.items()}})
+            return results
+        return trainer.fit(train_loader, val_loader, dataset=train_ds)
+
+    raise SystemExit(
+        f"--dataset {cfg.dataset}: HTM training runs through TANTrainer; see "
+        "exoground_tpu/train/trainer.py docstring and tests/test_train.py."
+    )
+
+
+if __name__ == "__main__":
+    main()

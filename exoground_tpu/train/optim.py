@@ -62,6 +62,24 @@ def warmup_cosine_schedule(
     return fn
 
 
+def clip_per_param_norm(clip: float) -> optax.GradientTransformation:
+    """DINO-style per-parameter gradient clipping (reference
+    utils/train_utils.py:3-13): each tensor's grad is scaled by
+    min(1, clip / (||g||_2 + 1e-6)) independently."""
+
+    def update_fn(updates, state, params=None):
+        import jax.numpy as jnp
+
+        def _clip(g):
+            norm = jnp.linalg.norm(g)
+            coef = jnp.minimum(1.0, clip / (norm + 1e-6))
+            return g * coef
+
+        return jax.tree_util.tree_map(_clip, updates), state
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(), update_fn)
+
+
 def make_optimizer(
     params,
     lr: float = 1e-4,
@@ -71,6 +89,7 @@ def make_optimizer(
     policy: str = "default",
     betas=(0.9, 0.999),
     grad_clip: Optional[float] = None,
+    grad_clip_mode: str = "per_param",  # per_param (reference) | global
     accumulate_steps: int = 1,
 ) -> optax.GradientTransformation:
     """AdamW + two-group decay + warmup-cosine (+ optional clip / accumulation).
@@ -81,7 +100,11 @@ def make_optimizer(
     schedule = warmup_cosine_schedule(lr, total_iterations, warmup_iterations)
     chain = []
     if grad_clip:
-        chain.append(optax.clip_by_global_norm(grad_clip))
+        chain.append(
+            clip_per_param_norm(grad_clip)
+            if grad_clip_mode == "per_param"
+            else optax.clip_by_global_norm(grad_clip)
+        )
     chain.append(
         optax.adamw(
             learning_rate=schedule,

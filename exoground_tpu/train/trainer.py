@@ -1,0 +1,566 @@
+"""Train loops: TAN (init/cotrain) and EgoExo4D/LEMMA (grounding / VI / joint).
+
+Rebuild of the reference trainers (train/main.py:36-544 and
+train/main_egoexo4d_distributed.py:105-883) on the SPMD step functions in
+parallel/train_step.py. One loop per family instead of three forked scripts:
+
+  * TANTrainer — MIL-NCE alignment training with optional EMA cotrain twin,
+    text tokens embedded by the frozen word2vec tower on device, in-loop
+    HTM-Align / YC2 downstream eval hooks.
+  * EgoExoTrainer — grounding regression / view-invariant distillation /
+    joint, with test-time per-camera-rank IoU binning
+    (main_egoexo4d_distributed.py:750-777 semantics, binning host-side from
+    the per-text IoU map + metadata) and test_results json dumps (:355-357).
+
+TPU-native mechanics shared by both: batches stream through device_prefetch
+(H2D overlaps compute), the train step is one jitted shard_map with psum'd
+grads, grad accumulation via optax.MultiSteps (reference backprop_freq),
+runtime checkpoints every runtime_save_iter, warmup+cosine LR inside the
+optimizer schedule, NaN/Inf guard before meter updates (main.py:102-103).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exoground_tpu.losses.grounding import GroundingLossConfig, egoexo_loss
+from exoground_tpu.losses.milnce import TANLossConfig, tan_loss
+from exoground_tpu.models.ema import ema_init
+from exoground_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from exoground_tpu.parallel.train_step import (
+    make_grounding_train_step,
+    make_tan_train_step,
+)
+from exoground_tpu.train.checkpoint import (
+    load_state,
+    restore_into,
+    save_checkpoint,
+    save_runtime_checkpoint,
+    save_state,
+)
+from exoground_tpu.train.config import ExperimentConfig
+from exoground_tpu.train.logging import AsyncWriter, DeviceMonitor, Timer
+from exoground_tpu.train.optim import make_optimizer
+from exoground_tpu.utils.meters import AverageMeter, ProgressMeter
+
+
+def _finite(x: float) -> bool:
+    return bool(np.isfinite(x))
+
+
+def _ragged_to_arrays(start: List, end: List, n_bucket: int):
+    b = len(start)
+    s = np.zeros((b, n_bucket), np.float32)
+    e = np.zeros((b, n_bucket), np.float32)
+    for i in range(b):
+        k = min(len(start[i]), n_bucket)
+        s[i, :k] = np.asarray(start[i], np.float32)[:k]
+        e[i, :k] = np.asarray(end[i], np.float32)[:k]
+    return s, e
+
+
+class BaseTrainer:
+    def __init__(self, cfg: ExperimentConfig, mesh=None):
+        self.cfg = cfg
+        n_dev = cfg.dp_devices or len(jax.devices())
+        self.mesh = mesh if mesh is not None else make_mesh(n_dev)
+        self.iteration = cfg.iteration
+        self.start_epoch = cfg.start_epoch
+        self.best_acc = -1e5
+        self.writer = (
+            AsyncWriter(cfg.log_path) if cfg.log_path else None
+        )
+        self.monitor = DeviceMonitor()
+        self.rng = jax.random.PRNGKey(cfg.seed)
+
+    # --------------------------------------------------------- checkpointing
+    def _ckpt_state(self, epoch: int) -> Dict:
+        state = {
+            "epoch": epoch,
+            "state_dict": jax.device_get(self.params),
+            "best_acc": self.best_acc,
+            "optimizer": jax.device_get(self.opt_state),
+            "iteration": self.iteration,
+        }
+        if getattr(self, "is_cotrain", False):
+            state["target_state_dict"] = jax.device_get(self.target_params)
+        return state
+
+    def save_epoch(self, epoch: int, is_best: bool = False, keep_all: bool = False):
+        if not self.cfg.model_path:
+            return
+        save_checkpoint(
+            self._ckpt_state(epoch), is_best=is_best,
+            filename=os.path.join(self.cfg.model_path, f"epoch{epoch}.pth.tar"),
+            keep_all=keep_all,
+        )
+
+    def maybe_save_runtime(self, epoch: int):
+        if self.cfg.model_path and self.iteration % self.cfg.runtime_save_iter == 0:
+            save_runtime_checkpoint(
+                self._ckpt_state(epoch),
+                filename=os.path.join(self.cfg.model_path, "runtime.pth.tar"),
+            )
+
+    def load_checkpoint(self, path: str, mode: str = "resume"):
+        """resume: params+opt+iteration+epoch; pretrain/test: params only
+        (non-strict, reference main.py:452-484)."""
+        blob = load_state(path)
+        self.params = restore_into(jax.device_get(self.params), blob["state_dict"])
+        if mode == "resume":
+            self.iteration = int(blob.get("iteration", 0))
+            self.start_epoch = int(blob.get("epoch", 0)) + 1
+            self.best_acc = float(blob.get("best_acc", -1e5))
+            if "optimizer" in blob:
+                from flax import serialization
+
+                try:
+                    self.opt_state = serialization.from_state_dict(
+                        jax.device_get(self.opt_state), blob["optimizer"]
+                    )
+                except Exception as e:  # optimizer layout changed: warm-start only
+                    print(f"[checkpoint] optimizer state not restored: {e}")
+        if getattr(self, "target_params", None) is not None:
+            src = blob.get("target_state_dict", blob["state_dict"])
+            self.target_params = restore_into(
+                jax.device_get(self.target_params), src
+            )
+        self._replicate()
+
+    def _replicate(self):
+        self.params = replicate(self.params, self.mesh)
+        self.opt_state = replicate(self.opt_state, self.mesh)
+        if getattr(self, "target_params", None) is not None:
+            self.target_params = replicate(self.target_params, self.mesh)
+
+    def _log(self, metrics: Dict, prefix: str):
+        if self.writer is None:
+            return
+        if self.iteration % 5 == 0:
+            self.writer.add_dict(metrics, self.iteration, prefix=prefix)
+            self.monitor.log_to(self.writer, self.iteration)
+
+    def close(self):
+        if self.writer is not None:
+            self.writer.close()
+
+
+class TANTrainer(BaseTrainer):
+    """MIL-NCE alignment training (reference train/main.py).
+
+    model: models.TemporalAligner (flax). text_tower: optional
+    Word2VecModel-like callable mapping token ids -> pooler features; when
+    None, batches must already carry 'text' feature arrays (e.g. the
+    EgoExo4D-TAN loader's narration features projected to 512-d upstream).
+    """
+
+    def __init__(
+        self,
+        model,
+        cfg: ExperimentConfig,
+        sample_batch: Dict,
+        text_tower=None,
+        iters_per_epoch: int = 1000,
+        mesh=None,
+    ):
+        super().__init__(cfg, mesh)
+        self.model = model
+        self.text_tower = text_tower
+        self.loss_cfg = TANLossConfig(
+            model=cfg.model,
+            sim=cfg.sim,
+            learn_agreement=bool(cfg.learn_agreement),
+            temporal_agreement_type=cfg.temporal_agreement_type,
+            loss_threshold=cfg.loss_threshold,
+            use_alignability_head=bool(cfg.use_alignability_head),
+        )
+        batch = self.prepare_batch(sample_batch)
+        self.params = model.init(
+            {"params": jax.random.PRNGKey(cfg.seed), "pos": jax.random.PRNGKey(1)},
+            batch["video"], batch["text"],
+            batch["video_padding_mask"], batch["text_padding_mask"],
+            deterministic=False,
+        )["params"]
+        # a twin copy always exists so the jitted step's donated target arg is
+        # never aliased to params (donate_argnums=(0,1,2)); only cotrain uses it
+        self.is_cotrain = cfg.model == "cotrain"
+        self.target_params = ema_init(self.params)
+        self.tx = make_optimizer(
+            self.params, lr=cfg.lr, weight_decay=cfg.wd,
+            total_iterations=cfg.epochs * iters_per_epoch,
+            policy=cfg.optim_policy,
+            grad_clip=cfg.clip_grad or None,
+            accumulate_steps=cfg.backprop_freq,
+        )
+        self.opt_state = self.tx.init(self.params)
+        self._replicate()
+        self.step = make_tan_train_step(
+            model, self.loss_cfg, self.tx, self.mesh,
+            ema_momentum=cfg.momentum_m if cfg.model == "cotrain" else None,
+            gather_negatives=cfg.gather_negatives,
+        )
+        self._eval_step = None
+
+    # ------------------------------------------------------------ batch prep
+    def prepare_batch(self, batch: Dict) -> Dict:
+        out = {}
+        out["video"] = np.asarray(batch["video"], np.float32)
+        out["video_padding_mask"] = np.asarray(
+            batch.get("video_padding_mask", batch.get("padding_mask")), bool
+        )
+        if "text" in batch and isinstance(batch["text"], np.ndarray):
+            out["text"] = batch["text"]
+        elif "narration_features" in batch:
+            out["text"] = np.asarray(batch["narration_features"], np.float32)
+        elif self.text_tower is not None:
+            tok = np.asarray(batch["token"])
+            b, n, l = tok.shape
+            emb = self.text_tower(tok.reshape(b * n, l))["pooler_output"]
+            out["text"] = np.asarray(emb).reshape(b, n, -1)
+        else:
+            raise ValueError("batch needs 'text' features, narration_features, or tokens+text_tower")
+        out["text_padding_mask"] = np.asarray(
+            batch.get("text_padding_mask", batch.get("narration_padding_mask")), bool
+        )
+        n_bucket = out["text_padding_mask"].shape[1]
+        if isinstance(batch.get("start"), list):
+            s, e = _ragged_to_arrays(batch["start"], batch["end"], n_bucket)
+        else:
+            s = np.asarray(batch["start"], np.float32)
+            e = np.asarray(batch["end"], np.float32)
+        out["start"], out["end"] = s, e
+        t = out["video"].shape[1]
+        if "abs_text_pos" in batch:
+            out["abs_text_pos"] = np.asarray(batch["abs_text_pos"], np.float32)
+        else:
+            out["abs_text_pos"] = np.stack([s / t, e / t], axis=-1)
+        return out
+
+    # ------------------------------------------------------------ train loop
+    def train_epoch(self, loader: Iterable[Dict], epoch: int) -> float:
+        cfg = self.cfg
+        meters = {k: AverageMeter(k, ":.4f") for k in ("Time", "Data", "Loss")}
+        progress = ProgressMeter(
+            getattr(loader, "__len__", lambda: 0)(),
+            list(meters.values()), prefix=f"Epoch:[{epoch}]",
+        )
+        timer = Timer()
+        for idx, raw in enumerate(loader):
+            batch = self.prepare_batch(raw)
+            meters["Data"].update(timer.lap())
+            b = batch["video"].shape[0]
+            batch_s = shard_batch(batch, self.mesh)
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.params, self.target_params, self.opt_state, metrics = self.step(
+                self.params, self.target_params, self.opt_state, batch_s, step_rng
+            )
+            loss = float(metrics["loss"])
+            if _finite(loss):
+                meters["Loss"].update(loss, b)
+            self._log({k: float(v) for k, v in metrics.items()}, "train/")
+            meters["Time"].update(timer.lap())
+            if idx % cfg.print_freq == 0:
+                progress.display(idx)
+            self.iteration += 1
+            self.maybe_save_runtime(epoch)
+        if self.writer:
+            self.writer.add_data("train/total_epoch_loss", meters["Loss"].avg, epoch)
+        return meters["Loss"].avg
+
+    def evaluate(self, loader: Iterable[Dict], epoch: int) -> float:
+        if self._eval_step is None:
+            def eval_fn(params, batch):
+                out = self.model.apply(
+                    {"params": params},
+                    batch["video"], batch["text"],
+                    batch["video_padding_mask"], batch["text_padding_mask"],
+                    deterministic=True,
+                )
+                if self.is_cotrain:  # eval has no EMA pass; agreement from online
+                    out = {**out, "ema-logits_dual": out["logits_dual"],
+                           "ema-logits_joint": out["logits_joint"]}
+                ld = tan_loss(
+                    batch["start"], batch["end"], out,
+                    batch["video_padding_mask"], batch["text_padding_mask"],
+                    self.loss_cfg, abs_text_pos=batch.get("abs_text_pos"),
+                )
+                return {k: v for k, v in ld.items() if getattr(v, "ndim", 1) == 0}
+
+            self._eval_step = jax.jit(eval_fn)
+        meter = AverageMeter("Loss", ":.4f")
+        for raw in loader:
+            batch = self.prepare_batch(raw)
+            ld = self._eval_step(self.params, batch)
+            loss = float(ld["loss"])
+            if _finite(loss):
+                meter.update(loss, batch["video"].shape[0])
+        if self.writer:
+            self.writer.add_data("val/loss", meter.avg, epoch)
+        return meter.avg
+
+    def fit(self, train_loader, val_loader=None, downstream_eval: Optional[Callable] = None):
+        cfg = self.cfg
+        best = -1e5
+        for epoch in range(self.start_epoch, cfg.epochs):
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
+            self.train_epoch(train_loader, epoch)
+            is_best = False
+            if val_loader is not None and epoch % cfg.eval_freq == 0:
+                val_loss = self.evaluate(val_loader, epoch)
+                score = -val_loss
+                if downstream_eval is not None:
+                    ds = downstream_eval(self)  # e.g. HTM-Align R@1
+                    if self.writer:
+                        self.writer.add_dict(ds, epoch, prefix="val/")
+                    score = ds.get("Recall", score)
+                is_best = score > best
+                best = max(score, best)
+                self.best_acc = best
+            self.save_epoch(epoch, is_best=is_best, keep_all=cfg.model == "cotrain")
+        return best
+
+
+class EgoExoTrainer(BaseTrainer):
+    """Grounding / view-invariant / joint training
+    (reference main_egoexo4d_distributed.py:573-883)."""
+
+    MODEL_BATCH_KEYS = (
+        "video_features", "narration_features", "video_padding_mask",
+        "narration_padding_mask", "audio_features", "audio_padding_mask",
+        "view_mask", "ego_video_features_flat",
+    )
+
+    def __init__(
+        self,
+        model,
+        cfg: ExperimentConfig,
+        sample_batch: Dict,
+        iters_per_epoch: int = 1000,
+        mesh=None,
+    ):
+        super().__init__(cfg, mesh)
+        self.model = model
+        self.loss_cfg = GroundingLossConfig(
+            use_center_duration=cfg.use_center_duration,
+            iou_loss_eps=cfg.iou_loss_eps,
+            iou_thresholds=tuple(cfg.iou_thresholds),
+            model=cfg.model,
+            use_distill_nce_loss=cfg.use_distill_nce_loss,
+            same_view_negative=cfg.same_view_negative,
+            only_same_view_negative=cfg.only_same_view_negative,
+        )
+        batch = self.prepare_batch(sample_batch)
+        self.params = model.init(
+            {"params": jax.random.PRNGKey(cfg.seed), "pos": jax.random.PRNGKey(1)},
+            batch["video_features"], batch["narration_features"],
+            batch["video_padding_mask"], batch["narration_padding_mask"],
+            audio_embed=batch.get("audio_features"),
+            audio_padding_mask=batch.get("audio_padding_mask"),
+            egocentric_video_embed=batch.get("ego_video_features_flat"),
+            view_mask=batch.get("view_mask"),
+            deterministic=False,
+        )["params"]
+        self.target_params = None
+        self.tx = make_optimizer(
+            self.params, lr=cfg.lr, weight_decay=cfg.wd,
+            total_iterations=cfg.epochs * iters_per_epoch,
+            policy=cfg.optim_policy,
+            grad_clip=cfg.clip_grad or None,
+            accumulate_steps=cfg.backprop_freq,
+        )
+        self.opt_state = self.tx.init(self.params)
+        self._replicate()
+        self.step = make_grounding_train_step(model, self.loss_cfg, self.tx, self.mesh)
+        self._eval_step = None
+
+    # ------------------------------------------------------------ batch prep
+    def prepare_batch(self, batch: Dict) -> Dict:
+        out = {
+            "video_features": np.asarray(batch["video_features"], np.float32),
+            "narration_features": np.asarray(batch["narration_features"], np.float32),
+            "video_padding_mask": np.asarray(batch["video_padding_mask"], bool),
+            "narration_padding_mask": np.asarray(batch["narration_padding_mask"], bool),
+        }
+        for k in ("starts", "ends", "mean", "duration"):
+            if k in batch:
+                out[k] = np.asarray(batch[k], np.float32)
+        if "audio_features" in batch:
+            out["audio_features"] = np.asarray(batch["audio_features"], np.float32)
+            out["audio_padding_mask"] = np.asarray(batch["audio_padding_mask"], bool)
+        if "view_available_mask" in batch and self.cfg.views == "multi":
+            # (B, V*T) availability -> (B, V) per-view flags for pairwise NCE
+            b = out["video_features"].shape[0]
+            v = self.cfg.num_max_views
+            out["view_mask"] = (
+                np.asarray(batch["view_available_mask"], bool)
+                .reshape(b, v, -1).any(axis=-1)
+            )
+        if "ego_video_features" in batch:
+            bank = np.asarray(batch["ego_video_features"], np.float32)  # (B,V,T,C)
+            out["ego_video_features"] = bank
+            out["view_rank_label"] = np.asarray(batch["view_rank_label"], np.int32)
+            out["view_rank_neg_label"] = np.asarray(
+                batch["view_rank_neg_label"], np.int32
+            )
+            # the model's distill target: positive view's features per timestep
+            b, v, t, c = bank.shape
+            pos = out["view_rank_label"][..., None, None]  # (B,T,1,1)
+            gathered = np.take_along_axis(
+                bank.transpose(0, 2, 1, 3),  # (B,T,V,C)
+                np.clip(pos, 0, v - 1), axis=2,
+            )[:, :, 0]  # (B,T,C)
+            out["ego_video_features_flat"] = gathered
+            if "same_view_neg_idxs" in batch and self.cfg.same_view_negative:
+                idxs = np.asarray(batch["same_view_neg_idxs"], np.int64)  # (B,T)
+                ego_track = bank[:, 0]  # ego view is row 0
+                out["same_view_neg_feats"] = np.take_along_axis(
+                    ego_track, idxs[..., None], axis=1
+                )
+        return out
+
+    def _model_inputs(self, batch):
+        return dict(
+            audio_embed=batch.get("audio_features"),
+            audio_padding_mask=batch.get("audio_padding_mask"),
+            egocentric_video_embed=batch.get("ego_video_features_flat"),
+            view_mask=batch.get("view_mask"),
+        )
+
+    # ------------------------------------------------------------ train loop
+    def train_epoch(self, loader, epoch: int) -> float:
+        cfg = self.cfg
+        meters = {k: AverageMeter(k, ":.4f") for k in ("Time", "Data", "Loss")}
+        progress = ProgressMeter(
+            getattr(loader, "__len__", lambda: 0)(),
+            list(meters.values()), prefix=f"Epoch:[{epoch}]",
+        )
+        timer = Timer()
+        for idx, raw in enumerate(loader):
+            batch = self.prepare_batch(raw)
+            meters["Data"].update(timer.lap())
+            b = batch["video_features"].shape[0]
+            batch_s = shard_batch(batch, self.mesh)
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.params, self.opt_state, metrics = self.step(
+                self.params, self.opt_state, batch_s, step_rng
+            )
+            loss = float(metrics["loss"])
+            if _finite(loss):
+                meters["Loss"].update(loss, b)
+            self._log({k: float(v) for k, v in metrics.items()}, "train/")
+            meters["Time"].update(timer.lap())
+            if idx % cfg.print_freq == 0:
+                progress.display(idx)
+            self.iteration += 1
+            self.maybe_save_runtime(epoch)
+        if self.writer:
+            self.writer.add_data("train/total_epoch_loss", meters["Loss"].avg, epoch)
+        return meters["Loss"].avg
+
+    def evaluate(self, loader, epoch: int, test: bool = False):
+        """Val/test pass: loss + IoU meters (+ per-camera-rank IoU binning and
+        test_results json at test, reference :239-357)."""
+        if self._eval_step is None:
+            def eval_fn(params, batch):
+                out = self.model.apply(
+                    {"params": params},
+                    batch["video_features"], batch["narration_features"],
+                    batch["video_padding_mask"], batch["narration_padding_mask"],
+                    deterministic=True, **self._model_inputs(batch),
+                )
+                ld, ious = egoexo_loss(
+                    out, batch, batch["narration_padding_mask"], self.loss_cfg
+                )
+                scalars = {
+                    k: v for k, v in ld.items() if getattr(v, "ndim", 1) == 0
+                }
+                return scalars, ious
+
+            self._eval_step = jax.jit(eval_fn)
+        meters: Dict[str, AverageMeter] = {}
+        loss_meter = AverageMeter("Loss", ":.4f")
+        rank_iou: Dict[str, List[float]] = {}
+        save_list = []
+        for raw in loader:
+            batch = self.prepare_batch(raw)
+            scalars, ious = self._eval_step(self.params, batch)
+            b = batch["video_features"].shape[0]
+            n_valid = int((~batch["narration_padding_mask"]).sum())
+            for k, v in scalars.items():
+                m = meters.setdefault(k, AverageMeter(k, ":.4f"))
+                m.update(float(v), n_valid if k.startswith("IoU>=") else b)
+            loss_meter.update(float(scalars["loss"]), b)
+            ious_np = np.asarray(ious)
+            if test and self.cfg.model in ("grounding", "joint"):
+                meta = raw.get("metadata", {})
+                save_list.append({
+                    "loss_dict": ious_np.tolist(),
+                    "metadata": {
+                        "narration": meta.get("narrations"),
+                        "video_id": meta.get("video_id"),
+                        "cam_id": meta.get("exo_camera"),
+                        "narr_ranks": meta.get("narr_ranks"),
+                    },
+                })
+                # per-camera-rank IoU binning (reference loss_egoexo4d.py:126-137)
+                narr_ranks = meta.get("narr_ranks") or []
+                mask = ~batch["narration_padding_mask"]
+                for i, ranks in enumerate(narr_ranks):
+                    for j, r in enumerate(ranks):
+                        if j < ious_np.shape[1] and mask[i, j]:
+                            rank_iou.setdefault(str(r), []).append(
+                                float(ious_np[i, j])
+                            )
+        if self.writer:
+            for k, m in meters.items():
+                self.writer.add_data(f"val/{k}", m.avg, epoch)
+        results = {k: m.avg for k, m in meters.items()}
+        if rank_iou:
+            for r, vals in sorted(rank_iou.items()):
+                results[f"Rank {r} mean IoU"] = float(np.mean(vals))
+                results[f"Rank {r} count"] = len(vals)
+        if test and save_list and self.cfg.log_path:
+            with open(
+                os.path.join(self.cfg.log_path, f"test_results_epoch_{epoch}.json"),
+                "w",
+            ) as f:
+                json.dump(save_list, f)
+        return loss_meter.avg, results
+
+    def fit(self, train_loader, val_loader=None, dataset=None):
+        """Full schedule with curriculum phases (reference :850-879)."""
+        from exoground_tpu.data.sampling import get_phase
+
+        cfg = self.cfg
+        best = -1e5
+        for epoch in range(self.start_epoch, cfg.epochs):
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
+            if dataset is not None and hasattr(dataset, "set_epoch"):
+                dataset.set_epoch(epoch)
+            if (
+                dataset is not None
+                and cfg.curriculum_train
+                and cfg.sorted_curr_train == "phased"
+            ):
+                dataset.set_phase(
+                    get_phase(epoch, cfg.epochs, 4, cfg.final_phase_prop)
+                )
+            self.train_epoch(train_loader, epoch)
+            is_best = False
+            if val_loader is not None and epoch % cfg.eval_freq == 0:
+                val_loss, results = self.evaluate(val_loader, epoch)
+                score = results.get("mean IoU", -val_loss)
+                is_best = score > best
+                best = max(score, best)
+                self.best_acc = best
+            self.save_epoch(epoch, is_best=is_best)
+        return best

@@ -198,3 +198,82 @@ def convert_word2vec_from_s3d(state: Dict[str, np.ndarray]) -> Dict:
         "fc1": _dense(state, f"{prefix}fc1"),
         "fc2": _dense(state, f"{prefix}fc2"),
     }
+
+
+def _conv3d(state, key):
+    """torch Conv3d weight (O, I, kT, kH, kW) -> flax kernel (kT, kH, kW, I, O)."""
+    w = state[f"{key}.weight"]
+    return {"kernel": np.ascontiguousarray(np.transpose(w, (2, 3, 4, 1, 0)))}
+
+
+def _bn3d(state, key):
+    """torch BatchNorm3d -> flax BatchNorm param + batch_stats halves."""
+    return (
+        {"scale": state[f"{key}.weight"], "bias": state[f"{key}.bias"]},
+        {"mean": state[f"{key}.running_mean"], "var": state[f"{key}.running_var"]},
+    )
+
+
+def convert_s3d_state_dict(state: Dict[str, np.ndarray]) -> Dict:
+    """MIL-NCE S3D torch checkpoint -> {'params', 'batch_stats'} for models/s3d.py.
+
+    Key layout follows reference model/s3d_milnce/s3dg.py:250-310 module names
+    (conv1, conv_2b/2c, gating, mixed_3b..5c with conv_b*/gating_b* children).
+    """
+    state = strip_prefix(state, "module.")
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(path, key, separable):
+        node_p, node_s = params, stats
+        for part in path[:-1]:
+            node_p = node_p.setdefault(part, {})
+            node_s = node_s.setdefault(part, {})
+        name = path[-1]
+        p: Dict = {}
+        s: Dict = {}
+        p["conv1"] = _conv3d(state, f"{key}.conv1")
+        p["bn1"], s["bn1"] = _bn3d(state, f"{key}.bn1")
+        if separable:
+            p["conv2"] = _conv3d(state, f"{key}.conv2")
+            p["bn2"], s["bn2"] = _bn3d(state, f"{key}.bn2")
+        node_p[name] = p
+        node_s[name] = s
+
+    def put_gating(path, key):
+        node = params
+        for part in path[:-1]:
+            node = node.setdefault(part, {})
+        node[path[-1]] = {"fc": _dense(state, f"{key}.fc")}
+
+    put(["conv1"], "conv1", separable=False)
+    put(["conv_2b"], "conv_2b", separable=False)
+    put(["conv_2c"], "conv_2c", separable=True)
+    put_gating(["gating"], "gating")
+    blocks = [
+        "mixed_3b", "mixed_3c", "mixed_4b", "mixed_4c", "mixed_4d",
+        "mixed_4e", "mixed_4f", "mixed_5b", "mixed_5c",
+    ]
+    for blk in blocks:
+        put([blk, "conv_b0"], f"{blk}.conv_b0", separable=False)
+        put([blk, "conv_b1_a"], f"{blk}.conv_b1_a", separable=False)
+        put([blk, "conv_b1_b"], f"{blk}.conv_b1_b", separable=True)
+        put([blk, "conv_b2_a"], f"{blk}.conv_b2_a", separable=False)
+        put([blk, "conv_b2_b"], f"{blk}.conv_b2_b", separable=True)
+        put([blk, "conv_b3_b"], f"{blk}.conv_b3_b", separable=False)
+        for g in ("gating_b0", "gating_b1", "gating_b2", "gating_b3"):
+            put_gating([blk, g], f"{blk}.{g}")
+    if "fc.weight" in state:
+        params["fc"] = _dense(state, "fc")
+    return {"params": params, "batch_stats": stats}
+
+
+def convert_sentence_embedding_from_s3d(state: Dict[str, np.ndarray]) -> Dict:
+    """S3D checkpoint -> Sentence_Embedding params (s3dg.py:186-239)."""
+    state = strip_prefix(state, "module.")
+    prefix = "text_module." if any(k.startswith("text_module.") for k in state) else ""
+    return {
+        "word_embd": state[f"{prefix}word_embd.weight"],
+        "fc1": _dense(state, f"{prefix}fc1"),
+        "fc2": _dense(state, f"{prefix}fc2"),
+    }

@@ -387,3 +387,22 @@ def test_youcook2_dataset_modes():
         anno, mode="val", half_val=False,
     )
     assert ds2[0]["video"].shape == (3, 32, 16)
+
+
+# ------------------------------------------------------------------- native IO
+def test_feature_store_read_windows_backends(tmp_path):
+    rng = np.random.RandomState(5)
+    arrs = {f"w{i}": rng.randn(100, 32).astype(np.float32) for i in range(4)}
+    # npy-backed (native fast path when built)
+    for vid, a in arrs.items():
+        np.save(str(tmp_path / f"{vid}.npy"), a)
+    store_npy = FeatureStore(str(tmp_path), (".npy",))
+    store_mem = FeatureStore(mem=arrs)
+    vids = list(arrs)
+    starts, ends = [5, 90, 0, 50], [69, 154, 64, 114]  # second runs off the end
+    v1, m1 = store_npy.read_windows(vids, starts, ends, 64, 32)
+    v2, m2 = store_mem.read_windows(vids, starts, ends, 64, 32)
+    np.testing.assert_allclose(v1, v2, atol=1e-6)
+    np.testing.assert_array_equal(m1, m2)
+    assert m1[1, 10:].all() and not m1[1, :10].any()  # 90..100 valid
+    assert (v1[1, 10:] == arrs["w1"][99]).all()  # pad-by-last

@@ -1,0 +1,172 @@
+"""Offline preprocessing (sentencify) tests against reference semantics."""
+
+import numpy as np
+
+from exoground_tpu.tools import (
+    Sentencify,
+    filter_language,
+    filter_length,
+    merge_linebreaks,
+    process_corpus,
+)
+
+
+def test_filter_length():
+    # reference filters/utils.py:36-41: >10 captions AND mean words > 5
+    good = ["one two three four five six seven"] * 12
+    assert filter_length(good)
+    assert not filter_length(good[:5])  # too few
+    assert not filter_length(["hi there"] * 20)  # too short
+
+
+def test_filter_language():
+    en = ["so now we are going to mix the batter for the cake"] * 8
+    assert filter_language(en)
+    nonsense = ["zzz qqq xxx www yyy kkk"] * 8
+    assert not filter_language(nonsense)
+
+
+def test_merge_linebreaks_glitch_and_tags():
+    caps = ["blip", "[MUSIC]", "hello world this is fine"]
+    starts = [0.0, 1.0, 2.0]
+    ends = [0.1, 1.9, 4.0]  # first is a <0.2 s glitch
+    c, s, e = merge_linebreaks(caps, starts, ends)
+    assert c == ["hello world this is fine"]
+    assert s == [2.0] and e == [4.0]
+
+
+def test_merge_linebreaks_rolling_caption_dedup():
+    # rolling two-row captions: second row repeats as next caption's first row
+    caps = ["first line\nsecond line", "second line\nthird line", "third line done"]
+    starts = [0.0, 2.0, 4.0]
+    ends = [2.0, 4.0, 6.0]
+    c, s, e = merge_linebreaks(caps, starts, ends)
+    # repeated second row dropped; non-repeated linebreak joined with space
+    assert c == ["first line", "second line third line", "third line done"]
+
+
+def test_merge_linebreaks_overlap_averaging():
+    caps = ["sentence one is here", "sentence two is here"]
+    c, s, e = merge_linebreaks(caps, [0.0, 3.0], [5.0, 8.0])
+    # overlap [3, 5] -> midpoint 4.0 on both sides
+    assert e[0] == 4.0 and s[1] == 4.0
+
+
+def test_sentencify_already_punctuated_path():
+    sf = Sentencify()
+    caps = ["hello world. how are you", "today is great."]
+    c, s, e = sf.punctuate_and_cut(caps, [0.0, 4.0], [4.0, 8.0])
+    assert c[0] == "hello world."
+    assert c[1] == "how are you today is great."
+    # timestamps interpolated inside caption spans
+    assert s[0] == 0.0 and 1.5 < e[0] <= 2.0
+    assert 1.5 < s[1] <= 2.0 and e[1] == 8.0
+
+
+def test_sentencify_unpunctuated_with_injected_model():
+    # tokens: cut after token 'batter' (full stop id 2 = '.O')
+    def fake_punct(tokens):
+        return [2 if t == "batter" else 1 for t in tokens]
+
+    sf = Sentencify(punctuate_fn=fake_punct)
+    caps = ["so we mix the batter then bake the cake"]
+    c, s, e = sf.punctuate_and_cut(caps, [0.0], [9.0])
+    assert len(c) == 2
+    assert c[0].endswith("batter")
+    assert c[1].startswith("then")
+    assert s[1] > s[0] and e[1] == 9.0
+
+
+def test_sentencify_gap_cut():
+    sf = Sentencify()  # fallback model never emits stops; gap cut only
+    caps = ["first chunk here", "second chunk here"]
+    c, s, e = sf.punctuate_and_cut(caps, [0.0, 10.0], [3.0, 13.0])
+    assert len(c) == 2  # 7-second silence forces a cut
+
+
+def test_sentencify_wordpiece_merge():
+    def no_stops(tokens):
+        return [1] * len(tokens)
+
+    def wp_tokenize(s):
+        # fake wordpieces: 'mixing' -> ['mix', '##ing']
+        out = []
+        for w in s.split():
+            if w == "mixing":
+                out.extend(["mix", "##ing"])
+            else:
+                out.append(w)
+        return out
+
+    sf = Sentencify(punctuate_fn=no_stops, tokenize_fn=wp_tokenize)
+    c, _, _ = sf.punctuate_and_cut(["we are mixing stuff"], [0.0], [4.0])
+    assert c == ["we are mixing stuff"]
+
+
+def test_process_corpus_end_to_end():
+    asr = {
+        "goodvid": {
+            "text": ["so now we are going to mix the batter. for the cake"] * 12,
+            "start": [float(2 * i) for i in range(12)],
+            "end": [float(2 * i + 2) for i in range(12)],
+        },
+        "shortvid": {"text": ["hi"], "start": [0.0], "end": [1.0]},
+    }
+    out = process_corpus(asr)
+    assert "goodvid" in out and "shortvid" not in out
+    entry = out["goodvid"]
+    assert len(entry["text"]) == len(entry["start"]) == len(entry["end"])
+    assert all(e >= s for s, e in zip(entry["start"], entry["end"]))
+
+
+def test_visualization_outputs(tmp_path):
+    from exoground_tpu.utils.visualize import plot_similarity_grid, save_features_to_dir
+
+    rng = np.random.RandomState(0)
+    sim = rng.rand(64, 5).astype(np.float32)
+    p = plot_similarity_grid(
+        sim, [5, 10, 20, 30, 50], [9, 15, 28, 40, 60],
+        str(tmp_path / "grid.png"), title="test",
+        pred_starts=[4, 11, 19, 31, 49], pred_ends=[8, 16, 29, 41, 61],
+    )
+    import os
+    assert os.path.exists(p) and os.path.getsize(p) > 1000
+
+    written = save_features_to_dir(
+        str(tmp_path / "feats"),
+        {"video_id": ["t0", "t1"], "exo_camera": ["cam01", "cam02"],
+         "start_sec": [0, 10]},
+        rng.rand(2, 16, 8).astype(np.float32),
+        target_features=rng.rand(2, 3, 16, 8).astype(np.float32),
+        positive_idxs=rng.randint(0, 3, (2, 16)),
+    )
+    assert len(written) == 2
+    out = np.load(os.path.join(written[0], "output_features.npy"))
+    assert out.shape == (16, 8)
+    assert os.path.exists(os.path.join(written[1], "ego_seq.npy"))
+
+
+def test_annotate_frame_and_dual_video(tmp_path):
+    import cv2
+    from exoground_tpu.utils.visualize import visualize_dual_video
+
+    # synthesize a tiny source video
+    src = str(tmp_path / "src.mp4")
+    w = cv2.VideoWriter(src, cv2.VideoWriter_fourcc(*"mp4v"), 10.0, (64, 48))
+    for i in range(40):
+        w.write(np.full((48, 64, 3), i * 5 % 255, np.uint8))
+    w.release()
+
+    out = visualize_dual_video(
+        src, str(tmp_path / "dual.mp4"),
+        narrs=["does the thing"],
+        pred_starts=[0.1], pred_ends=[0.5],
+        gt_starts=[0.2], gt_ends=[0.6],
+        pad_mask=[0], start_sec=0, seq_len=4,
+    )
+    assert out and np.round(cv2.VideoCapture(out).get(cv2.CAP_PROP_FRAME_WIDTH)) == 128
+    # missing source -> graceful None
+    assert visualize_dual_video(
+        str(tmp_path / "nope.mp4"), str(tmp_path / "x.mp4"), [], [], [], [], [],
+        [], 0, 4,
+    ) is None

@@ -1,0 +1,272 @@
+"""Trainer layer tests: config, checkpoints, optim policies, full train loops."""
+
+import glob
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exoground_tpu.data import FeatureStore, ThreadedLoader
+from exoground_tpu.data.egoexo4d import EgoExo4DDataset, EgoExoConfig, EgoExoSource
+from exoground_tpu.models import TemporalAligner
+from exoground_tpu.models.grounding import ExoGroundingTransformer
+from exoground_tpu.train import (
+    EgoExoTrainer,
+    ExperimentConfig,
+    TANTrainer,
+    clip_per_param_norm,
+    latest_runtime_checkpoint,
+    load_state,
+    parse_args,
+    restore_into,
+    save_checkpoint,
+    save_runtime_checkpoint,
+    save_state,
+    set_path,
+)
+
+
+# ----------------------------------------------------------------------- config
+def test_parse_args_defaults_and_flags():
+    cfg = parse_args([])
+    assert cfg.model == "joint" and cfg.seq_len == 64
+    cfg = parse_args(["--model", "grounding", "--lr", "0.001", "--use_audio",
+                      "--iou_thresholds", "0.5", "0.7"])
+    assert cfg.model == "grounding"
+    assert cfg.lr == 0.001
+    assert cfg.use_audio is True
+    assert cfg.iou_thresholds == (0.5, 0.7)
+
+
+def test_config_validation():
+    with pytest.raises(AssertionError):
+        ExperimentConfig(views="ego", use_distill_nce_loss=True).validate()
+    with pytest.raises(AssertionError):
+        ExperimentConfig(
+            use_distill_nce_loss=True, use_pairwise_distill_nce_loss=True
+        ).validate()
+
+
+def test_set_path_registry(tmp_path):
+    cfg = ExperimentConfig(model="grounding", dataset="egoexo4d")
+    set_path(cfg, root=str(tmp_path))
+    assert os.path.isdir(cfg.log_path) and os.path.isdir(cfg.model_path)
+    assert "grounding" in cfg.exp_path and "len64" in cfg.exp_path
+    cmd = open(os.path.join(cfg.log_path, "running_command.txt")).read()
+    assert "command_time_stamp" in cmd
+    # resume points back into the same experiment dir
+    cfg2 = ExperimentConfig(
+        resume=os.path.join(cfg.model_path, "epoch3.pth.tar")
+    )
+    set_path(cfg2, root=str(tmp_path))
+    assert cfg2.exp_path == cfg.exp_path
+
+
+# ------------------------------------------------------------------ checkpoints
+def test_state_roundtrip(tmp_path):
+    state = {
+        "epoch": 3,
+        "state_dict": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
+        "iteration": 77,
+    }
+    p = str(tmp_path / "s.pth.tar")
+    save_state(p, state)
+    back = load_state(p)
+    assert back["epoch"] == 3 and back["iteration"] == 77
+    np.testing.assert_array_equal(back["state_dict"]["w"], state["state_dict"]["w"])
+
+
+def test_save_checkpoint_prunes_previous_epoch(tmp_path):
+    d = tmp_path / "model"
+    d.mkdir()
+    for ep in range(3):
+        save_checkpoint(
+            {"epoch": ep, "state_dict": {"w": np.zeros(2)}},
+            filename=str(d / f"epoch{ep}.pth.tar"),
+        )
+    files = sorted(os.path.basename(f) for f in glob.glob(str(d / "epoch*")))
+    assert files == ["epoch2.pth.tar"]  # previous pruned each time
+
+    # keep_all preserves history
+    for ep in range(3, 5):
+        save_checkpoint(
+            {"epoch": ep, "state_dict": {"w": np.zeros(2)}},
+            filename=str(d / f"epoch{ep}.pth.tar"), keep_all=True,
+        )
+    files = sorted(os.path.basename(f) for f in glob.glob(str(d / "epoch*")))
+    assert "epoch3.pth.tar" in files and "epoch4.pth.tar" in files
+
+
+def test_runtime_checkpoint_keeps_latest_only(tmp_path):
+    base = str(tmp_path / "runtime.pth.tar")
+    for i in range(3):
+        save_runtime_checkpoint({"iteration": i, "state_dict": {}}, base)
+    snaps = glob.glob(str(tmp_path / "runtime_*.pth.tar"))
+    assert len(snaps) == 1
+    assert load_state(latest_runtime_checkpoint(base))["iteration"] == 2
+
+
+def test_restore_into_nonstrict():
+    template = {"a": np.zeros((2, 2), np.float32), "b": np.ones(3, np.float32)}
+    src = {"a": np.full((2, 2), 7.0), "c": np.zeros(9)}
+    out = restore_into(template, src)
+    assert (out["a"] == 7).all()
+    assert (out["b"] == 1).all()  # missing key keeps template value
+
+
+# ------------------------------------------------------------------------ optim
+def test_clip_per_param_norm():
+    tx = clip_per_param_norm(1.0)
+    grads = {"big": jnp.full((4,), 10.0), "small": jnp.full((4,), 0.01)}
+    clipped, _ = tx.update(grads, tx.init(None))
+    assert np.linalg.norm(clipped["big"]) == pytest.approx(1.0, rel=1e-4)
+    np.testing.assert_allclose(clipped["small"], grads["small"])  # untouched
+
+
+# ----------------------------------------------------------------- TAN trainer
+def _tan_batches(b=8, t=12, n=4, d=24, num=3):
+    rng = np.random.RandomState(0)
+    out = []
+    for i in range(num):
+        start = rng.randint(0, t - 4, (b, n)).astype(np.float32)
+        out.append({
+            "video": rng.randn(b, t, d).astype(np.float32),
+            "text": rng.randn(b, n, d).astype(np.float32),
+            "video_padding_mask": np.zeros((b, t), bool),
+            "text_padding_mask": np.zeros((b, n), bool),
+            "start": start,
+            "end": start + 3.0,
+        })
+    return out
+
+
+def test_tan_trainer_end_to_end(tmp_path):
+    cfg = ExperimentConfig(
+        model="init", epochs=1, lr=1e-3, batch_size=8, seed=0,
+        runtime_save_iter=2, dp_devices=8,
+    )
+    cfg.log_path = str(tmp_path / "log")
+    cfg.model_path = str(tmp_path / "model")
+    os.makedirs(cfg.log_path), os.makedirs(cfg.model_path)
+    model = TemporalAligner(
+        num_encoder_layers=2, num_joint_layers=2, width=32, heads=4,
+        max_pos=32, attn_impl="xla",
+    )
+    batches = _tan_batches()
+    trainer = TANTrainer(model, cfg, batches[0], iters_per_epoch=3)
+    loss = trainer.train_epoch(batches, epoch=0)
+    assert np.isfinite(loss)
+    assert trainer.iteration == 3
+    # runtime ckpt fired at iteration 2
+    assert latest_runtime_checkpoint(
+        os.path.join(cfg.model_path, "runtime.pth.tar")
+    )
+    val = trainer.evaluate(batches[:1], epoch=0)
+    assert np.isfinite(val)
+    trainer.save_epoch(0)
+    ck = os.path.join(cfg.model_path, "epoch0.pth.tar")
+    assert os.path.exists(ck)
+
+    # resume restores iteration + params
+    trainer2 = TANTrainer(model, cfg, batches[0], iters_per_epoch=3)
+    trainer2.load_checkpoint(ck, mode="resume")
+    assert trainer2.iteration == 3
+    w1 = jax.device_get(trainer.params)
+    w2 = jax.device_get(trainer2.params)
+    leaves1 = jax.tree_util.tree_leaves(w1)
+    leaves2 = jax.tree_util.tree_leaves(w2)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(a, b, rtol=1e-6)
+    trainer.close(), trainer2.close()
+
+
+def test_tan_trainer_cotrain_ema_moves(tmp_path):
+    cfg = ExperimentConfig(
+        model="cotrain", learn_agreement=1, temporal_agreement_type="keep",
+        epochs=1, lr=1e-3, momentum_m=0.9, dp_devices=8,
+    )
+    model = TemporalAligner(
+        num_encoder_layers=2, num_joint_layers=2, width=32, heads=4,
+        max_pos=32, attn_impl="xla",
+    )
+    batches = _tan_batches(num=2)
+    trainer = TANTrainer(model, cfg, batches[0], iters_per_epoch=2)
+    t0 = jax.device_get(jax.tree_util.tree_leaves(trainer.target_params)[0]).copy()
+    trainer.train_epoch(batches, epoch=0)
+    t1 = jax.device_get(jax.tree_util.tree_leaves(trainer.target_params)[0])
+    assert not np.allclose(t0, t1)  # EMA updated
+    trainer.close()
+
+
+# -------------------------------------------------------------- EgoExo trainer
+def _egoexo_loader(tmp_path=None):
+    rng = np.random.RandomState(1)
+    cams = ["cam01", "cam02"]
+    dur, c = 40, 24
+    mem_v, mem_n = {}, {}
+    split_rows, annotations, rankings, takes_cams = [], [], {}, {}
+    for k in range(2):
+        take, uid = f"t{k}", f"u{k}"
+        split_rows.append({"take_name": take, "take_uid": uid,
+                           "duration_sec": dur, "ego_cam": "aria01"})
+        takes_cams[take] = [f"{cc}.mp4" for cc in cams]
+        for cam in cams + ["aria01"]:
+            mem_v[f"{take}_{cam}"] = rng.randn(dur, c).astype(np.float32)
+        rankings[uid] = {
+            str(t): {str(r): cams[(t + r) % 2] for r in range(2)}
+            for t in range(dur)
+        }
+        for j in range(5):
+            nid = f"n{k}_{j}"
+            s = int(rng.randint(0, dur - 6))
+            annotations.append({
+                "video_id": take, "unique_narration_id": nid,
+                "start_frame": s * 30, "end_frame": (s + 4) * 30,
+                "narration": f"step {j}",
+            })
+            mem_n[f"{take}/{nid}"] = rng.randn(1, c).astype(np.float32)
+    src = EgoExoSource(
+        split_rows=split_rows, annotations=annotations,
+        camera_rankings=rankings, takes_cams=takes_cams,
+        video_store=FeatureStore(mem=mem_v),
+        narration_store=FeatureStore(mem=mem_n),
+    )
+    dcfg = EgoExoConfig(
+        duration=16, hop_length=8, views="exo", feature_dim=c,
+        use_distill_nce_loss=True, same_view_negative=True, model="joint",
+    )
+    ds = EgoExo4DDataset(dcfg, src, split="train")
+    loader = ThreadedLoader(ds, batch_size=8, num_workers=2, shuffle=True)
+    return ds, loader, c
+
+
+def test_egoexo_trainer_end_to_end(tmp_path):
+    ds, loader, c = _egoexo_loader()
+    cfg = ExperimentConfig(
+        model="joint", use_distill_nce_loss=True, same_view_negative=True,
+        epochs=1, lr=1e-3, dp_devices=8, views="exo",
+    )
+    cfg.log_path = str(tmp_path / "log")
+    os.makedirs(cfg.log_path)
+    model = ExoGroundingTransformer(
+        num_encoder_layers=1, num_decoder_layers=1,
+        video_embed_dim=c, text_embed_dim=c, feature_dim=32,
+        use_distill_nce_loss=True, attn_impl="xla",
+    )
+    sample = next(iter(loader))
+    trainer = EgoExoTrainer(model, cfg, sample, iters_per_epoch=len(loader))
+    loss = trainer.train_epoch(loader, epoch=0)
+    assert np.isfinite(loss)
+
+    val_loss, results = trainer.evaluate(loader, epoch=0, test=True)
+    assert np.isfinite(val_loss)
+    assert "mean IoU" in results
+    assert any(k.startswith("Rank ") for k in results), results.keys()
+    res_files = glob.glob(os.path.join(cfg.log_path, "test_results_epoch_*.json"))
+    assert res_files
+    payload = json.load(open(res_files[0]))
+    assert payload and "metadata" in payload[0]
+    trainer.close()
