@@ -72,6 +72,14 @@ class AlignEvalConfig:
     pad_window_chunk: bool = True  # pad W to window_chunk: one compile per text bucket
     text_bucket: int = 16  # pad active-text count to a multiple (recompile control)
     global_len_bucket: int = 128  # pad full-video length to a multiple in global mode
+    # 'bfloat16' runs the encoder matmuls on the MXU at 2x rate (params+blocks
+    # cast; sims accumulated back in f32). Metric drift on HTM-Align is noise
+    # level (argmax/AUC over ~0.07-temperature sims); 'float32' for strict
+    # checkpoint-parity runs.
+    compute_dtype: str = "float32"
+    # fused path: videos packed per device call (windows concatenate on the
+    # batch axis; one dispatch per group instead of per video)
+    group_videos: int = 8
 
 
 def _round_up(x: int, m: int) -> int:

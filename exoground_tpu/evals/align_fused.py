@@ -41,6 +41,9 @@ from exoground_tpu.evals.align import (
 
 def _make_video_processor(model, params, cfg: AlignEvalConfig):
     """jit-per-bucket processor over (Vmax, Wmax, Npad, Ntot) shapes."""
+    dtype = jnp.dtype(cfg.compute_dtype)
+    if dtype != jnp.float32:
+        params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
 
     @functools.partial(jax.jit, static_argnums=(0,))
     def _process(dims, video, text_embed, win_start, win_len, text_idx, text_valid):
@@ -50,9 +53,9 @@ def _make_video_processor(model, params, cfg: AlignEvalConfig):
 
         l_idx = jnp.arange(seq_len)
         gidx = jnp.clip(win_start[:, None] + l_idx[None, :], 0, vmax - 1)  # (W, L)
-        vb = video[gidx]  # (W, L, Dv)
+        vb = video[gidx].astype(dtype)  # (W, L, Dv)
         vmask = l_idx[None, :] >= win_len[:, None]  # (W, L) True=PAD
-        tb = text_embed[text_idx]  # (W, Npad, Dt)
+        tb = text_embed[text_idx].astype(dtype)  # (W, Npad, Dt)
         tmask = ~text_valid
 
         out = model.apply(
@@ -60,6 +63,7 @@ def _make_video_processor(model, params, cfg: AlignEvalConfig):
             video_padding_mask=vmask, lang_padding_mask=tmask,
             method=type(model).text_visual_sim,
         )
+        out = {k: v.astype(jnp.float32) for k, v in out.items()}
         sim = jnp.transpose(out["sim"][:, -1], (0, 2, 1)) * cfg.sim_scale  # (W,K,L)
         dual = jnp.transpose(out["dual-sim"][:, -1], (0, 2, 1)) * cfg.sim_scale
 
@@ -128,14 +132,23 @@ def test_alignment_htm_fused(
 
 
 def _run_fused(dataset, process, cfg: AlignEvalConfig) -> Dict[str, float]:
+    """Group-batched fused eval.
+
+    Videos are packed ``group_videos`` at a time into ONE flat index space —
+    one concatenated video buffer (per-video time offsets), one concatenated
+    text table (per-video text offsets) — so a whole group runs as a single
+    device call with hundreds of windows on the batch axis. The scatter-based
+    canvas math in _process is offset-safe by construction: each window only
+    ever writes its own video's (text, time) block. 8 small per-video
+    dispatches -> 1 MXU-saturating one.
+    """
     seq_len = cfg.seq_len
     recalls: List[bool] = []
     all_scores: List[np.ndarray] = []
     all_tgts: List[np.ndarray] = []
 
-    # phase 1: dispatch every video asynchronously (JAX dispatch returns
-    # immediately) so H2D uploads pipeline with device compute
-    pending = []
+    # phase 0: per-video host prep (window layout + active-text selection)
+    metas = []
     for item in dataset:
         video = np.asarray(item["video"], dtype=np.float32)
         start = np.asarray(item["start"], dtype=np.float64)
@@ -143,61 +156,93 @@ def _run_fused(dataset, process, cfg: AlignEvalConfig) -> Dict[str, float]:
         aligned = np.asarray(item["aligned"]).astype(bool)
         text_embed = np.asarray(item["text_embed"], dtype=np.float32)
         vlen, num_text = video.shape[0], len(start)
-
         steps = np.arange(0, vlen - seq_len // 2, seq_len // 4)
         mid = (start + end) / 2.0
         windows = _active_text_masks(steps, vlen, seq_len, num_text, mid, aligned)
+        metas.append((video, start, end, aligned, text_embed, windows))
 
-        if not windows:
-            pending.append((start, end, aligned, num_text, None))
+    # phase 1: dispatch groups asynchronously (JAX dispatch returns
+    # immediately) so H2D uploads pipeline with device compute
+    pending = []
+    group = cfg.group_videos
+    for g0 in range(0, len(metas), group):
+        chunk = [m for m in metas[g0 : g0 + group] if m[5]]
+        skipped = [m for m in metas[g0 : g0 + group] if not m[5]]
+        for _, start, end, aligned, _, _ in skipped:
+            pending.append((start, end, aligned, len(start), 0, 0, None))
+        if not chunk:
             continue
 
-        # bucketed shapes: one compile per (Vmax, Wmax, Npad, Ntot) combo
-        vmax = _round_up(vlen, cfg.global_len_bucket)
-        wmax = _round_up(len(windows), 16)
-        npad = _round_up(max(int(m.sum()) for _, m in windows), cfg.text_bucket)
-        ntot = _round_up(num_text, cfg.text_bucket)
+        vtot = _round_up(sum(m[0].shape[0] for m in chunk), cfg.global_len_bucket)
+        wtot = _round_up(sum(len(m[5]) for m in chunk), 16)
+        ntot = _round_up(sum(len(m[1]) for m in chunk), cfg.text_bucket)
+        npad = _round_up(
+            max(int(msk.sum()) for m in chunk for _, msk in m[5]), cfg.text_bucket
+        )
 
-        vb = np.zeros((vmax, video.shape[1]), np.float32)
-        vb[:vlen] = video
-        tb = np.zeros((ntot, text_embed.shape[1]), np.float32)
-        tb[:num_text] = text_embed
-        win_start = np.zeros(wmax, np.int32)
-        win_len = np.zeros(wmax, np.int32)
-        text_idx = np.zeros((wmax, npad), np.int32)
-        text_valid = np.zeros((wmax, npad), bool)
-        for i, (step, mask) in enumerate(windows):
-            win_start[i] = step
-            win_len[i] = min(vlen, step + seq_len) - step
-            idxs = np.nonzero(mask)[0]
-            text_idx[i, : len(idxs)] = idxs
-            text_valid[i, : len(idxs)] = True
+        dv = chunk[0][0].shape[1]
+        dt = chunk[0][4].shape[1]
+        vb = np.zeros((vtot, dv), np.float32)
+        tb = np.zeros((ntot, dt), np.float32)
+        win_start = np.zeros(wtot, np.int32)
+        win_len = np.zeros(wtot, np.int32)
+        text_idx = np.zeros((wtot, npad), np.int32)
+        text_valid = np.zeros((wtot, npad), bool)
+
+        v_off = t_off = w_off = 0
+        offsets = []
+        for video, start, end, aligned, text_embed, windows in chunk:
+            vlen, num_text = video.shape[0], len(start)
+            vb[v_off : v_off + vlen] = video
+            tb[t_off : t_off + num_text] = text_embed
+            for i, (step, mask) in enumerate(windows):
+                wi = w_off + i
+                win_start[wi] = v_off + step
+                win_len[wi] = min(vlen, step + seq_len) - step
+                idxs = np.nonzero(mask)[0]
+                text_idx[wi, : len(idxs)] = t_off + idxs
+                text_valid[wi, : len(idxs)] = True
+            offsets.append((start, end, aligned, num_text, t_off, v_off))
+            v_off += vlen
+            t_off += num_text
+            w_off += len(windows)
+        # padded windows (w_off..wtot) have text_valid all-False: they compute
+        # on video[0:seq_len] but scatter nothing
 
         out = process(
-            (vmax, seq_len), jnp.asarray(vb), jnp.asarray(tb),
+            (vtot, seq_len), jnp.asarray(vb), jnp.asarray(tb),
             jnp.asarray(win_start), jnp.asarray(win_len),
             jnp.asarray(text_idx), jnp.asarray(text_valid),
         )
-        pending.append((start, end, aligned, num_text, out))
+        for start, end, aligned, num_text, t0, v0 in offsets:
+            pending.append((start, end, aligned, num_text, t0, v0, out))
 
-    # phase 2: fetch tiny per-video results and reduce
-    for start, end, aligned, num_text, out in pending:
+    # phase 2: fetch tiny per-group results and slice per video
+    fetched: Dict[int, tuple] = {}
+    for start, end, aligned, num_text, t0, v0, out in pending:
         if out is None:
             all_tgts.append(aligned.astype(np.int32))
             all_scores.append(np.full(num_text, NEG_FILL))
             recalls.extend([False] * int(aligned.sum()))
             continue
-        argmax_t_d, scores_d, a_dual_d, a_joint_d = out
-        argmax_t = np.asarray(argmax_t_d)[:num_text]
-        scores = np.asarray(scores_d)[:num_text]
-        a_joint_np = np.asarray(a_joint_d)[:num_text]
+        key = id(out)
+        if key not in fetched:
+            fetched[key] = tuple(np.asarray(x) for x in out)
+        argmax_all, scores_all, a_dual_all, a_joint_all = fetched[key]
+        argmax_t = argmax_all[t0 : t0 + num_text]
+        scores = scores_all[t0 : t0 + num_text]
+        a_joint_np = a_joint_all[t0 : t0 + num_text]
 
         all_tgts.append(aligned.astype(np.int32))
         all_scores.append(a_joint_np if cfg.use_alignability_head else scores)
+        # argmax indexes the concatenated timeline; make it video-relative.
+        # padded canvas cells hold NEG_FILL so cross-video argmax cannot win
+        # inside a real video's rows; uncovered (all-pad) rows may argmax to
+        # 0 globally -> clamp into range, stays a miss like the reference's.
         for ti in np.nonzero(aligned)[0]:
             s = math.floor(start[ti])
             e = math.ceil(end[ti])
-            recalls.append(s <= int(argmax_t[ti]) <= e)
+            recalls.append(s <= int(argmax_t[ti]) - v0 <= e)
 
     return {
         "Recall": float(np.mean(recalls)),

@@ -6,3 +6,15 @@ from exoground_tpu.tools.sentencify import (
     merge_linebreaks,
     process_corpus,
 )
+from exoground_tpu.tools.extract_features import (
+    ExtractConfig,
+    bf16_params_keep_layernorm,
+    extract_corpus,
+    extract_video_features,
+)
+from exoground_tpu.tools.asr import (
+    WhisperASR,
+    detect_language,
+    save_asr_json,
+    transcribe_or_translate,
+)

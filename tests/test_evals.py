@@ -227,3 +227,46 @@ class TestFusedStitcher:
         fused = test_alignment_htm_fused(items, model, params, cfg)
         np.testing.assert_allclose(fused["Recall"], host["Recall"], atol=1e-9)
         np.testing.assert_allclose(fused["AUC"], host["AUC"], atol=1e-6)
+
+
+def test_fused_grouping_invariance():
+    """Packing 1, 3, or all videos per device call must not change metrics
+    (validates the concatenated-timeline offset logic)."""
+    import jax
+    import jax.numpy as jnp
+
+    from exoground_tpu.evals import AlignEvalConfig, FusedAlignEvaluator
+    from exoground_tpu.models import TemporalAligner
+
+    rng = np.random.RandomState(0)
+
+    def item(seed, vlen):
+        r = np.random.RandomState(seed)
+        n = 6
+        aligned = np.array([1, 0, 1, 0, 1, 1])
+        centers = np.sort(r.rand(n)) * (vlen - 8) + 4
+        return {
+            "video": r.randn(vlen, 32).astype(np.float32),
+            "start": np.maximum(centers - 3, 0),
+            "end": np.minimum(centers + 3, vlen),
+            "aligned": aligned,
+            "text_embed": r.randn(n, 24).astype(np.float32),
+        }
+
+    items = [item(s, v) for s, v in enumerate([70, 90, 50, 80, 60])]
+    model = TemporalAligner(
+        num_encoder_layers=1, num_joint_layers=1, width=32, heads=4,
+        max_pos=128, attn_impl="xla",
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 32)), jnp.zeros((1, 2, 24)),
+        jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
+    )
+    results = []
+    for g in (1, 3, 8):
+        cfg = AlignEvalConfig(seq_len=16, global_len_bucket=32, text_bucket=8,
+                              group_videos=g)
+        results.append(FusedAlignEvaluator(model, params, cfg)(items))
+    for r in results[1:]:
+        np.testing.assert_allclose(r["Recall"], results[0]["Recall"], atol=1e-9)
+        np.testing.assert_allclose(r["AUC"], results[0]["AUC"], atol=1e-6)

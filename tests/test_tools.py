@@ -170,3 +170,74 @@ def test_annotate_frame_and_dual_video(tmp_path):
         str(tmp_path / "nope.mp4"), str(tmp_path / "x.mp4"), [], [], [], [], [],
         [], 0, 4,
     ) is None
+
+
+def test_extract_features_harness():
+    import jax.numpy as jnp
+
+    from exoground_tpu.tools import (
+        ExtractConfig,
+        bf16_params_keep_layernorm,
+        extract_video_features,
+    )
+
+    rng = np.random.RandomState(0)
+    params = {
+        "proj": {"kernel": rng.randn(12, 8).astype(np.float32)},
+        "ln_final": {"scale": np.ones(8, np.float32), "bias": np.zeros(8, np.float32)},
+    }
+    cast = bf16_params_keep_layernorm(params)
+    assert cast["proj"]["kernel"].dtype == jnp.bfloat16
+    assert cast["ln_final"]["bias"].dtype == jnp.float32
+
+    def encode(p, frames):
+        pooled = frames.mean(axis=(1, 2))  # (B, 3)
+        feat = jnp.concatenate([pooled, pooled, pooled, pooled], -1)  # (B, 12)
+        return (feat @ p["proj"]["kernel"].astype(feat.dtype)).astype(jnp.float32)
+
+    frames = rng.rand(37, 8, 8, 3).astype(np.float32)
+    cfg = ExtractConfig(fps=1, frame_bucket=16, half=True)
+    feats = extract_video_features(encode, params, frames, cfg)
+    assert feats.shape == (37, 8) and feats.dtype == np.float16
+
+    # fps=8 pooling: 37 frames -> 4 seconds
+    feats8 = extract_video_features(encode, params, frames, ExtractConfig(fps=8, frame_bucket=16))
+    assert feats8.shape == (4, 8)
+
+
+def test_asr_wrappers_with_injected_models():
+    from exoground_tpu.tools import WhisperASR, detect_language, save_asr_json, transcribe_or_translate
+
+    def fake_pipe(path):
+        return {"chunks": [
+            {"text": " hello there ", "timestamp": (0.0, 2.5)},
+            {"text": "bonjour", "timestamp": (3.0, 4.0)},
+        ]}
+
+    asr = WhisperASR(pipeline_fn=fake_pipe)
+    segs = asr.transcribe("x.wav")
+    assert segs[0] == {"text": "hello there", "start": 0.0, "end": 2.5}
+
+    assert detect_language("x.wav", text_probe=["so we are going to do the thing now"]) == "en"
+
+    out = transcribe_or_translate(
+        "x.wav", language="fr", asr=asr,
+        translate_fn=lambda ts: [t.upper() for t in ts],
+    )
+    assert out[1]["text"] == "BONJOUR"
+
+    import pytest
+    with pytest.raises(RuntimeError):
+        WhisperASR()
+
+
+def test_save_asr_json(tmp_path):
+    from exoground_tpu.tools import save_asr_json
+
+    p = save_asr_json(
+        {"v1": [{"text": "a", "start": 0.0, "end": 1.0}]},
+        str(tmp_path / "asr.json"),
+    )
+    import json
+    blob = json.load(open(p))
+    assert blob["v1"]["text"] == ["a"]
