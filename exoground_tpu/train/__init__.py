@@ -13,4 +13,4 @@ from exoground_tpu.train.checkpoint import (
     save_state,
 )
 from exoground_tpu.train.logging import AsyncWriter, DeviceMonitor, ProfilerHook, Timer
-from exoground_tpu.train.trainer import EgoExoTrainer, TANTrainer
+from exoground_tpu.train.trainer import EgoExoTrainer, S3DTrainer, TANTrainer

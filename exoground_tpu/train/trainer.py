@@ -564,3 +564,94 @@ class EgoExoTrainer(BaseTrainer):
                 self.best_acc = best
             self.save_epoch(epoch, is_best=is_best)
         return best
+
+
+class S3DTrainer(BaseTrainer):
+    """End-to-end S3D finetune on HTM-AA clips (reference end2end/main_nce.py:
+    60-137, 275-403): symmetric InfoNCE between S3D video embeddings and the
+    MIL-NCE sentence embedding, frozen BN, frozen early blocks.
+
+    params = {'s3d': ..., 'text': ...}; batch_stats stay frozen (FrozenBN).
+    """
+
+    def __init__(
+        self,
+        model,  # models.s3d.S3D
+        cfg: ExperimentConfig,
+        sample_batch: Dict,
+        text_params: Dict,
+        iters_per_epoch: int = 1000,
+        freeze_early: bool = True,
+        mesh=None,
+    ):
+        from exoground_tpu.parallel.train_step import make_s3d_nce_step
+
+        super().__init__(cfg, mesh)
+        self.model = model
+        video = np.asarray(sample_batch["video"], np.float32)
+        variables = model.init(
+            jax.random.PRNGKey(cfg.seed), jnp.asarray(video[:, 0])
+        )
+        self.params = {"s3d": variables["params"], "text": text_params}
+        self.batch_stats = variables["batch_stats"]
+        self.target_params = None
+        self.tx = make_optimizer(
+            self.params, lr=cfg.lr, weight_decay=cfg.wd,
+            total_iterations=cfg.epochs * iters_per_epoch,
+            grad_clip=cfg.clip_grad or None,
+            accumulate_steps=cfg.backprop_freq,
+        )
+        self.opt_state = self.tx.init(self.params)
+        self._replicate()
+        self.batch_stats = replicate(self.batch_stats, self.mesh)
+        self.step = make_s3d_nce_step(
+            model, self.tx, self.mesh, freeze_early=freeze_early,
+            gather_negatives=self.cfg.gather_negatives,
+        )
+
+    def load_backbone(self, s3d_state: Dict):
+        """Initialize from the MIL-NCE torch checkpoint (convert_s3d_state_dict
+        output); text tower from convert_sentence_embedding_from_s3d."""
+        self.params = {
+            "s3d": restore_into(jax.device_get(self.params["s3d"]),
+                                s3d_state["params"]),
+            "text": jax.device_get(self.params["text"]),
+        }
+        self.batch_stats = replicate(s3d_state["batch_stats"], self.mesh)
+        self._replicate()
+
+    def train_epoch(self, loader, epoch: int) -> float:
+        meters = {k: AverageMeter(k, ":.4f") for k in ("Time", "Data", "Loss")}
+        progress = ProgressMeter(
+            getattr(loader, "__len__", lambda: 0)(),
+            list(meters.values()), prefix=f"Epoch:[{epoch}]",
+        )
+        timer = Timer()
+        for idx, raw in enumerate(loader):
+            batch = {
+                "video": np.asarray(raw["video"], np.float32),
+                "token": np.asarray(raw["token"], np.int32),
+            }
+            meters["Data"].update(timer.lap())
+            batch_s = shard_batch(batch, self.mesh)
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.params, self.opt_state, metrics = self.step(
+                self.params, self.batch_stats, self.opt_state, batch_s, step_rng
+            )
+            loss = float(metrics["loss"])
+            if _finite(loss):
+                meters["Loss"].update(loss, batch["video"].shape[0])
+            self._log({k: float(v) for k, v in metrics.items()}, "train/")
+            meters["Time"].update(timer.lap())
+            if idx % self.cfg.print_freq == 0:
+                progress.display(idx)
+            self.iteration += 1
+            self.maybe_save_runtime(epoch)
+        return meters["Loss"].avg
+
+    def fit(self, train_loader, epochs: Optional[int] = None):
+        for epoch in range(self.start_epoch, epochs or self.cfg.epochs):
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
+            self.train_epoch(train_loader, epoch)
+            self.save_epoch(epoch)

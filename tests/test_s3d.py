@@ -189,3 +189,28 @@ def test_htm_clip_dataset_grey_fallback():
     assert item["video"].shape == (1, 8, 32, 32, 3)
     assert (item["video"] == 0.5).all()  # grey-frame fallback, no ffmpeg
     assert item["token"].shape == (16,)
+
+
+def test_s3d_trainer_loop():
+    from exoground_tpu.train import ExperimentConfig, S3DTrainer
+
+    rng = np.random.RandomState(0)
+    batch = {
+        "video": rng.rand(8, 1, 8, 32, 32, 3).astype(np.float32),
+        "token": rng.randint(1, 50, (8, 6)).astype(np.int32),
+    }
+    text_params = {
+        "word_embd": rng.randn(50, 12).astype(np.float32),
+        "fc1": {"kernel": rng.randn(12, 20).astype(np.float32),
+                "bias": np.zeros(20, np.float32)},
+        "fc2": {"kernel": rng.randn(20, 16).astype(np.float32),
+                "bias": np.zeros(16, np.float32)},
+    }
+    cfg = ExperimentConfig(model="init", epochs=1, lr=1e-4, dp_devices=4,
+                           gather_negatives=True)
+    trainer = S3DTrainer(S3D(num_classes=16), cfg, batch, text_params,
+                         iters_per_epoch=2)
+    loss = trainer.train_epoch([batch, batch], epoch=0)
+    assert np.isfinite(loss)
+    assert trainer.iteration == 2
+    trainer.close()
