@@ -68,28 +68,43 @@ def _make_video_processor(model, params, cfg: AlignEvalConfig):
         dual = jnp.transpose(out["dual-sim"][:, -1], (0, 2, 1)) * cfg.sim_scale
 
         valid3 = text_valid[:, :, None] & (l_idx[None, None, :] < win_len[:, None, None])
-        dump = ntot * vmax
-        flat_idx = jnp.where(
-            valid3, text_idx[:, :, None] * vmax + gidx[:, None, :], dump
-        ).reshape(-1)
-        z = jnp.zeros(ntot * vmax + 1, jnp.float32)
-        sim_c = z.at[flat_idx].add(jnp.where(valid3, sim, 0.0).reshape(-1))[:-1]
-        dual_c = z.at[flat_idx].add(jnp.where(valid3, dual, 0.0).reshape(-1))[:-1]
-        cnt = z.at[flat_idx].add(valid3.reshape(-1).astype(jnp.float32))[:-1]
-        sim_c = sim_c.reshape(ntot, vmax)
-        dual_c = dual_c.reshape(ntot, vmax)
-        cnt = cnt.reshape(ntot, vmax)
 
-        # per-text alignability scores: window max over REAL frames (:191-195)
+        # canvas accumulation WITHOUT scalar scatters (they cost as much as
+        # the 12-layer model on TPU). Two MXU/vector-friendly stages:
+        #  1. text fold: one-hot matmul collapses the active-text slots onto
+        #     the global text axis -> (W, Ntot, L)
+        #  2. time fold: window starts are stride-aligned, so each window's
+        #     L frames split into 4 stride-wide phases landing at time slot
+        #     (start/stride + phase) -> 4 row-indexed adds over W rows
+        stride = seq_len // 4
+        onehot = jax.nn.one_hot(text_idx, ntot, dtype=jnp.float32)
+        onehot = onehot * text_valid[:, :, None].astype(jnp.float32)  # (W,K,N)
+        simv = jnp.where(valid3, sim, 0.0)
+        dualv = jnp.where(valid3, dual, 0.0)
+        cntv = valid3.astype(jnp.float32)
+        packed = jnp.stack([simv, dualv, cntv], 1)  # (W, 3, K, L)
+        folded = jnp.einsum("wakl,wkn->wanl", packed, onehot)  # (W,3,N,L)
+
+        s16 = vmax // stride
+        slot = win_start // stride  # (W,) exact: starts are stride multiples
+        f4 = folded.reshape(w, 3, ntot, 4, stride)
+        z = jnp.zeros((s16 + 4, 3, ntot, stride), jnp.float32)
+        for c in range(4):
+            z = z.at[slot + c].add(f4[:, :, :, c])
+        canvas = (
+            z[:s16].transpose(1, 2, 0, 3).reshape(3, ntot, vmax)
+        )
+        sim_c, dual_c, cnt = canvas[0], canvas[1], canvas[2]
+
+        # per-text alignability scores: window max over REAL frames (:191-195),
+        # folded onto the global text axis by the same one-hot matmul
         neg = jnp.float32(NEG_FILL)
         win_max_dual = jnp.max(jnp.where(valid3, dual, neg), axis=-1)  # (W, K)
         win_max_joint = jnp.max(jnp.where(valid3, sim, neg), axis=-1)
-        t_dump = ntot
-        t_idx_flat = jnp.where(text_valid, text_idx, t_dump).reshape(-1)
-        zt = jnp.zeros(ntot + 1, jnp.float32)
-        a_dual = zt.at[t_idx_flat].add(jnp.where(text_valid, win_max_dual, 0.0).reshape(-1))[:-1]
-        a_joint = zt.at[t_idx_flat].add(jnp.where(text_valid, win_max_joint, 0.0).reshape(-1))[:-1]
-        t_cnt = zt.at[t_idx_flat].add(text_valid.reshape(-1).astype(jnp.float32))[:-1]
+        tv = text_valid.astype(jnp.float32)
+        a_dual = jnp.einsum("wk,wkn->n", win_max_dual * tv, onehot)
+        a_joint = jnp.einsum("wk,wkn->n", win_max_joint * tv, onehot)
+        t_cnt = jnp.einsum("wk,wkn->n", tv, onehot)
 
         eps = 1e-5
         sim_avg = (sim_c + dual_c) / 2.0 / jnp.maximum(cnt, eps)
@@ -100,7 +115,9 @@ def _make_video_processor(model, params, cfg: AlignEvalConfig):
 
         argmax_t = jnp.argmax(sim_avg, axis=-1)  # == prob argmax (softmax monotone)
         scores = jnp.max(sim_avg, axis=-1)  # AUC score per text (:229)
-        return argmax_t, scores, a_dual, a_joint
+        # ONE packed result: D2H through the device tunnel has high per-fetch
+        # latency, so four small fetches cost 4x one (argmax exact in f32)
+        return jnp.stack([argmax_t.astype(jnp.float32), scores, a_dual, a_joint])
 
     return _process
 
@@ -173,7 +190,12 @@ def _run_fused(dataset, process, cfg: AlignEvalConfig) -> Dict[str, float]:
         if not chunk:
             continue
 
-        vtot = _round_up(sum(m[0].shape[0] for m in chunk), cfg.global_len_bucket)
+        stride_ = seq_len // 4
+        assert seq_len % 4 == 0 and cfg.global_len_bucket % stride_ == 0
+        vtot = _round_up(
+            sum(_round_up(m[0].shape[0], stride_) for m in chunk),
+            cfg.global_len_bucket,
+        )
         wtot = _round_up(sum(len(m[5]) for m in chunk), 16)
         ntot = _round_up(sum(len(m[1]) for m in chunk), cfg.text_bucket)
         npad = _round_up(
@@ -189,6 +211,7 @@ def _run_fused(dataset, process, cfg: AlignEvalConfig) -> Dict[str, float]:
         text_idx = np.zeros((wtot, npad), np.int32)
         text_valid = np.zeros((wtot, npad), bool)
 
+        stride = seq_len // 4
         v_off = t_off = w_off = 0
         offsets = []
         for video, start, end, aligned, text_embed, windows in chunk:
@@ -203,7 +226,9 @@ def _run_fused(dataset, process, cfg: AlignEvalConfig) -> Dict[str, float]:
                 text_idx[wi, : len(idxs)] = t_off + idxs
                 text_valid[wi, : len(idxs)] = True
             offsets.append((start, end, aligned, num_text, t_off, v_off))
-            v_off += vlen
+            # videos start at stride-aligned offsets so the time fold's
+            # phase decomposition (slot = start // stride) stays exact
+            v_off += _round_up(vlen, stride)
             t_off += num_text
             w_off += len(windows)
         # padded windows (w_off..wtot) have text_valid all-False: they compute
@@ -227,8 +252,9 @@ def _run_fused(dataset, process, cfg: AlignEvalConfig) -> Dict[str, float]:
             continue
         key = id(out)
         if key not in fetched:
-            fetched[key] = tuple(np.asarray(x) for x in out)
+            fetched[key] = np.asarray(out)  # single packed (4, Ntot) fetch
         argmax_all, scores_all, a_dual_all, a_joint_all = fetched[key]
+        argmax_all = argmax_all.astype(np.int64)
         argmax_t = argmax_all[t0 : t0 + num_text]
         scores = scores_all[t0 : t0 + num_text]
         a_joint_np = a_joint_all[t0 : t0 + num_text]
