@@ -80,6 +80,10 @@ class AlignEvalConfig:
     # fused path: videos packed per device call (windows concatenate on the
     # batch axis; one dispatch per group instead of per video)
     group_videos: int = 8
+    # dtype of the H2D feature upload. 'float16' halves PCIe/tunnel bytes —
+    # matches on-disk feature precision (the reference's extractors save
+    # fp16) — compute still runs at compute_dtype after upcast.
+    transfer_dtype: str = "float32"
 
 
 def _round_up(x: int, m: int) -> int:

@@ -204,8 +204,9 @@ def _run_fused(dataset, process, cfg: AlignEvalConfig) -> Dict[str, float]:
 
         dv = chunk[0][0].shape[1]
         dt = chunk[0][4].shape[1]
-        vb = np.zeros((vtot, dv), np.float32)
-        tb = np.zeros((ntot, dt), np.float32)
+        tdt = np.dtype(cfg.transfer_dtype)
+        vb = np.zeros((vtot, dv), tdt)
+        tb = np.zeros((ntot, dt), tdt)
         win_start = np.zeros(wtot, np.int32)
         win_len = np.zeros(wtot, np.int32)
         text_idx = np.zeros((wtot, npad), np.int32)
@@ -234,11 +235,13 @@ def _run_fused(dataset, process, cfg: AlignEvalConfig) -> Dict[str, float]:
         # padded windows (w_off..wtot) have text_valid all-False: they compute
         # on video[0:seq_len] but scatter nothing
 
-        out = process(
-            (vtot, seq_len), jnp.asarray(vb), jnp.asarray(tb),
-            jnp.asarray(win_start), jnp.asarray(win_len),
-            jnp.asarray(text_idx), jnp.asarray(text_valid),
-        )
+        # device_put is the async low-overhead H2D path (jnp.asarray routes
+        # through a jitted convert and costs more per call on this backend)
+        dev_args = [
+            jax.device_put(x)
+            for x in (vb, tb, win_start, win_len, text_idx, text_valid)
+        ]
+        out = process((vtot, seq_len), *dev_args)
         for start, end, aligned, num_text, t0, v0 in offsets:
             pending.append((start, end, aligned, num_text, t0, v0, out))
 
