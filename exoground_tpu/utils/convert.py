@@ -277,3 +277,29 @@ def convert_sentence_embedding_from_s3d(state: Dict[str, np.ndarray]) -> Dict:
         "fc1": _dense(state, f"{prefix}fc1"),
         "fc2": _dense(state, f"{prefix}fc2"),
     }
+
+
+def convert_grounding_state_dict(
+    state: Dict[str, np.ndarray], vi_state: Optional[Dict[str, np.ndarray]] = None
+) -> Dict:
+    """Keystep GroundingModel torch state -> flax params for
+    models/grounding.GroundingModel ({'trunk', 'vi_encoder'} submodules).
+
+    The reference model (keystep_ground_model.py:13-408) inlines the
+    ExoGroundingTransformer structure with identical key names, so the trunk
+    converts via convert_exoground_state_dict; the frozen VI encoder params
+    come from the vi_encoder.* prefix of the same checkpoint or a separate
+    state dict."""
+    state = strip_prefix(state, "module.")
+    if vi_state is None:
+        vi_state = {
+            k[len("vi_encoder."):]: v
+            for k, v in state.items() if k.startswith("vi_encoder.")
+        }
+    trunk_state = {
+        k: v for k, v in state.items() if not k.startswith("vi_encoder.")
+    }
+    out = {"trunk": convert_exoground_state_dict(trunk_state)}
+    if vi_state:
+        out["vi_encoder"] = convert_vi_mlp_state_dict(vi_state)
+    return out

@@ -17,3 +17,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: the suite re-jits identical tiny programs
+# every run; caching drops full-suite wall time substantially
+jax.config.update("jax_compilation_cache_dir", "/tmp/exoground_jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
