@@ -24,17 +24,9 @@ pytestmark = pytest.mark.skipif(
 
 
 def _load_reference_loss():
-    # stub heavyweight/unavailable top-level imports of train/loss.py
-    for name in ("ffmpeg",):
-        if name not in sys.modules:
-            sys.modules[name] = types.ModuleType(name)
-    try:
-        import torchvision  # noqa: F401
-    except ImportError:
-        tv = types.ModuleType("torchvision")
-        tv.transforms = types.ModuleType("torchvision.transforms")
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = tv.transforms
+    from tests._oracle_utils import stub_missing_modules
+
+    stub_missing_modules()
     sys.path.insert(0, REF_TRAIN)
     sys.path.insert(0, REF_ROOT)
     import loss as ref_loss  # reference train/loss.py

@@ -22,15 +22,9 @@ pytestmark = pytest.mark.skipif(
 
 
 def _load_ref():
-    for name in ("ffmpeg", "cv2"):
-        sys.modules.setdefault(name, types.ModuleType(name))
-    if "moviepy" not in sys.modules:
-        mp = types.ModuleType("moviepy")
-        ed = types.ModuleType("moviepy.editor")
-        ed.VideoFileClip = object
-        mp.editor = ed
-        sys.modules["moviepy"] = mp
-        sys.modules["moviepy.editor"] = ed
+    from tests._oracle_utils import stub_missing_modules
+
+    stub_missing_modules()
     try:
         import torchvision  # noqa: F401
     except ImportError:
