@@ -195,10 +195,115 @@ def main(argv=None):
             return results
         return trainer.fit(train_loader, val_loader, dataset=train_ds)
 
-    raise SystemExit(
-        f"--dataset {cfg.dataset}: HTM training runs through TANTrainer; see "
-        "exoground_tpu/train/trainer.py docstring and tests/test_train.py."
+    if cfg.dataset.startswith("htm"):
+        return run_htm_tan(cfg)
+    raise SystemExit(f"unknown --dataset {cfg.dataset}")
+
+
+def run_htm_tan(cfg):
+    """TAN init/cotrain on HowTo100M features (reference train/main.py).
+
+    Expected --data_root layout:
+      howto100m_s3d_features/*.mp4.npy         per-second S3D features
+      sentencified_htm_<tag>.json              ASR sentences ({vid: {...}})
+      htm_holdout_vid.txt, htm_vlen.csv        filters (optional)
+      s3d_dict.npy + s3d_howto100m.pth         word2vec tokenizer + tower
+      htm_align.json (optional)                in-loop HTM-Align eval
+    """
+    import os
+
+    import jax
+    import numpy as np
+
+    from exoground_tpu.data import ShardedSampler, ThreadedLoader
+    from exoground_tpu.data.htm import HTMAlignDataset, HTMConfig, HTMFeatureDataset
+    from exoground_tpu.models.word2vec import Word2VecModel, Word2VecTokenizer
+    from exoground_tpu.train.trainer import TANTrainer
+    from exoground_tpu.utils.convert import (
+        convert_word2vec_from_s3d,
+        load_torch_checkpoint,
     )
+
+    root = cfg.data_root
+    tokenizer = Word2VecTokenizer.from_dict_file(
+        os.path.join(root, "s3d_dict.npy")
+    )
+    w2v_params = convert_word2vec_from_s3d(
+        load_torch_checkpoint(os.path.join(root, "s3d_howto100m.pth"))
+    )
+    text_tower = Word2VecModel(w2v_params)
+
+    tag = cfg.dataset.split("-")[-1] if "-" in cfg.dataset else "370k"
+    dcfg = HTMConfig(
+        video_feature_root=os.path.join(root, "howto100m_s3d_features"),
+        asr_json=os.path.join(root, f"sentencified_htm_{tag}.json"),
+        holdout_file=os.path.join(root, "htm_holdout_vid.txt"),
+        vlen_csv=os.path.join(root, "htm_vlen.csv"),
+        duration=cfg.seq_len, seed=cfg.seed,
+    )
+    train_ds = HTMFeatureDataset(dcfg, tokenizer, mode="train")
+    val_ds = HTMFeatureDataset(dcfg, tokenizer, mode="val")
+    shards, shard = jax.process_count(), jax.process_index()
+    train_loader = ThreadedLoader(
+        train_ds, cfg.batch_size,
+        sampler=ShardedSampler(len(train_ds), shards, shard, seed=cfg.seed),
+        num_workers=cfg.num_workers,
+    )
+    val_loader = ThreadedLoader(
+        val_ds, cfg.batch_size,
+        sampler=ShardedSampler(len(val_ds), shards, shard, shuffle=False),
+        num_workers=cfg.num_workers,
+    )
+
+    model = build_model(cfg)
+    sample = next(iter(train_loader))
+    trainer = TANTrainer(
+        model, cfg, sample, text_tower=text_tower,
+        iters_per_epoch=len(train_loader),
+    )
+    if cfg.resume:
+        trainer.load_checkpoint(cfg.resume, mode="resume")
+    elif cfg.pretrain:
+        trainer.load_checkpoint(cfg.pretrain, mode="pretrain")
+
+    downstream = None
+    align_json = os.path.join(root, "htm_align.json")
+    if os.path.exists(align_json):
+        from exoground_tpu.evals import AlignEvalConfig, FusedAlignEvaluator
+
+        import json as _json
+
+        with open(align_json) as f:
+            align_anno = _json.load(f)
+        align_ds = HTMAlignDataset(
+            dcfg, tokenizer=tokenizer, mode="full", anno=align_anno,
+            store=train_ds.store,
+        )
+
+        def downstream(tr):
+            def embed(texts):
+                tok = tokenizer(texts)
+                return np.asarray(
+                    text_tower(tok["input_ids"])["pooler_output"]
+                )
+
+            items = []
+            for i in range(len(align_ds)):
+                it = align_ds[i]
+                it["text_embed"] = embed(it["text"])
+                items.append(it)
+            ev = FusedAlignEvaluator(
+                tr.model, {"params": jax.device_get(tr.params)},
+                AlignEvalConfig(seq_len=cfg.seq_len),
+            )
+            return ev(items)
+
+    if cfg.test:
+        trainer.load_checkpoint(cfg.test, mode="test")
+        res = downstream(trainer) if downstream else {"val_loss": trainer.evaluate(val_loader, 0)}
+        print(res)
+        return res
+    return trainer.fit(train_loader, val_loader, downstream_eval=downstream)
 
 
 if __name__ == "__main__":
