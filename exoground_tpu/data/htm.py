@@ -17,12 +17,12 @@ from __future__ import annotations
 import json
 import math
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from exoground_tpu.data.collate import collate_dicts, pad_by_last, stack_texts, stack_videos
+from exoground_tpu.data.collate import collate_dicts, stack_texts, stack_videos
 from exoground_tpu.data.io import FeatureStore
 
 

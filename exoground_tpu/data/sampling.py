@@ -17,7 +17,7 @@ Semantics preserved exactly from the reference:
 from __future__ import annotations
 
 import math
-from typing import Iterator, List, Optional
+from typing import Iterator, List
 
 import numpy as np
 

@@ -11,7 +11,7 @@ placement. Items plug straight into evals/retrieval.test_retrieval_yc2.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

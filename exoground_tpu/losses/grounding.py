@@ -10,7 +10,7 @@ which consumes the per-text IoU / per-timestep loss maps returned here.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax.numpy as jnp
 

@@ -19,7 +19,7 @@ Rebuild of reference model/s3d_milnce/s3dg.py:27-379 and the end2end wrappers
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import flax.linen as nn
 import jax

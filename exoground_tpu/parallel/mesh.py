@@ -12,7 +12,7 @@ trainer CLI does) and the same mesh spans all hosts' devices.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import numpy as np

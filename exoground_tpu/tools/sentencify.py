@@ -15,8 +15,6 @@ inject a deterministic ``punctuate_fn``.
 
 from __future__ import annotations
 
-import json
-import os
 import random
 import re
 from typing import Callable, Dict, List, Optional, Sequence, Tuple

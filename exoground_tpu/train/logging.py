@@ -20,7 +20,7 @@ import os
 import queue
 import threading
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 
 class AsyncWriter:

@@ -23,8 +23,6 @@ Expected --data_root layout (EgoExo4D):
 from __future__ import annotations
 
 import os
-import sys
-from typing import Optional
 
 import numpy as np
 

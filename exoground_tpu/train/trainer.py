@@ -43,7 +43,6 @@ from exoground_tpu.train.checkpoint import (
     restore_into,
     save_checkpoint,
     save_runtime_checkpoint,
-    save_state,
 )
 from exoground_tpu.train.config import ExperimentConfig
 from exoground_tpu.train.logging import AsyncWriter, DeviceMonitor, Timer
