@@ -90,6 +90,95 @@ def ring_attention(
     return acc / jnp.maximum(l_fin, 1e-30)[..., None]
 
 
+def _ln(p, x, eps=1e-5):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    return p["scale"] * (x - mu) / jnp.sqrt(var + eps) + p["bias"]
+
+
+def _encoder_layer_ring(p, x, heads, axis):
+    """One pre-LN encoder block (ops/blocks.ResidualAttentionBlock math) with
+    the self-attention replaced by ring attention over ``axis``."""
+    c = x.shape[-1]
+    d = c // heads
+    xn = _ln(p["ln_1"], x)
+    qkv = xn @ p["attn"]["in_proj_kernel"] + p["attn"]["in_proj_bias"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads_first(t):
+        b, s, _ = t.shape
+        return t.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
+
+    o = ring_attention(
+        heads_first(q), heads_first(k), heads_first(v),
+        key_padding_mask=jnp.zeros((x.shape[0], x.shape[1]), bool),
+        axis=axis, scale=d ** -0.5,
+    )
+    b, _, s, _ = o.shape
+    o = o.transpose(0, 2, 1, 3).reshape(b, s, c)
+    x = x + o @ p["attn"]["out_proj_kernel"] + p["attn"]["out_proj_bias"]
+    h = _ln(p["ln_2"], x)
+    h = h @ p["mlp"]["c_fc"]["kernel"] + p["mlp"]["c_fc"]["bias"]
+    h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU
+    h = h @ p["mlp"]["c_proj"]["kernel"] + p["mlp"]["c_proj"]["bias"]
+    return x + h
+
+
+def sequence_parallel_dual_sim(
+    params,  # TemporalAligner params (flax tree)
+    video: jnp.ndarray,  # (B, S, Dv) FULL video, S divisible by mesh size
+    text_embed: jnp.ndarray,  # (K, Dt) query texts
+    mesh,
+    num_layers: int,
+    heads: int = 8,
+    axis: str = DATA_AXIS,
+    interpolate_from: Optional[int] = None,
+) -> jnp.ndarray:
+    """Global-mode dual-encoder similarity over a sequence-sharded video.
+
+    The reference's 'global' inference (eval_zeroshot_align.py:207-216) runs
+    one pass over the whole video — bounded on one device by the quadratic
+    attention. Here the time axis shards over the mesh: projections / LNs /
+    MLPs are position-wise (local), attention rides the ring, and the result
+    is the exact last-stage dual similarity (B, S, K) — the same numbers as
+    models.TemporalAligner.text_visual_sim's ``dual-sim[:, -1]``, at O(S/n)
+    memory per chip. Scales the reference's 4096-frame pos-table limit to
+    arbitrary lengths via interpolation.
+    """
+    from exoground_tpu.ops.pos_embed import slice_or_interpolate_pos_embed
+
+    s = video.shape[1]
+    pos = slice_or_interpolate_pos_embed(
+        params["temporal_pos_embed"], s, interpolate_from, 0
+    )  # (S, C) — computed globally, sharded with the video below
+
+    # frozen text side (position-wise, replicated)
+    t = text_embed @ params["text_pre_proj"]["kernel"]
+    t = _ln(params["ln_text_init"], t)
+    t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-8)
+
+    enc = params["video_temporal_encoder"]
+
+    def local_fn(video_blk, pos_blk):
+        x = video_blk @ params["video_pre_proj"]["kernel"]
+        x = _ln(params["ln_video_init"], x)
+        x = x + _ln(params["ln_position_init"], pos_blk)[None]
+        for i in range(num_layers):
+            x = _encoder_layer_ring(enc[f"resblocks_{i}"], x, heads, axis)
+        x = _ln(params["ln_video_post_enc"], x)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+        return jnp.einsum("bsc,kc->bsk", x, t)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, axis, None), P(axis, None)),
+        out_specs=P(None, axis, None),
+        check_vma=False,
+    )
+    return fn(video, pos)
+
+
 def sequence_sharded_self_attention(
     q: jnp.ndarray,  # (B, H, S, D) full arrays (host/global view)
     k: jnp.ndarray,

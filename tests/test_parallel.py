@@ -173,3 +173,33 @@ class TestRingAttention:
             jax.nn.softmax(jnp.einsum("bhqd,bhkd->bhqk", q * scale, q), -1), q,
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_sequence_parallel_dual_sim_matches_model():
+    """Ring-attention global-mode dual sim == the single-device model path."""
+    from exoground_tpu.models import TemporalAligner
+    from exoground_tpu.parallel import make_mesh
+    from exoground_tpu.parallel.sequence import sequence_parallel_dual_sim
+
+    rng = np.random.RandomState(0)
+    b, s, k, dv, dt, w = 1, 128, 5, 24, 16, 32
+    model = TemporalAligner(
+        num_encoder_layers=2, num_joint_layers=2, width=w, heads=4,
+        max_pos=256, attn_impl="xla",
+    )
+    video = jnp.asarray(rng.randn(b, s, dv), jnp.float32)
+    text = jnp.asarray(rng.randn(b, k, dt), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), video, text,
+        jnp.zeros((b, s), bool), jnp.zeros((b, k), bool),
+    )["params"]
+
+    ref = model.apply(
+        {"params": params}, video, text,
+        method=TemporalAligner.text_visual_sim,
+    )["dual-sim"][:, -1]  # (B, S, K)
+
+    sim = sequence_parallel_dual_sim(
+        params, video, text[0], make_mesh(8), num_layers=2, heads=4,
+    )
+    np.testing.assert_allclose(np.asarray(sim), np.asarray(ref), atol=3e-5)
