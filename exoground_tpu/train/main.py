@@ -78,6 +78,44 @@ def build_egoexo_dataset(cfg, split: str):
     return EgoExo4DDataset(dcfg, src, split=split, window_csv_path=csv_cache)
 
 
+def build_lemma_dataset(cfg, split: str):
+    """LEMMA tree (reference loader_lemma.py paths):
+    splits/{split}.csv (video_id,duration_sec),
+    keystep_annotations/{split}.csv + all.csv (hoi_index,natural_language),
+    vid_feats/*.pt keyed {video_id}_{cam}, keystep_feats/{hoi}.pt."""
+    import pandas as pd
+
+    from exoground_tpu.data import FeatureStore
+    from exoground_tpu.data.lemma import LemmaConfig, LemmaDataset
+
+    root = cfg.data_root
+    split_rows = pd.read_csv(
+        os.path.join(root, "splits", f"{split}.csv")
+    ).to_dict("records")
+    annotations = pd.read_csv(
+        os.path.join(root, "keystep_annotations", f"{split}.csv")
+    ).to_dict("records")
+    hoi_df = pd.read_csv(os.path.join(root, "keystep_annotations", "all.csv"))
+    hoi_text_map = dict(zip(hoi_df["hoi_index"], hoi_df["natural_language"]))
+    dcfg = LemmaConfig(
+        duration=cfg.seq_len, hop_length=cfg.seq_hop, views=cfg.views,
+        use_distill_nce_loss=cfg.use_distill_nce_loss,
+        curriculum_train=cfg.curriculum_train,
+        same_view_negative=cfg.same_view_negative,
+        reverse_ranking=cfg.reverse_ranking,
+        randomize_ranking=cfg.randomize_ranking,
+        feature_dim=cfg.text_feature_dim, seed=cfg.seed,
+    )
+    return LemmaDataset(
+        dcfg, split_rows, annotations, hoi_text_map,
+        video_store=FeatureStore(os.path.join(root, "vid_feats"), (".pt",)),
+        narration_store=FeatureStore(
+            os.path.join(root, "keystep_feats"), (".pt",)
+        ),
+        split=split,
+    )
+
+
 def build_model(cfg):
     from exoground_tpu.models import TemporalAligner
     from exoground_tpu.models.grounding import ExoGroundingTransformer, GroundingModel
@@ -152,8 +190,11 @@ def main(argv=None):
     set_path(cfg)
 
     if cfg.dataset in ("egoexo4d", "lemma"):
-        train_ds = build_egoexo_dataset(cfg, "train")
-        val_ds = build_egoexo_dataset(cfg, "val" if not cfg.test else "test")
+        build = (
+            build_lemma_dataset if cfg.dataset == "lemma" else build_egoexo_dataset
+        )
+        train_ds = build(cfg, "train")
+        val_ds = build(cfg, "val" if not cfg.test else "test")
         import jax
 
         shards = jax.process_count()

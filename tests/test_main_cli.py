@@ -79,3 +79,88 @@ def test_cli_htm_tan_train(tmp_path, monkeypatch):
         "log/**/model/epoch0.pth.tar", recursive=True
     )
     assert ckpts
+
+
+def _make_egoexo_root(tmp_path, n_takes=2, dur=50, c=24):
+    import pandas as pd
+    import torch
+
+    rng = np.random.RandomState(1)
+    root = tmp_path / "egoexo"
+    (root / "splits").mkdir(parents=True)
+    (root / "narration_annotations").mkdir()
+    vf = root / "egovlpv2_video_features"
+    vf.mkdir()
+    nf = root / "narration_features"
+    nf.mkdir()
+    cams = ["cam01", "cam02"]
+    split_rows, annos, rankings, takes = [], [], {}, []
+    for k in range(n_takes):
+        take, uid = f"take{k}", f"uid{k}"
+        split_rows.append({
+            "take_name": take, "take_uid": uid, "duration_sec": dur,
+            "ego_camera_path": f"/x/{take}/aria01.mp4",
+        })
+        takes.append({
+            "take_name": take,
+            "frame_aligned_videos": {f"{cc}.mp4": {} for cc in cams},
+        })
+        for cam in cams + ["aria01"]:
+            torch.save(torch.randn(dur, c), str(vf / f"{take}_{cam}.pt"))
+        rankings[uid] = {
+            str(t): {str(r): cams[(t + r) % 2] for r in range(2)}
+            for t in range(dur)
+        }
+        (nf / take).mkdir()
+        for j in range(5):
+            nid = f"n{k}_{j}"
+            s = int(rng.randint(0, dur - 6))
+            annos.append({
+                "take_uid": take, "unique_narration_id": nid,
+                "start_frame": s * 30, "end_frame": (s + 4) * 30,
+                "narration": f"does step {j}",
+            })
+            torch.save(torch.randn(1, c), str(nf / take / f"{nid}.pt"))
+    for split in ("train", "val"):
+        pd.DataFrame(split_rows).to_csv(str(root / "splits" / f"{split}.csv"),
+                                        index=False)
+        pd.DataFrame(annos).to_csv(
+            str(root / "narration_annotations" / f"{split}.csv"), index=False
+        )
+    import json as _json
+
+    with open(root / "all_camera_rankings.json", "w") as f:
+        _json.dump(rankings, f)
+    with open(root / "takes.json", "w") as f:
+        _json.dump(takes, f)
+    return str(root), c
+
+
+def test_cli_egoexo_joint_train(tmp_path, monkeypatch):
+    from exoground_tpu.train.main import main
+
+    root, c = _make_egoexo_root(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    best = main([
+        "--dataset", "egoexo4d",
+        "--model", "joint",
+        "--data_root", root,
+        "--seq_len", "16",
+        "--seq_hop", "8",
+        "--batch_size", "8",
+        "--epochs", "1",
+        "--num_workers", "2",
+        "--num_encoder_layers", "1",
+        "--num_decoder_layers", "1",
+        "--feature_dim", "32",
+        "--video_feature_dim", str(c),
+        "--text_feature_dim", str(c),
+        "--views", "exo",
+        "--use_distill_nce_loss",
+        "--attn_impl", "xla",
+    ])
+    assert np.isfinite(best)
+    # windows CSV cache materialized in the data root
+    import glob
+
+    assert glob.glob(os.path.join(root, "*windows.csv"))
