@@ -198,9 +198,12 @@ def _dkv_kernel(kpad_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_re
     s_t = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (BK, BQ)
-    valid_k = (kpad_ref[0] == 0)  # (1, BK) -> column mask below
+    # reshape the int32 ref BEFORE comparing: relayout of a 1-bit vector
+    # (bool (1,BK)->(BK,1)) is unsupported by Mosaic ("insertion of minor dim
+    # ... only supported for 32-bit types"); int32 relayout is fine
+    valid_k_col = kpad_ref[0].reshape(-1, 1) == 0  # (BK, 1)
     lse = lse_ref[0]  # (1, BQ) row layout
-    p_t = jnp.where(valid_k.reshape(-1, 1), jnp.exp(s_t - lse), 0.0)  # (BK, BQ)
+    p_t = jnp.where(valid_k_col, jnp.exp(s_t - lse), 0.0)  # (BK, BQ)
     do = do_ref[0].astype(jnp.float32)  # (BQ, D)
     dv_scr[:] += jax.lax.dot_general(
         p_t.astype(do.dtype), do, (((1,), (0,)), ((), ())),
