@@ -140,6 +140,33 @@ class FusedAlignEvaluator:
     def __call__(self, dataset: Iterable[Dict]) -> Dict[str, float]:
         return _run_fused(dataset, self._process, self.cfg)
 
+    def predict(self, dataset: Iterable[Dict]) -> List[Dict]:
+        """Raw per-video predictions (serving path): for each item, the
+        per-text best-second 'argmax' (video-relative), max-sim 'score' and
+        joint-window alignability score 'align_score'."""
+        results = []
+        fetched: Dict[int, np.ndarray] = {}
+        for start, end, aligned, num_text, t0, v0, out in _dispatch(
+            dataset, self._process, self.cfg
+        ):
+            if out is None:
+                results.append({
+                    "argmax": np.zeros(num_text, np.int64),
+                    "score": np.full(num_text, NEG_FILL, np.float32),
+                    "align_score": np.full(num_text, NEG_FILL, np.float32),
+                })
+                continue
+            key = id(out)
+            if key not in fetched:
+                fetched[key] = np.asarray(out)
+            packed = fetched[key]
+            results.append({
+                "argmax": packed[0, t0 : t0 + num_text].astype(np.int64) - v0,
+                "score": packed[1, t0 : t0 + num_text],
+                "align_score": packed[3, t0 : t0 + num_text],
+            })
+        return results
+
 
 def test_alignment_htm_fused(
     dataset: Iterable[Dict], model, params, cfg: AlignEvalConfig
@@ -148,21 +175,22 @@ def test_alignment_htm_fused(
     return FusedAlignEvaluator(model, params, cfg)(dataset)
 
 
-def _run_fused(dataset, process, cfg: AlignEvalConfig) -> Dict[str, float]:
-    """Group-batched fused eval.
+def _dispatch(dataset, process, cfg: AlignEvalConfig):
+    """Group-batched dispatch (phases 0-1 of the fused eval).
 
     Videos are packed ``group_videos`` at a time into ONE flat index space —
     one concatenated video buffer (per-video time offsets), one concatenated
     text table (per-video text offsets) — so a whole group runs as a single
-    device call with hundreds of windows on the batch axis. The scatter-based
+    device call with hundreds of windows on the batch axis. The fold-based
     canvas math in _process is offset-safe by construction: each window only
     ever writes its own video's (text, time) block. 8 small per-video
     dispatches -> 1 MXU-saturating one.
+
+    Yields (start, end, aligned, num_text, text_offset, video_offset, out)
+    per video, where ``out`` is the group's packed device result (None when
+    the video had no active windows).
     """
     seq_len = cfg.seq_len
-    recalls: List[bool] = []
-    all_scores: List[np.ndarray] = []
-    all_tgts: List[np.ndarray] = []
 
     # phase 0: per-video host prep (window layout + active-text selection)
     metas = []
@@ -244,10 +272,20 @@ def _run_fused(dataset, process, cfg: AlignEvalConfig) -> Dict[str, float]:
         out = process((vtot, seq_len), *dev_args)
         for start, end, aligned, num_text, t0, v0 in offsets:
             pending.append((start, end, aligned, num_text, t0, v0, out))
+    return pending
+
+
+def _run_fused(dataset, process, cfg: AlignEvalConfig) -> Dict[str, float]:
+    """Metric reduction over _dispatch outputs (HTM-Align R@1 + AUC)."""
+    recalls: List[bool] = []
+    all_scores: List[np.ndarray] = []
+    all_tgts: List[np.ndarray] = []
 
     # phase 2: fetch tiny per-group results and slice per video
     fetched: Dict[int, tuple] = {}
-    for start, end, aligned, num_text, t0, v0, out in pending:
+    for start, end, aligned, num_text, t0, v0, out in _dispatch(
+        dataset, process, cfg
+    ):
         if out is None:
             all_tgts.append(aligned.astype(np.int32))
             all_scores.append(np.full(num_text, NEG_FILL))

@@ -1,0 +1,253 @@
+"""Serving layer: persistent alignment / grounding inference services.
+
+The reference is a research codebase with no serving path; this module wraps
+the framework's inference engines for production use on a TPU chip:
+
+  * AlignmentService — TAN text-video alignment. Holds converted checkpoint
+    params + the device-resident FusedAlignEvaluator (one compiled program
+    per shape bucket, reused across requests); requests are full videos +
+    candidate texts, responses are per-text best timestamps, confidence
+    scores and the (T, K) similarity canvas when asked.
+  * GroundingService — ExoGround keystep grounding: (video features,
+    narration features) -> per-narration (start, end) intervals, batched and
+    bucketed so repeat request shapes never recompile.
+  * serve_http — a minimal stdlib HTTP front (POST /align, /ground with
+    npz-encoded arrays) for containerized deployment; heavy RPC stacks stay
+    out of the framework.
+
+Both services accept either raw feature arrays (precomputed upstream, the
+reference's deployment model) or texts when a tokenizer + word2vec tower is
+attached.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+
+@dataclass
+class AlignRequest:
+    video: np.ndarray  # (T, Dv) per-second features
+    texts: Optional[List[str]] = None
+    text_embeds: Optional[np.ndarray] = None  # (K, Dt)
+    # optional per-text coarse timestamps: enables the overlap-seq
+    # active-text protocol; otherwise all texts are active in every window
+    start: Optional[np.ndarray] = None
+    end: Optional[np.ndarray] = None
+
+
+class AlignmentService:
+    """TAN alignment inference (overlap-seq protocol, device-resident)."""
+
+    def __init__(
+        self,
+        model,
+        params,
+        tokenizer=None,
+        text_tower=None,
+        seq_len: int = 64,
+        transfer_dtype: str = "float16",
+    ):
+        from exoground_tpu.evals import AlignEvalConfig, FusedAlignEvaluator
+
+        self.model = model
+        self.params = params
+        self.tokenizer = tokenizer
+        self.text_tower = text_tower
+        self.cfg = AlignEvalConfig(
+            seq_len=seq_len, transfer_dtype=transfer_dtype, group_videos=8
+        )
+        self._evaluator = FusedAlignEvaluator(model, params, self.cfg)
+        self._lock = threading.Lock()
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint_path: str, num_layers: int = 6, **kw):
+        """Load the reference's released .pth.tar (cotrain TAN) directly."""
+        from exoground_tpu.models import TemporalAligner
+        from exoground_tpu.utils.convert import (
+            convert_tan_state_dict,
+            load_torch_checkpoint,
+        )
+
+        state = load_torch_checkpoint(checkpoint_path)
+        params = convert_tan_state_dict(state, twin_branch="target")
+        model = TemporalAligner(
+            num_encoder_layers=num_layers, num_joint_layers=num_layers
+        )
+        return cls(model, {"params": params}, **kw)
+
+    def _embed_texts(self, texts: List[str]) -> np.ndarray:
+        assert self.tokenizer is not None and self.text_tower is not None, (
+            "attach tokenizer + text_tower to serve raw texts"
+        )
+        tok = self.tokenizer(texts)
+        return np.asarray(self.text_tower(tok["input_ids"])["pooler_output"])
+
+    def align(self, req: AlignRequest) -> Dict:
+        """One video + K texts -> per-text best second + confidence score."""
+        te = (
+            np.asarray(req.text_embeds, np.float32)
+            if req.text_embeds is not None else self._embed_texts(req.texts)
+        )
+        k = te.shape[0]
+        vlen = req.video.shape[0]
+        # without coarse timestamps every text is active everywhere: mark all
+        # texts non-alignable with midpoints spread over the video so the
+        # active-window selection never skips a window
+        if req.start is None:
+            start = np.linspace(0, vlen - 1, k)
+            end = start + 1.0
+            aligned = np.zeros(k, np.int64)
+        else:
+            start = np.asarray(req.start, np.float64)
+            end = np.asarray(req.end, np.float64)
+            aligned = np.zeros(k, np.int64)
+        item = {
+            "video": np.asarray(req.video, np.float32),
+            "start": start, "end": end, "aligned": aligned,
+            "text_embed": te,
+        }
+        with self._lock:  # evaluator shape-buckets are shared state
+            out = self._evaluator.predict([item])[0]
+        return {
+            "best_second": out["argmax"].tolist(),
+            "score": out["score"].tolist(),
+        }
+
+
+class GroundingService:
+    """ExoGround interval prediction with shape-bucketed compiled programs."""
+
+    def __init__(self, model, params, seq_len: int = 64, text_bucket: int = 64):
+        import functools
+
+        import jax
+
+        self.model = model
+        self.params = params
+        self.seq_len = seq_len
+        self.text_bucket = text_bucket
+
+        @functools.partial(jax.jit, static_argnums=())
+        def _run(params, video, narr, vmask, nmask):
+            out = model.apply(
+                params, video, narr, vmask, nmask, deterministic=True
+            )
+            return out["interval_preds"]
+
+        self._run = _run
+        self._lock = threading.Lock()
+
+    @classmethod
+    def from_checkpoint(cls, checkpoint_path: str, model=None, **kw):
+        from exoground_tpu.models.grounding import ExoGroundingTransformer
+        from exoground_tpu.train.checkpoint import load_state
+
+        blob = load_state(checkpoint_path)
+        model = model or ExoGroundingTransformer()
+        return cls(model, {"params": blob["state_dict"]}, **kw)
+
+    def ground(
+        self,
+        video: np.ndarray,  # (T, Dv) window features
+        narration_embeds: np.ndarray,  # (K, Dt)
+        use_center_duration: bool = True,
+    ) -> Dict:
+        """-> per-narration normalized (start, end) in [0, 1] of the window."""
+        t, k = video.shape[0], narration_embeds.shape[0]
+        tpad = self.seq_len
+        kpad = -(-k // self.text_bucket) * self.text_bucket
+        vb = np.zeros((1, tpad, video.shape[1]), np.float32)
+        vb[0, : min(t, tpad)] = video[:tpad]
+        nb = np.zeros((1, kpad, narration_embeds.shape[1]), np.float32)
+        nb[0, :k] = narration_embeds
+        vmask = np.ones((1, tpad), bool)
+        vmask[0, : min(t, tpad)] = False
+        nmask = np.ones((1, kpad), bool)
+        nmask[0, :k] = False
+        with self._lock:
+            preds = np.asarray(
+                self._run(self.params, vb, nb, vmask, nmask)
+            )[0, :k]
+        if use_center_duration:
+            c, d = preds[:, 0], preds[:, 1]
+            s, e = c - d / 2, c + d / 2
+        else:
+            s, e = preds[:, 0], preds[:, 1]
+        return {"start": s.tolist(), "end": e.tolist()}
+
+
+def _encode_npz(arrays: Dict[str, np.ndarray]) -> bytes:
+    buf = io.BytesIO()
+    np.savez_compressed(buf, **arrays)
+    return buf.getvalue()
+
+
+def _decode_npz(blob: bytes) -> Dict[str, np.ndarray]:
+    return dict(np.load(io.BytesIO(blob), allow_pickle=False))
+
+
+def serve_http(
+    align_service: Optional[AlignmentService] = None,
+    ground_service: Optional[GroundingService] = None,
+    host: str = "0.0.0.0",
+    port: int = 8571,
+    block: bool = True,
+):
+    """Minimal stdlib HTTP front.
+
+    POST /align  body: npz {video (T,Dv), text_embed (K,Dt)[, start, end]}
+    POST /ground body: npz {video (T,Dv), narration (K,Dt)}
+    Responses are JSON. Returns the server object (call .shutdown()).
+    """
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _reply(self, code: int, payload: Dict):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_POST(self):
+            if self.path not in ("/align", "/ground"):
+                self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                self._reply(404, {"error": f"no handler for {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                arrays = _decode_npz(self.rfile.read(n))
+                if self.path == "/align" and align_service is not None:
+                    req = AlignRequest(
+                        video=arrays["video"],
+                        text_embeds=arrays["text_embed"],
+                        start=arrays.get("start"),
+                        end=arrays.get("end"),
+                    )
+                    self._reply(200, align_service.align(req))
+                elif self.path == "/ground" and ground_service is not None:
+                    self._reply(200, ground_service.ground(
+                        arrays["video"], arrays["narration"]
+                    ))
+                else:
+                    self._reply(404, {"error": f"no handler for {self.path}"})
+            except Exception as e:  # surface, don't kill the server
+                self._reply(500, {"error": str(e)})
+
+    server = ThreadingHTTPServer((host, port), Handler)
+    if block:
+        server.serve_forever()
+    else:
+        threading.Thread(target=server.serve_forever, daemon=True).start()
+    return server

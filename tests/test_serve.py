@@ -1,0 +1,98 @@
+"""Serving layer tests: alignment/grounding services + HTTP front."""
+
+import io
+import json
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from exoground_tpu.models import TemporalAligner
+from exoground_tpu.models.grounding import ExoGroundingTransformer
+from exoground_tpu.serve import (
+    AlignmentService,
+    AlignRequest,
+    GroundingService,
+    serve_http,
+)
+
+
+def _tan():
+    model = TemporalAligner(
+        num_encoder_layers=1, num_joint_layers=1, width=32, heads=4,
+        max_pos=128, attn_impl="xla",
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 24)), jnp.zeros((1, 2, 16)),
+        jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
+    )
+    return model, params
+
+
+def test_alignment_service():
+    model, params = _tan()
+    svc = AlignmentService(model, params, seq_len=16, transfer_dtype="float32")
+    rng = np.random.RandomState(0)
+    req = AlignRequest(
+        video=rng.randn(80, 24).astype(np.float32),
+        text_embeds=rng.randn(5, 16).astype(np.float32),
+    )
+    out = svc.align(req)
+    assert len(out["best_second"]) == 5
+    assert all(0 <= t < 80 for t in out["best_second"])
+    assert len(out["score"]) == 5
+    # repeat request reuses compiled buckets (no error, stable output)
+    out2 = svc.align(req)
+    assert out2["best_second"] == out["best_second"]
+
+
+def test_grounding_service():
+    c = 24
+    model = ExoGroundingTransformer(
+        num_encoder_layers=1, num_decoder_layers=1,
+        video_embed_dim=c, text_embed_dim=c, feature_dim=32, attn_impl="xla",
+    )
+    rng = np.random.RandomState(1)
+    video = rng.randn(16, c).astype(np.float32)
+    narr = rng.randn(3, c).astype(np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, c)), jnp.zeros((1, 8, c)),
+        jnp.zeros((1, 16), bool), jnp.zeros((1, 8), bool),
+    )
+    svc = GroundingService(model, params, seq_len=16, text_bucket=8)
+    out = svc.ground(video, narr)
+    assert len(out["start"]) == 3 and len(out["end"]) == 3
+
+
+def test_http_front():
+    model, params = _tan()
+    svc = AlignmentService(model, params, seq_len=16, transfer_dtype="float32")
+    server = serve_http(align_service=svc, host="127.0.0.1", port=0, block=False)
+    port = server.server_address[1]
+    try:
+        rng = np.random.RandomState(0)
+        buf = io.BytesIO()
+        np.savez_compressed(
+            buf,
+            video=rng.randn(60, 24).astype(np.float32),
+            text_embed=rng.randn(4, 16).astype(np.float32),
+        )
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/align", data=buf.getvalue(), method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            payload = json.loads(resp.read())
+        assert len(payload["best_second"]) == 4
+
+        # unknown route -> 404 json
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/nope", data=b"x", method="POST"
+        )
+        try:
+            urllib.request.urlopen(req, timeout=30)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+    finally:
+        server.shutdown()
