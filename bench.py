@@ -62,7 +62,7 @@ def main():
         jnp.zeros((1, 8, 1024)), jnp.zeros((1, 2, 512)),
         jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
     )
-    cfg = AlignEvalConfig(global_len_bucket=256, text_bucket=32, transfer_dtype="float16")
+    cfg = AlignEvalConfig(global_len_bucket=256, text_bucket=32, transfer_dtype="float16", group_videos=4)
     evaluator = FusedAlignEvaluator(model, params, cfg)
 
     # warmup: compile all (Vmax, Wmax, Npad, Ntot) buckets
