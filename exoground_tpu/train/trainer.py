@@ -139,6 +139,20 @@ class BaseTrainer:
         if getattr(self, "target_params", None) is not None:
             self.target_params = replicate(self.target_params, self.mesh)
 
+    def _prefetched(self, loader, depth: int = 2):
+        """prepare_batch + device placement ``depth`` batches ahead: H2D DMA
+        (async under jax.device_put) overlaps the in-flight step's compute —
+        the reference's non_blocking=True .to(device)
+        (main_egoexo4d_distributed.py:123), which matters doubly on hosts
+        where transfers are slow."""
+        buf = []
+        for raw in loader:
+            buf.append((shard_batch(self.prepare_batch(raw), self.mesh), raw))
+            if len(buf) >= depth:
+                yield buf.pop(0)
+        while buf:
+            yield buf.pop(0)
+
     def _log(self, metrics: Dict, prefix: str):
         if self.writer is None:
             return
@@ -251,11 +265,9 @@ class TANTrainer(BaseTrainer):
             list(meters.values()), prefix=f"Epoch:[{epoch}]",
         )
         timer = Timer()
-        for idx, raw in enumerate(loader):
-            batch = self.prepare_batch(raw)
+        for idx, (batch_s, _raw) in enumerate(self._prefetched(loader)):
             meters["Data"].update(timer.lap())
-            b = batch["video"].shape[0]
-            batch_s = shard_batch(batch, self.mesh)
+            b = batch_s["video"].shape[0]
             self.rng, step_rng = jax.random.split(self.rng)
             self.params, self.target_params, self.opt_state, metrics = self.step(
                 self.params, self.target_params, self.opt_state, batch_s, step_rng
@@ -442,11 +454,9 @@ class EgoExoTrainer(BaseTrainer):
             list(meters.values()), prefix=f"Epoch:[{epoch}]",
         )
         timer = Timer()
-        for idx, raw in enumerate(loader):
-            batch = self.prepare_batch(raw)
+        for idx, (batch_s, _raw) in enumerate(self._prefetched(loader)):
             meters["Data"].update(timer.lap())
-            b = batch["video_features"].shape[0]
-            batch_s = shard_batch(batch, self.mesh)
+            b = batch_s["video_features"].shape[0]
             self.rng, step_rng = jax.random.split(self.rng)
             self.params, self.opt_state, metrics = self.step(
                 self.params, self.opt_state, batch_s, step_rng
