@@ -97,11 +97,17 @@ class HTMFeatureDataset:
         mode: str = "train",
         asr: Optional[Dict] = None,
         store: Optional[FeatureStore] = None,
+        defer_video_io: bool = False,
     ):
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.mode = mode
         self.epoch = 0
+        # defer_video_io: __getitem__ returns only the window descriptor and
+        # collate gathers the whole batch's windows in ONE call through
+        # FeatureStore.read_windows — the native C++ thread-pool reader when
+        # the store is npy-backed (csrc/exoground_io.cpp)
+        self.defer_video_io = defer_video_io
         self.store = store or FeatureStore(cfg.video_feature_root, cfg.feature_suffixes)
 
         if asr is None:
@@ -172,7 +178,10 @@ class HTMFeatureDataset:
             if no_caption:
                 start_ts, end_ts = 0, cfg.duration
 
-        video = self.store.read(vid, start_ts, min(end_ts, vlen))
+        if self.defer_video_io:
+            video = (vid, start_ts, min(end_ts, vlen))
+        else:
+            video = self.store.read(vid, start_ts, min(end_ts, vlen))
         abs_start = (np.asarray(clipped["start"], np.float32) + start_ts) / vlen
         abs_end = (np.asarray(clipped["end"], np.float32) + start_ts) / vlen
         item = {
@@ -188,7 +197,17 @@ class HTMFeatureDataset:
 
     def collate_fn(self, items: List[Dict]) -> Dict:
         cfg = self.cfg
-        out = stack_videos([it["_video"] for it in items], cfg.duration)
+        if self.defer_video_io:
+            vids = [it["_video"][0] for it in items]
+            starts = [it["_video"][1] for it in items]
+            ends = [it["_video"][2] for it in items]
+            dim = self.store.read(vids[0], 0, 1).shape[-1]
+            video, vmask = self.store.read_windows(
+                vids, starts, ends, cfg.duration, dim
+            )
+            out = {"video": video, "video_padding_mask": vmask}
+        else:
+            out = stack_videos([it["_video"] for it in items], cfg.duration)
         texts = stack_texts(
             [np.stack(it["_texts"]["token"]) for it in items],
             [it["_texts"]["start"] for it in items],

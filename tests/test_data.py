@@ -406,3 +406,27 @@ def test_feature_store_read_windows_backends(tmp_path):
     np.testing.assert_array_equal(m1, m2)
     assert m1[1, 10:].all() and not m1[1, :10].any()  # 90..100 valid
     assert (v1[1, 10:] == arrs["w1"][99]).all()  # pad-by-last
+
+
+def test_htm_deferred_video_io_parity(tmp_path):
+    """defer_video_io=True (native batched gather) == eager per-item reads."""
+    rng = np.random.RandomState(0)
+    asr = {}
+    for i in range(6):
+        vid = f"d{i}"
+        arr = rng.randn(150, 16).astype(np.float32)
+        np.save(str(tmp_path / f"{vid}.mp4.npy"), arr)
+        starts = np.sort(rng.rand(8) * 120).tolist()
+        asr[vid] = {"text": [f"step {j}" for j in range(8)], "start": starts,
+                    "end": [s + 4 for s in starts]}
+    cfg = HTMConfig(duration=32, text_bucket=8,
+                    video_feature_root=str(tmp_path))
+    eager = HTMFeatureDataset(cfg, DummyTokenizer(), mode="train", asr=asr)
+    lazy = HTMFeatureDataset(cfg, DummyTokenizer(), mode="train", asr=asr,
+                             defer_video_io=True)
+    be = eager.collate_fn([eager[i] for i in range(4)])
+    bl = lazy.collate_fn([lazy[i] for i in range(4)])
+    np.testing.assert_allclose(bl["video"], be["video"], atol=1e-6)
+    np.testing.assert_array_equal(bl["video_padding_mask"],
+                                  be["video_padding_mask"])
+    np.testing.assert_array_equal(bl["token"], be["token"])
