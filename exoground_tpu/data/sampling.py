@@ -115,11 +115,19 @@ class CurriculumShardedSampler(ShardedSampler):
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             indices = list(rng.permutation(len(indices)))
+        # pad with wraparound up to the FULL dataset's total_size so epoch
+        # length (and the warmup-cosine schedule built from it) stays
+        # constant across curriculum phases (reference
+        # main_egoexo4d_distributed.py:62-74 pads to the inherited total_size)
+        total = self.num_shards * int(math.ceil(self.dataset_len / self.num_shards))
+        pad = total - len(indices)
+        if pad > 0 and indices:
+            reps = int(math.ceil(pad / len(indices)))
+            indices = indices + (indices * reps)[:pad]
         return indices
 
     def __len__(self) -> int:
-        num = int(self.curriculum_progress() * self.dataset_len)
-        return int(math.ceil(num / self.num_shards))
+        return int(math.ceil(self.dataset_len / self.num_shards))
 
 
 def get_phase(

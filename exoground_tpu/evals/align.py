@@ -84,6 +84,9 @@ class AlignEvalConfig:
     # matches on-disk feature precision (the reference's extractors save
     # fp16) — compute still runs at compute_dtype after upcast.
     transfer_dtype: str = "float32"
+    # serving mode: score EVERY text in EVERY window instead of the HTM-Align
+    # active-text protocol (which needs per-text coarse ASR timestamps)
+    all_texts_active: bool = False
 
 
 def _round_up(x: int, m: int) -> int:

@@ -39,14 +39,17 @@ from exoground_tpu.evals.align import (
 )
 
 
-def _make_video_processor(model, params, cfg: AlignEvalConfig):
-    """jit-per-bucket processor over (Vmax, Wmax, Npad, Ntot) shapes."""
+def _make_video_processor(model, cfg: AlignEvalConfig):
+    """jit-per-bucket processor over (Vmax, Wmax, Npad, Ntot) shapes.
+
+    ``params`` is a traced argument so fresh weights (an updated trainer
+    snapshot) reuse the compiled programs — no retrace per eval sweep."""
     dtype = jnp.dtype(cfg.compute_dtype)
-    if dtype != jnp.float32:
-        params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
 
     @functools.partial(jax.jit, static_argnums=(0,))
-    def _process(dims, video, text_embed, win_start, win_len, text_idx, text_valid):
+    def _process(dims, params, video, text_embed, win_start, win_len, text_idx, text_valid):
+        if dtype != jnp.float32:
+            params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
         vmax, seq_len = dims
         w, npad = text_idx.shape
         ntot = text_embed.shape[0]
@@ -135,7 +138,16 @@ class FusedAlignEvaluator:
             "test_alignment_htm for the binary-head protocol"
         )
         self.cfg = cfg
-        self._process = _make_video_processor(model, params, cfg)
+        self._params = params
+        self._raw = _make_video_processor(model, cfg)
+
+    def update_params(self, params):
+        """Swap in fresh weights (e.g. a training snapshot); compiled shape
+        buckets are keyed on shapes only and are reused."""
+        self._params = params
+
+    def _process(self, dims, *args):
+        return self._raw(dims, self._params, *args)
 
     def __call__(self, dataset: Iterable[Dict]) -> Dict[str, float]:
         return _run_fused(dataset, self._process, self.cfg)
@@ -202,8 +214,14 @@ def _dispatch(dataset, process, cfg: AlignEvalConfig):
         text_embed = np.asarray(item["text_embed"], dtype=np.float32)
         vlen, num_text = video.shape[0], len(start)
         steps = np.arange(0, vlen - seq_len // 2, seq_len // 4)
-        mid = (start + end) / 2.0
-        windows = _active_text_masks(steps, vlen, seq_len, num_text, mid, aligned)
+        if cfg.all_texts_active:
+            full = np.ones(num_text, dtype=bool)
+            windows = [(int(st), full) for st in steps]
+        else:
+            mid = (start + end) / 2.0
+            windows = _active_text_masks(
+                steps, vlen, seq_len, num_text, mid, aligned
+            )
         metas.append((video, start, end, aligned, text_embed, windows))
 
     # phase 1: dispatch groups asynchronously (JAX dispatch returns

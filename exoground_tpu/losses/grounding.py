@@ -113,11 +113,12 @@ def view_invariant_loss(
         "per_step_pos_cos": pos_cos,
         "per_step_neg_cos": neg_cos,
     }
+    # the reference leaves total_loss undefined when use_distill_nce_loss is
+    # off (loss_egoexo4d.py:195-198 would crash); we always train the InfoNCE
+    # term — the flag only controls whether the monitoring key is emitted
+    loss_dict["loss"] = jnp.mean(nce_map)
     if cfg.use_distill_nce_loss:
-        loss_dict["InfoNCE loss"] = jnp.mean(nce_map)
-        loss_dict["loss"] = loss_dict["InfoNCE loss"]
-    else:
-        loss_dict["loss"] = jnp.mean(nce_map)
+        loss_dict["InfoNCE loss"] = loss_dict["loss"]
     return loss_dict, nce_map
 
 

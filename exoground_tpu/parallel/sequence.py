@@ -60,7 +60,7 @@ def ring_attention(
     q = q * scale
 
     if key_padding_mask is None:
-        key_padding_mask = jnp.zeros(k.shape[0], k.shape[2], dtype=bool)
+        key_padding_mask = jnp.zeros((k.shape[0], k.shape[2]), dtype=bool)
 
     def block(carry, _):
         (kb, vb, mb), (m_run, l_run, acc) = carry

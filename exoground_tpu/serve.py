@@ -64,6 +64,12 @@ class AlignmentService:
             seq_len=seq_len, transfer_dtype=transfer_dtype, group_videos=8
         )
         self._evaluator = FusedAlignEvaluator(model, params, self.cfg)
+        # no-timestamp requests score every text in every window
+        self._cfg_all = AlignEvalConfig(
+            seq_len=seq_len, transfer_dtype=transfer_dtype, group_videos=8,
+            all_texts_active=True,
+        )
+        self._evaluator_all = FusedAlignEvaluator(model, params, self._cfg_all)
         self._lock = threading.Lock()
 
     @classmethod
@@ -97,24 +103,25 @@ class AlignmentService:
         )
         k = te.shape[0]
         vlen = req.video.shape[0]
-        # without coarse timestamps every text is active everywhere: mark all
-        # texts non-alignable with midpoints spread over the video so the
-        # active-window selection never skips a window
         if req.start is None:
-            start = np.linspace(0, vlen - 1, k)
-            end = start + 1.0
-            aligned = np.zeros(k, np.int64)
+            # no coarse timestamps: use the all-texts-active evaluator, which
+            # scores every text in every window (the HTM-Align active-text
+            # protocol needs per-text ASR timestamps)
+            evaluator = self._evaluator_all
+            start = np.zeros(k)
+            end = np.full(k, float(vlen))
         else:
+            evaluator = self._evaluator
             start = np.asarray(req.start, np.float64)
             end = np.asarray(req.end, np.float64)
-            aligned = np.zeros(k, np.int64)
         item = {
             "video": np.asarray(req.video, np.float32),
-            "start": start, "end": end, "aligned": aligned,
+            "start": start, "end": end,
+            "aligned": np.zeros(k, np.int64),
             "text_embed": te,
         }
         with self._lock:  # evaluator shape-buckets are shared state
-            out = self._evaluator.predict([item])[0]
+            out = evaluator.predict([item])[0]
         return {
             "best_second": out["argmax"].tolist(),
             "score": out["score"].tolist(),

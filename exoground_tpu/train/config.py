@@ -149,8 +149,12 @@ def parse_args(argv: Optional[List[str]] = None, dataset: Optional[str] = None) 
             continue
         default = getattr(defaults, f.name)
         if f.type in ("bool", bool) or isinstance(default, bool):
+            # BooleanOptionalAction keeps the reference's bare --flag form and
+            # adds --no-<flag>, so True-default flags (use_decoder,
+            # use_center_duration) are disablable from the CLI
             parser.add_argument(
-                f"--{f.name}", action="store_true", default=default
+                f"--{f.name}", action=argparse.BooleanOptionalAction,
+                default=default,
             )
         elif isinstance(default, tuple):
             parser.add_argument(

@@ -319,23 +319,28 @@ def run_htm_tan(cfg):
             store=train_ds.store,
         )
 
-        def downstream(tr):
-            def embed(texts):
-                tok = tokenizer(texts)
-                return np.asarray(
-                    text_tower(tok["input_ids"])["pooler_output"]
-                )
+        def embed(texts):
+            tok = tokenizer(texts)
+            return np.asarray(text_tower(tok["input_ids"])["pooler_output"])
 
-            items = []
-            for i in range(len(align_ds)):
-                it = align_ds[i]
-                it["text_embed"] = embed(it["text"])
-                items.append(it)
-            ev = FusedAlignEvaluator(
-                tr.model, {"params": jax.device_get(tr.params)},
-                AlignEvalConfig(seq_len=cfg.seq_len),
-            )
-            return ev(items)
+        align_items = []
+        for i in range(len(align_ds)):
+            it = align_ds[i]
+            it["text_embed"] = embed(it["text"])
+            align_items.append(it)
+        evaluator_box = {}
+
+        def downstream(tr):
+            # one evaluator for the whole run: compiled shape buckets are
+            # reused; only the param snapshot refreshes per eval
+            if "ev" not in evaluator_box:
+                evaluator_box["ev"] = FusedAlignEvaluator(
+                    tr.model, {"params": tr.params},
+                    AlignEvalConfig(seq_len=cfg.seq_len),
+                )
+            else:
+                evaluator_box["ev"].update_params({"params": tr.params})
+            return evaluator_box["ev"](align_items)
 
     if cfg.test:
         trainer.load_checkpoint(cfg.test, mode="test")

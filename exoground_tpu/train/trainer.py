@@ -318,7 +318,7 @@ class TANTrainer(BaseTrainer):
 
     def fit(self, train_loader, val_loader=None, downstream_eval: Optional[Callable] = None):
         cfg = self.cfg
-        best = -1e5
+        best = self.best_acc  # survives resume (reference checkpoint best_acc)
         for epoch in range(self.start_epoch, cfg.epochs):
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(epoch)
@@ -430,10 +430,12 @@ class EgoExoTrainer(BaseTrainer):
             )[:, :, 0]  # (B,T,C)
             out["ego_video_features_flat"] = gathered
             if "same_view_neg_idxs" in batch and self.cfg.same_view_negative:
+                # gather from the model's INPUT video features (reference
+                # loss_egoexo4d.py:160-162 uses input_data['video_features'],
+                # the same track the loaders computed the indices against)
                 idxs = np.asarray(batch["same_view_neg_idxs"], np.int64)  # (B,T)
-                ego_track = bank[:, 0]  # ego view is row 0
                 out["same_view_neg_feats"] = np.take_along_axis(
-                    ego_track, idxs[..., None], axis=1
+                    out["video_features"], idxs[..., None], axis=1
                 )
         return out
 
@@ -549,7 +551,7 @@ class EgoExoTrainer(BaseTrainer):
         from exoground_tpu.data.sampling import get_phase
 
         cfg = self.cfg
-        best = -1e5
+        best = self.best_acc  # survives resume (reference checkpoint best_acc)
         for epoch in range(self.start_epoch, cfg.epochs):
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(epoch)

