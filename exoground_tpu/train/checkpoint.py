@@ -131,3 +131,14 @@ def restore_into(template, state_dict):
     leaves = [loaded[k] for k in flat_t.keys()]
     treedef = jax.tree_util.tree_structure(template)
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# checkpoint alias registry (reference train/main.py:547-552): short tags map
+# to checkpoint paths so CLIs can say --pretrain <tag>
+MODEL_CARDS: Dict[str, str] = {}
+
+
+def get_model_card(tag: str) -> str:
+    if tag in MODEL_CARDS:
+        print(f"[checkpoint] model card {tag} -> {MODEL_CARDS[tag]}")
+    return MODEL_CARDS.get(tag, tag)

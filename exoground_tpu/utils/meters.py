@@ -65,3 +65,58 @@ class MovingAverage:
     @property
     def avg(self) -> float:
         return sum(self.buf) / max(len(self.buf), 1)
+
+
+def calc_topk_accuracy(scores, target, topk=(1,)):
+    """Top-k accuracies from a (B, C) score matrix + (B,) labels
+    (reference utils/utils.py:89-116), numpy."""
+    import numpy as np
+
+    scores = np.asarray(scores)
+    target = np.asarray(target).reshape(-1)
+    maxk = min(max(topk), scores.shape[1])
+    pred = np.argsort(-scores, axis=1)[:, :maxk]  # (B, maxk)
+    correct = pred == target[:, None]
+    return [float(correct[:, : min(k, maxk)].any(axis=1).mean()) for k in topk]
+
+
+class ConfusionMeter:
+    """Class-confusion counts + per-class precision/recall
+    (reference utils/utils.py:234-300)."""
+
+    def __init__(self, num_class: int):
+        import numpy as np
+
+        self.num_class = num_class
+        self.mat = np.zeros((num_class, num_class), dtype=np.int64)
+
+    def update(self, pred, target):
+        import numpy as np
+
+        for p, t in zip(np.ravel(pred), np.ravel(target)):
+            self.mat[int(p)][int(t)] += 1
+
+    def precision(self):
+        col = self.mat.sum(axis=1)
+        return [self.mat[i, i] / max(col[i], 1) for i in range(self.num_class)]
+
+    def recall(self):
+        row = self.mat.sum(axis=0)
+        return [self.mat[i, i] / max(row[i], 1) for i in range(self.num_class)]
+
+
+def second_to_time(seconds):
+    """[125.0, 61] -> ['02:05', '01:01'] (reference utils/utils.py:324-330)."""
+    out = []
+    for s in seconds:
+        m = int(s // 60)
+        out.append(f"{str(m).zfill(2)}:{str(int(s - m * 60)).zfill(2)}")
+    return out
+
+
+def get_youtube_link(cut_start, vids, num_vis_sample: int = 2):
+    """Debug URLs into source videos (reference utils/utils.py:315-321)."""
+    return [
+        f"https://www.youtube.com/watch?v={vids[i]}&t={int(cut_start[i])}s"
+        for i in range(min(num_vis_sample, len(vids)))
+    ]

@@ -270,3 +270,32 @@ def test_egoexo_trainer_end_to_end(tmp_path):
     payload = json.load(open(res_files[0]))
     assert payload and "metadata" in payload[0]
     trainer.close()
+
+
+def test_small_utils():
+    from exoground_tpu.train.checkpoint import MODEL_CARDS, get_model_card
+    from exoground_tpu.utils.meters import (
+        ConfusionMeter,
+        calc_topk_accuracy,
+        get_youtube_link,
+        second_to_time,
+    )
+
+    scores = np.array([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1], [0.2, 0.3, 0.5]])
+    top1, top2 = calc_topk_accuracy(scores, [1, 0, 1], topk=(1, 2))
+    assert top1 == pytest.approx(2 / 3)
+    assert top2 == pytest.approx(1.0)
+
+    cm = ConfusionMeter(2)
+    cm.update([0, 1, 1], [0, 1, 0])
+    assert cm.mat[1][1] == 1 and cm.mat[1][0] == 1
+    assert cm.precision()[0] == 1.0
+
+    assert second_to_time([125, 61]) == ["02:05", "01:01"]
+    assert get_youtube_link([5, 10], ["abc", "def"]) == [
+        "https://www.youtube.com/watch?v=abc&t=5s",
+        "https://www.youtube.com/watch?v=def&t=10s",
+    ]
+    MODEL_CARDS["tiny"] = "/x/y.pth.tar"
+    assert get_model_card("tiny") == "/x/y.pth.tar"
+    assert get_model_card("/z.pth.tar") == "/z.pth.tar"
