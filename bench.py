@@ -69,7 +69,7 @@ def main():
     evaluator(items)
 
     t0 = time.perf_counter()
-    n_rep = 3
+    n_rep = 5
     for _ in range(n_rep):
         metrics = evaluator(items)
     dt = (time.perf_counter() - t0) / n_rep
