@@ -68,11 +68,14 @@ def main():
     # warmup: compile all (Vmax, Wmax, Npad, Ntot) buckets
     evaluator(items)
 
-    t0 = time.perf_counter()
-    n_rep = 5
-    for _ in range(n_rep):
+    # median over reps: the device tunnel has transient congestion, and a
+    # single slow rep shouldn't misrepresent steady-state throughput
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
         metrics = evaluator(items)
-    dt = (time.perf_counter() - t0) / n_rep
+        times.append(time.perf_counter() - t0)
+    dt = sorted(times)[len(times) // 2]
 
     fps = total_frames / dt
     print(
