@@ -22,3 +22,9 @@ jax.config.update("jax_platforms", "cpu")
 # every run; caching drops full-suite wall time substantially
 jax.config.update("jax_compilation_cache_dir", "/tmp/exoground_jax_cache_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running integration test (subprocess compiles)"
+    )
