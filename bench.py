@@ -1,59 +1,59 @@
-"""Benchmark: HTM-Align overlap-seq alignment-inference throughput per chip.
+"""Benchmark: HTM-Align overlap-seq inference throughput + cotrain step rate.
 
-Metric: video frames (1 fps feature timesteps) aligned per second per chip,
-running the full E6D6 TemporalAligner overlap-seq protocol (the reference's
-headline inference path, eval/eval_zeroshot_align.py:127-205) end-to-end on
-synthetic HTM-like videos: 64 s windows at stride 16, per-window active-text
-selection, batched/padded window inference, canvas stitching, metric math.
+Headline metric: video frames (1 fps feature timesteps) aligned per second per
+chip, running the full E6D6 TemporalAligner overlap-seq protocol (the
+reference's headline inference path, eval/eval_zeroshot_align.py:127-205)
+end-to-end on synthetic HTM-like videos: 64 s windows at stride 16, per-window
+active-text selection, batched/padded window inference, canvas stitching,
+metric math. Also recorded (extra fields in the same JSON line): the E6D6 EMA
+cotrain training-step throughput at the reference's per-device batch size 16
+(train/train_grounding.sh:6-12) with the complete TAN loss (agreement +
+threshold + alignability BCE), since the reference's life is 99% training.
 
-vs_baseline compares against the reference pipeline's estimated throughput on
-an A100 with PyTorch (BASELINE.json north star: >=5x per-chip). The reference
-runs one window per forward at batch 1 through two 6-layer towers in
-sequential python; at a measured-class ~15 ms/window on A100 and 16 new
-frames per window, that is ~1.07k frames/s. REFERENCE_A100_FPS encodes that
-estimate; the driver's recorded value is OUR measured throughput either way.
+vs_baseline derivation (no hardcoded guesses when BASELINE_MEASURED.json is
+present — produce it with `python -m exoground_tpu.tools.baseline_measure`):
+  reference_torch_cpu_fps   measured: the reference's own torch model + its
+                            sequential batch-1 overlap-seq loop on this host
+  reference_a100_fps        = reference_torch_cpu_fps * 30, granting the
+                            baseline a deliberately generous A100-over-one-
+                            Xeon-core factor for latency-bound batch-1
+                            inference (see baseline_measure.py docstring)
+  vs_baseline               = our fps / reference_a100_fps
+If the measured record is missing, falls back to the legacy estimate of
+1067 frames/s (~15 ms/window on A100, 16 new frames per window) and labels
+the output baseline_mode="estimate".
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
-REFERENCE_A100_FPS = 1067.0  # see module docstring; estimate, not measured here
+REFERENCE_A100_FPS_ESTIMATE = 1067.0  # legacy fallback; see module docstring
+TRAIN_BATCH = 16  # reference per-GPU batch, train/train_grounding.sh
+TRAIN_SEQ = 64
+TRAIN_TEXTS = 12
 
 
-def main():
-    import jax
+def _load_measured_baseline():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+        if rec.get("reference_a100_fps_derived"):
+            return rec
+    except (OSError, ValueError):
+        pass
+    return None
 
-    jax.config.update("jax_compilation_cache_dir", "/tmp/exoground_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    import jax.numpy as jnp
 
+def bench_inference(jax, jnp):
     from exoground_tpu.evals import AlignEvalConfig, FusedAlignEvaluator
+    from exoground_tpu.evals.bench_items import make_bench_items
     from exoground_tpu.models import TemporalAligner
 
-    rng = np.random.RandomState(0)
-
-    def make_item(seed, vlen):
-        r = np.random.RandomState(seed)
-        num_text = max(8, int(vlen / 12))
-        aligned = (r.rand(num_text) > 0.5).astype(np.int64)
-        aligned[0], aligned[1] = 1, 0
-        centers = np.sort(r.rand(num_text)) * (vlen - 10) + 5
-        start = np.maximum(centers - r.randint(2, 8, num_text), 0.0)
-        end = np.minimum(centers + r.randint(2, 8, num_text), vlen)
-        return {
-            "video": r.randn(vlen, 1024).astype(np.float32),  # S3D features
-            "start": start,
-            "end": end,
-            "aligned": aligned,
-            "text_embed": r.randn(num_text, 512).astype(np.float32),  # word2vec pooler
-            "vid": f"bench{seed}",
-        }
-
-    # HTM-Align-like eval set: long instructional videos (the real set's mean
-    # length is ~370 s over 80 videos; use 8 x ~600 s for a stable measurement)
-    items = [make_item(s, vlen) for s, vlen in enumerate([520, 640, 580, 700, 610, 560, 660, 590])]
+    items = make_bench_items(video_dim=1024, text_dim=512)
     total_frames = sum(it["video"].shape[0] for it in items)
 
     model = TemporalAligner(num_encoder_layers=6, num_joint_layers=6)
@@ -73,22 +73,106 @@ def main():
     times = []
     for _ in range(5):
         t0 = time.perf_counter()
-        metrics = evaluator(items)
+        evaluator(items)
         times.append(time.perf_counter() - t0)
     dt = sorted(times)[len(times) // 2]
+    return total_frames / dt
 
-    fps = total_frames / dt
+
+def bench_train(jax, jnp):
+    """E6D6 cotrain step at the reference batch size; samples/s/chip."""
+    from exoground_tpu.losses.milnce import TANLossConfig
+    from exoground_tpu.models import TemporalAligner, ema_init
+    from exoground_tpu.parallel import make_mesh, make_tan_train_step, replicate, shard_batch
+    from exoground_tpu.train import make_optimizer
+
+    mesh = make_mesh(1)
+    b, t, n = TRAIN_BATCH, TRAIN_SEQ, TRAIN_TEXTS
+    model = TemporalAligner(
+        num_encoder_layers=6, num_joint_layers=6, use_alignability_head=1
+    )
+    rng = np.random.RandomState(0)
+    video = jnp.asarray(rng.randn(b, t, 1024), jnp.float32)
+    text = jnp.asarray(rng.randn(b, n, 512), jnp.float32)
+    vmask = jnp.zeros((b, t), bool)
+    lmask = jnp.zeros((b, n), bool)
+    start = jnp.asarray(rng.randint(0, t - 8, (b, n)), jnp.float32)
+    end = start + 6.0
+    batch = {
+        "video": video, "text": text,
+        "video_padding_mask": vmask, "text_padding_mask": lmask,
+        "start": start, "end": end,
+        "abs_text_pos": jnp.stack([start / t, end / t], axis=-1),
+    }
+
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "pos": jax.random.PRNGKey(1)},
+        video, text, vmask, lmask, deterministic=False,
+    )["params"]
+    target = ema_init(params)
+    tx = make_optimizer(params, lr=1e-4, total_iterations=1000)
+    opt_state = tx.init(params)
+    cfg = TANLossConfig(
+        model="cotrain", learn_agreement=True, temporal_agreement_type="keep",
+        loss_threshold=0.7, use_alignability_head=True,
+    )
+    step = make_tan_train_step(model, cfg, tx, mesh, ema_momentum=0.999)
+
+    p = replicate(params, mesh)
+    tg = replicate(target, mesh)
+    o = replicate(opt_state, mesh)
+    bs = shard_batch(batch, mesh)
+    key = jax.random.PRNGKey(42)
+
+    for _ in range(3):  # compile + warm caches
+        p, tg, o, m = step(p, tg, o, bs, key)
+    jax.block_until_ready(m["loss"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        p, tg, o, m = step(p, tg, o, bs, key)
+    jax.block_until_ready(m["loss"])
+    dt = time.perf_counter() - t0
+    return b * n_steps / dt, dt / n_steps * 1e3
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/exoground_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+
+    fps = bench_inference(jax, jnp)
+    train_sps, step_ms = bench_train(jax, jnp)
+
+    measured = _load_measured_baseline()
+    if measured:
+        baseline_fps = measured["reference_a100_fps_derived"]
+        extra = {
+            "baseline_mode": "measured",
+            "reference_a100_fps": baseline_fps,
+            "reference_torch_cpu_fps": measured["reference_torch_cpu_fps"],
+            "ours_jax_cpu_fps": measured["ours_jax_cpu_fps"],
+        }
+    else:
+        baseline_fps = REFERENCE_A100_FPS_ESTIMATE
+        extra = {"baseline_mode": "estimate", "reference_a100_fps": baseline_fps}
+
     print(
         json.dumps(
             {
                 "metric": "htm_align_overlap_seq_throughput",
                 "value": round(fps, 1),
                 "unit": "frames_aligned_per_sec_per_chip",
-                "vs_baseline": round(fps / REFERENCE_A100_FPS, 2),
+                "vs_baseline": round(fps / baseline_fps, 2),
+                "train_cotrain_samples_per_sec_per_chip": round(train_sps, 1),
+                "train_cotrain_step_ms": round(step_ms, 2),
+                **extra,
             }
         )
     )
-    return metrics
 
 
 if __name__ == "__main__":
