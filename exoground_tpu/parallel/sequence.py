@@ -11,7 +11,23 @@ generalization of the flash-attention recurrence). Communication per layer is
 (n-1) K/V block transfers fully overlapped with the per-block matmuls by
 XLA's scheduler; activation memory per chip is O(S/n).
 
-Use inside shard_map with the sequence axis sharded:
+Ragged/padded videos ride the same path: key-padding masks shard with the
+sequence and mask inside the online softmax (reference masking semantics,
+model/tfm_model.py:30-32), and the public entry points pad S up to the mesh
+multiple internally.
+
+The joint encoder (video ⊕ text concatenated sequence,
+model/tan_model.py:176-203) sequence-shards too: the video K/V blocks ride
+the ring while the (small) text block is replicated on every shard and folded
+into the online softmax exactly once after the ring completes — attention
+over [all video keys ∪ text keys] stays exact. Text-position queries are
+replicated alongside and see every video block as it passes through the ring,
+so each device holds the complete text output. With that,
+``sequence_parallel_sim`` computes the reference's full global-mode protocol
+(joint + dual similarity, eval/eval_zeroshot_align.py:205-216) at O(S/n)
+memory per chip.
+
+Use ``ring_attention`` inside shard_map with the sequence axis sharded:
 
     mesh = make_mesh(n)
     out = shard_map(
@@ -29,7 +45,7 @@ communication, so full encoders sequence-shard by swapping the attention op.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +57,19 @@ from exoground_tpu.parallel.mesh import DATA_AXIS
 NEG_INF = -1e30
 
 
+def _fold_block(q, kb, vb, mb, stats):
+    """Fold one K/V block into the online-softmax running stats."""
+    m_run, l_run, acc = stats
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, kb)
+    s = jnp.where(mb[:, None, None, :], NEG_INF, s)
+    m_new = jnp.maximum(m_run, jnp.max(s, axis=-1))
+    p = jnp.exp(s - m_new[..., None])
+    corr = jnp.exp(m_run - m_new)
+    l_new = l_run * corr + jnp.sum(p, axis=-1)
+    acc = acc * corr[..., None] + jnp.einsum("bhqk,bhkd->bhqd", p, vb)
+    return m_new, l_new, acc
+
+
 def ring_attention(
     q: jnp.ndarray,  # (B, H, Sq_local, D) this shard's queries
     k: jnp.ndarray,  # (B, H, Skv_local, D) this shard's keys
@@ -48,11 +77,17 @@ def ring_attention(
     key_padding_mask: Optional[jnp.ndarray] = None,  # (B, Skv_local) True=PAD
     axis: str = DATA_AXIS,
     scale: Optional[float] = None,
+    extra_k: Optional[jnp.ndarray] = None,  # (B, H, Ke, D) REPLICATED block
+    extra_v: Optional[jnp.ndarray] = None,
+    extra_mask: Optional[jnp.ndarray] = None,  # (B, Ke) True=PAD
 ) -> jnp.ndarray:
     """Exact softmax(QK^T)V with K/V ring-rotated across the mesh axis.
 
     Must run inside shard_map with the sequence dim of q/k/v (and the mask)
-    sharded over ``axis``. Returns this shard's (B, H, Sq_local, D) output.
+    sharded over ``axis``. The optional extra_k/extra_v block is NOT sharded
+    (every device holds the same copy — e.g. the joint encoder's text block)
+    and is folded into the softmax exactly once after the ring completes.
+    Returns this shard's (B, H, Sq_local, D) output.
     """
     n = jax.lax.axis_size(axis)
     d = q.shape[-1]
@@ -63,20 +98,14 @@ def ring_attention(
         key_padding_mask = jnp.zeros((k.shape[0], k.shape[2]), dtype=bool)
 
     def block(carry, _):
-        (kb, vb, mb), (m_run, l_run, acc) = carry
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, kb)
-        s = jnp.where(mb[:, None, None, :], NEG_INF, s)
-        m_new = jnp.maximum(m_run, jnp.max(s, axis=-1))
-        p = jnp.exp(s - m_new[..., None])
-        corr = jnp.exp(m_run - m_new)
-        l_new = l_run * corr + jnp.sum(p, axis=-1)
-        acc = acc * corr[..., None] + jnp.einsum("bhqk,bhkd->bhqd", p, vb)
+        (kb, vb, mb), stats = carry
+        stats = _fold_block(q, kb, vb, mb, stats)
         # rotate K/V/mask one step around the ring
         perm = [(i, (i + 1) % n) for i in range(n)]
         kb = jax.lax.ppermute(kb, axis, perm)
         vb = jax.lax.ppermute(vb, axis, perm)
         mb = jax.lax.ppermute(mb, axis, perm)
-        return ((kb, vb, mb), (m_new, l_new, acc)), None
+        return ((kb, vb, mb), stats), None
 
     b, h, sq, _ = q.shape
     init_stats = (
@@ -84,9 +113,17 @@ def ring_attention(
         jnp.zeros((b, h, sq), q.dtype),
         jnp.zeros((b, h, sq, d), q.dtype),
     )
-    (_, (m_fin, l_fin, acc)), _ = jax.lax.scan(
+    (_, stats), _ = jax.lax.scan(
         block, ((k, v, key_padding_mask), init_stats), None, length=n
     )
+    if extra_k is not None:
+        em = (
+            jnp.zeros((extra_k.shape[0], extra_k.shape[2]), dtype=bool)
+            if extra_mask is None
+            else extra_mask
+        )
+        stats = _fold_block(q, extra_k, extra_v, em, stats)
+    _, l_fin, acc = stats
     return acc / jnp.maximum(l_fin, 1e-30)[..., None]
 
 
@@ -96,24 +133,46 @@ def _ln(p, x, eps=1e-5):
     return p["scale"] * (x - mu) / jnp.sqrt(var + eps) + p["bias"]
 
 
-def _encoder_layer_ring(p, x, heads, axis):
+def _heads_first(t, heads):
+    b, s, c = t.shape
+    return t.reshape(b, s, heads, c // heads).transpose(0, 2, 1, 3)
+
+
+def _encoder_layer_ring(
+    p,
+    x,
+    heads,
+    axis,
+    key_padding_mask=None,  # (B, S_local) True=PAD, sharded with x
+    n_ring=None,  # rows of x riding the ring; the rest are a replicated block
+    extra_mask=None,  # (B, S_extra) mask for the replicated tail block
+):
     """One pre-LN encoder block (ops/blocks.ResidualAttentionBlock math) with
-    the self-attention replaced by ring attention over ``axis``."""
+    the self-attention replaced by ring attention over ``axis``.
+
+    When ``n_ring`` is set, x is a concatenation [ring part ⊕ replicated
+    part] along the sequence: the first n_ring positions' K/V ride the ring
+    (sharded over devices) while the tail block (identical on every device —
+    the joint encoder's text tokens) folds in once. All positions are queries.
+    """
     c = x.shape[-1]
     d = c // heads
     xn = _ln(p["ln_1"], x)
     qkv = xn @ p["attn"]["in_proj_kernel"] + p["attn"]["in_proj_bias"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
+    q, k, v = (_heads_first(t, heads) for t in (q, k, v))
 
-    def heads_first(t):
-        b, s, _ = t.shape
-        return t.reshape(b, s, heads, d).transpose(0, 2, 1, 3)
-
-    o = ring_attention(
-        heads_first(q), heads_first(k), heads_first(v),
-        key_padding_mask=jnp.zeros((x.shape[0], x.shape[1]), bool),
-        axis=axis, scale=d ** -0.5,
-    )
+    if key_padding_mask is None:
+        key_padding_mask = jnp.zeros((x.shape[0], x.shape[1]), bool)
+    if n_ring is None:
+        o = ring_attention(q, k, v, key_padding_mask, axis=axis, scale=d ** -0.5)
+    else:
+        o = ring_attention(
+            q, k[:, :, :n_ring], v[:, :, :n_ring],
+            key_padding_mask[:, :n_ring], axis=axis, scale=d ** -0.5,
+            extra_k=k[:, :, n_ring:], extra_v=v[:, :, n_ring:],
+            extra_mask=extra_mask,
+        )
     b, _, s, _ = o.shape
     o = o.transpose(0, 2, 1, 3).reshape(b, s, c)
     x = x + o @ p["attn"]["out_proj_kernel"] + p["attn"]["out_proj_bias"]
@@ -124,59 +183,143 @@ def _encoder_layer_ring(p, x, heads, axis):
     return x + h
 
 
-def sequence_parallel_dual_sim(
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _l2n(x):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
+
+
+def sequence_parallel_sim(
     params,  # TemporalAligner params (flax tree)
-    video: jnp.ndarray,  # (B, S, Dv) FULL video, S divisible by mesh size
+    video: jnp.ndarray,  # (B, S, Dv) FULL video (any S; padded internally)
     text_embed: jnp.ndarray,  # (K, Dt) query texts
+    mesh,
+    num_encoder_layers: int,
+    num_joint_layers: int = 0,
+    heads: int = 8,
+    axis: str = DATA_AXIS,
+    interpolate_from: Optional[int] = None,
+    video_padding_mask: Optional[jnp.ndarray] = None,  # (B, S) True=PAD
+    text_padding_mask: Optional[jnp.ndarray] = None,  # (B, K) True=PAD
+    use_text_pos_enc: bool = False,
+) -> Dict[str, jnp.ndarray]:
+    """Global-mode similarity over a sequence-sharded video: dual + joint.
+
+    The reference's 'global' inference (eval_zeroshot_align.py:205-216) runs
+    one pass over the whole video and averages joint and dual similarity —
+    bounded on one device by the quadratic attention. Here the time axis
+    shards over the mesh: projections / LNs / MLPs are position-wise (local),
+    video self-attention rides the ring, and the joint encoder replicates the
+    small text block on every shard (folded once into each ring softmax).
+    Returns {'dual-sim': (B, S, K)[, 'sim': (B, S, K) joint]} — the same
+    numbers as models.TemporalAligner.text_visual_sim's last-stage outputs,
+    at O(S/n) memory per chip. num_joint_layers=0 skips the joint tower.
+
+    Ragged inputs: S is padded up to the mesh multiple internally and pad
+    positions are key-masked, so any real video length works.
+    """
+    from exoground_tpu.ops.pos_embed import slice_or_interpolate_pos_embed
+
+    n = mesh.devices.size
+    b, s, _ = video.shape
+    k = text_embed.shape[0]
+    s_pad = _round_up(max(s, n), n)
+    if video_padding_mask is None:
+        video_padding_mask = jnp.zeros((b, s), dtype=bool)
+    if s_pad != s:
+        video = jnp.pad(video, ((0, 0), (0, s_pad - s), (0, 0)))
+        video_padding_mask = jnp.pad(
+            video_padding_mask, ((0, 0), (0, s_pad - s)), constant_values=True
+        )
+    tmask = (
+        jnp.zeros((b, k), dtype=bool)
+        if text_padding_mask is None
+        else jnp.broadcast_to(text_padding_mask, (b, k))
+    )
+
+    pos = slice_or_interpolate_pos_embed(
+        params["temporal_pos_embed"], s_pad, interpolate_from, 0
+    )  # (S_pad, C) — computed globally, sharded with the video below
+    text_pos = None
+    if use_text_pos_enc:
+        text_pos = slice_or_interpolate_pos_embed(
+            params["text_temporal_pos_embed"], k, None, 0
+        )
+
+    enc = params["video_temporal_encoder"]
+    text_rep = jnp.broadcast_to(text_embed[None], (b, k, text_embed.shape[1]))
+
+    def local_fn(video_blk, vmask_blk, pos_blk, text, tmask_):
+        # frozen text side (position-wise, replicated on every shard)
+        t_raw = _ln(params["ln_text_init"], text @ params["text_pre_proj"]["kernel"])
+
+        xv = video_blk @ params["video_pre_proj"]["kernel"]
+        xv = _ln(params["ln_video_init"], xv)
+        xv = xv + _ln(params["ln_position_init"], pos_blk)[None]
+
+        # dual tower: ring self-attention over the sharded time axis
+        x = xv
+        for i in range(num_encoder_layers):
+            x = _encoder_layer_ring(
+                enc[f"resblocks_{i}"], x, heads, axis, key_padding_mask=vmask_blk
+            )
+        x = _l2n(_ln(params["ln_video_post_enc"], x))
+        out = {"dual-sim": jnp.einsum("bsc,bkc->bsk", x, _l2n(t_raw))}
+
+        if num_joint_layers:
+            # joint tower: [video_local ⊕ text_replicated]; text K/V fold once
+            t_j = t_raw
+            if text_pos is not None:
+                t_j = t_j + _ln(params["ln_position_init"], text_pos)[None]
+            sl = xv.shape[1]
+            xj = jnp.concatenate([xv, t_j], axis=1)
+            jmask = jnp.concatenate([vmask_blk, tmask_], axis=1)
+            jenc = params["joint_temporal_encoder"]
+            for i in range(num_joint_layers):
+                xj = _encoder_layer_ring(
+                    jenc[f"resblocks_{i}"], xj, heads, axis,
+                    key_padding_mask=jmask, n_ring=sl, extra_mask=tmask_,
+                )
+            xj = _ln(params["ln_joint_post_enc"], xj)
+            jv, jt = _l2n(xj[:, :sl]), _l2n(xj[:, sl:])
+            out["sim"] = jnp.einsum("bsc,bkc->bsk", jv, jt)
+        return out
+
+    out_specs = {"dual-sim": P(None, axis, None)}
+    if num_joint_layers:
+        out_specs["sim"] = P(None, axis, None)
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, axis), P(axis, None), P(), P()),
+        out_specs=out_specs,
+        check_vma=False,
+    )
+    res = fn(video, video_padding_mask, pos, text_rep, tmask)
+    return {key: val[:, :s] for key, val in res.items()}
+
+
+def sequence_parallel_dual_sim(
+    params,
+    video: jnp.ndarray,  # (B, S, Dv)
+    text_embed: jnp.ndarray,  # (K, Dt)
     mesh,
     num_layers: int,
     heads: int = 8,
     axis: str = DATA_AXIS,
     interpolate_from: Optional[int] = None,
+    video_padding_mask: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Global-mode dual-encoder similarity over a sequence-sharded video.
-
-    The reference's 'global' inference (eval_zeroshot_align.py:207-216) runs
-    one pass over the whole video — bounded on one device by the quadratic
-    attention. Here the time axis shards over the mesh: projections / LNs /
-    MLPs are position-wise (local), attention rides the ring, and the result
-    is the exact last-stage dual similarity (B, S, K) — the same numbers as
-    models.TemporalAligner.text_visual_sim's ``dual-sim[:, -1]``, at O(S/n)
-    memory per chip. Scales the reference's 4096-frame pos-table limit to
-    arbitrary lengths via interpolation.
-    """
-    from exoground_tpu.ops.pos_embed import slice_or_interpolate_pos_embed
-
-    s = video.shape[1]
-    pos = slice_or_interpolate_pos_embed(
-        params["temporal_pos_embed"], s, interpolate_from, 0
-    )  # (S, C) — computed globally, sharded with the video below
-
-    # frozen text side (position-wise, replicated)
-    t = text_embed @ params["text_pre_proj"]["kernel"]
-    t = _ln(params["ln_text_init"], t)
-    t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-8)
-
-    enc = params["video_temporal_encoder"]
-
-    def local_fn(video_blk, pos_blk):
-        x = video_blk @ params["video_pre_proj"]["kernel"]
-        x = _ln(params["ln_video_init"], x)
-        x = x + _ln(params["ln_position_init"], pos_blk)[None]
-        for i in range(num_layers):
-            x = _encoder_layer_ring(enc[f"resblocks_{i}"], x, heads, axis)
-        x = _ln(params["ln_video_post_enc"], x)
-        x = x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
-        return jnp.einsum("bsc,kc->bsk", x, t)
-
-    fn = shard_map(
-        local_fn,
-        mesh=mesh,
-        in_specs=(P(None, axis, None), P(axis, None)),
-        out_specs=P(None, axis, None),
-        check_vma=False,
-    )
-    return fn(video, pos)
+    """Dual-tower-only global similarity (compat wrapper over
+    sequence_parallel_sim): exact last-stage dual sim (B, S, K)."""
+    return sequence_parallel_sim(
+        params, video, text_embed, mesh,
+        num_encoder_layers=num_layers, num_joint_layers=0, heads=heads,
+        axis=axis, interpolate_from=interpolate_from,
+        video_padding_mask=video_padding_mask,
+    )["dual-sim"]
 
 
 def sequence_sharded_self_attention(

@@ -203,3 +203,91 @@ def test_sequence_parallel_dual_sim_matches_model():
         params, video, text[0], make_mesh(8), num_layers=2, heads=4,
     )
     np.testing.assert_allclose(np.asarray(sim), np.asarray(ref), atol=3e-5)
+
+
+def test_sequence_parallel_ragged_padded_video():
+    """A ragged video (length NOT divisible by the mesh, real tail padding)
+    rides the ring path: masks shard with the sequence and S pads up to the
+    mesh multiple internally (VERDICT r1 #5). Parity vs the model path."""
+    from exoground_tpu.models import TemporalAligner
+    from exoground_tpu.parallel import make_mesh
+    from exoground_tpu.parallel.sequence import sequence_parallel_dual_sim
+
+    rng = np.random.RandomState(7)
+    b, s, k, dv, dt, w = 2, 100, 4, 24, 16, 32  # 100 % 8 != 0
+    model = TemporalAligner(
+        num_encoder_layers=2, num_joint_layers=2, width=w, heads=4,
+        max_pos=256, attn_impl="xla",
+    )
+    video = jnp.asarray(rng.randn(b, s, dv), jnp.float32)
+    # one shared text set broadcast over the batch (the global-eval shape)
+    text = jnp.broadcast_to(
+        jnp.asarray(rng.randn(1, k, dt), jnp.float32), (b, k, dt)
+    )
+    # second video is shorter: last 17 frames are padding
+    vmask = jnp.zeros((b, s), bool).at[1, -17:].set(True)
+    params = model.init(
+        jax.random.PRNGKey(0), video, text, vmask, jnp.zeros((b, k), bool)
+    )["params"]
+
+    ref = model.apply(
+        {"params": params}, video, text, video_padding_mask=vmask,
+        method=TemporalAligner.text_visual_sim,
+    )["dual-sim"][:, -1]  # (B, S, K)
+
+    sim = sequence_parallel_dual_sim(
+        params, video, text[0], make_mesh(8), num_layers=2, heads=4,
+        video_padding_mask=vmask,
+    )
+    valid = ~np.asarray(vmask)
+    np.testing.assert_allclose(
+        np.asarray(sim)[valid], np.asarray(ref)[valid], atol=3e-5
+    )
+
+
+def test_sequence_parallel_joint_sim_matches_model():
+    """Sequence-parallel JOINT mode (VERDICT r1 #6): the joint encoder's text
+    block replicates on every shard, video K/V ride the ring — result matches
+    TemporalAligner.text_visual_sim's joint output, so global-mode inference
+    can compute the reference protocol's (joint + dual) / 2
+    (eval/eval_zeroshot_align.py:205-216)."""
+    from exoground_tpu.models import TemporalAligner
+    from exoground_tpu.parallel import make_mesh
+    from exoground_tpu.parallel.sequence import sequence_parallel_sim
+
+    rng = np.random.RandomState(3)
+    b, s, k, dv, dt, w = 2, 120, 5, 24, 16, 32  # 120 % 8 = 0 but masked ragged
+    model = TemporalAligner(
+        num_encoder_layers=2, num_joint_layers=3, width=w, heads=4,
+        max_pos=256, attn_impl="xla",
+    )
+    video = jnp.asarray(rng.randn(b, s, dv), jnp.float32)
+    text = jnp.broadcast_to(
+        jnp.asarray(rng.randn(1, k, dt), jnp.float32), (b, k, dt)
+    )
+    vmask = jnp.zeros((b, s), bool).at[0, -11:].set(True)
+    tmask = jnp.zeros((b, k), bool).at[1, -2:].set(True)
+    params = model.init(
+        jax.random.PRNGKey(0), video, text, vmask, tmask
+    )["params"]
+
+    ref = model.apply(
+        {"params": params}, video, text,
+        video_padding_mask=vmask, lang_padding_mask=tmask,
+        method=TemporalAligner.text_visual_sim,
+    )
+
+    out = sequence_parallel_sim(
+        params, video, text[0], make_mesh(8),
+        num_encoder_layers=2, num_joint_layers=3, heads=4,
+        video_padding_mask=vmask, text_padding_mask=tmask,
+    )
+    valid = ~np.asarray(vmask)
+    np.testing.assert_allclose(
+        np.asarray(out["dual-sim"])[valid],
+        np.asarray(ref["dual-sim"][:, -1])[valid], atol=3e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["sim"])[valid],
+        np.asarray(ref["sim"][:, -1])[valid], atol=3e-5,
+    )
