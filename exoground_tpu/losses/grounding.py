@@ -112,6 +112,9 @@ def view_invariant_loss(
         "per_step_l1": l1_map,
         "per_step_pos_cos": pos_cos,
         "per_step_neg_cos": neg_cos,
+        # full NCE map: lets the sharded eval step recompute row-masked means
+        # exactly under dummy-row padding (parallel/train_step.py eval steps)
+        "per_step_nce": nce_map,
     }
     # the reference leaves total_loss undefined when use_distill_nce_loss is
     # off (loss_egoexo4d.py:195-198 would crash); we always train the InfoNCE

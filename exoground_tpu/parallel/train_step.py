@@ -205,6 +205,146 @@ def make_s3d_nce_step(
     return jax.jit(step, donate_argnums=(0, 2))
 
 
+# VI scalar metrics are means over (B, T) timesteps; the sharded eval step
+# recomputes them from these per-step maps with the row-valid mask so that
+# dummy padding rows (batch padded to the mesh multiple) are excluded exactly.
+_VI_SCALAR_MAPS = {
+    "L1 loss": "per_step_l1",
+    "Pos cosine sim": "per_step_pos_cos",
+    "Avg neg cosine sim": "per_step_neg_cos",
+    "InfoNCE loss": "per_step_nce",
+}
+
+
+def make_grounding_eval_step(
+    model, loss_cfg: GroundingLossConfig, mesh
+) -> Callable:
+    """Sharded val/test step: the test set splits over the mesh like the
+    reference's DistributedSampler eval (main_egoexo4d_distributed.py:533-540)
+    with the per-rank meters replaced by in-graph psum reduction.
+
+    eval_step(params, batch) -> (scalars, ious)
+      batch rows are sharded over the mesh; an optional 'row_valid' (B,) mask
+      marks dummy padding rows (the trainer pads B up to the mesh multiple).
+      Dummy rows must carry an all-True narration_padding_mask. scalars are
+      EXACT global values: per-narration metrics aggregate as
+      psum(sum)/psum(count) over valid narrations; VI metrics recompute from
+      the per-step maps with the row mask. ious is the full (B, N) map for
+      host-side per-camera-rank binning. scalars['_n_valid'] / ['_rows'] carry
+      the global meter weights.
+    """
+    vi_mode = loss_cfg.model == "view_invariant"
+    joint = loss_cfg.model == "joint" and loss_cfg.use_distill_nce_loss
+
+    def local_eval(params, batch):
+        b = batch["video_features"].shape[0]
+        rv = batch.get("row_valid", jnp.ones((b,), jnp.float32)).astype(jnp.float32)
+        out = model.apply(
+            {"params": params},
+            batch["video_features"], batch["narration_features"],
+            batch["video_padding_mask"], batch["narration_padding_mask"],
+            audio_embed=batch.get("audio_features"),
+            audio_padding_mask=batch.get("audio_padding_mask"),
+            egocentric_video_embed=batch.get("ego_video_features_flat"),
+            view_mask=batch.get("view_mask"),
+            deterministic=True,
+        )
+        ld, ious = egoexo_loss(out, batch, batch["narration_padding_mask"], loss_cfg)
+
+        nvalid = jnp.sum(
+            (~batch["narration_padding_mask"]).astype(jnp.float32) * rv[:, None]
+        )
+        rows = jnp.sum(rv)
+
+        # (weighted_sum, weight) per metric; psum'd below for exact globals
+        pairs: Dict[str, tuple] = {}
+        for k, mapk in _VI_SCALAR_MAPS.items():
+            if mapk in ld and (vi_mode or joint):
+                m = ld[mapk]  # (B, T)
+                pairs[k] = (jnp.sum(m * rv[:, None]), rows * m.shape[1])
+        if vi_mode:
+            m = ld["per_step_nce"]
+            pairs["loss"] = (jnp.sum(m * rv[:, None]), rows * m.shape[1])
+        else:
+            # grounding scalars are masked means over the shared narration-
+            # valid mask (dummy rows excluded by their all-pad narrations):
+            # sum = mean * local_valid_count is exact
+            for k, v in _scalars(ld).items():
+                if k in _VI_SCALAR_MAPS or k == "loss":
+                    continue
+                pairs[k] = (v * nvalid, nvalid)
+            if joint:
+                gnd_loss = ld["loss"] - ld["InfoNCE loss"]
+                pairs["_gnd_loss"] = (gnd_loss * nvalid, nvalid)
+            else:
+                pairs["loss"] = (ld["loss"] * nvalid, nvalid)
+
+        agg = {
+            k: jax.lax.psum(num, DATA_AXIS)
+            / jnp.maximum(jax.lax.psum(den, DATA_AXIS), 1e-6)
+            for k, (num, den) in pairs.items()
+        }
+        if joint:
+            agg["loss"] = agg.pop("_gnd_loss") + agg["InfoNCE loss"]
+        agg["_n_valid"] = jax.lax.psum(nvalid, DATA_AXIS)
+        agg["_rows"] = jax.lax.psum(rows, DATA_AXIS)
+        return agg, ious
+
+    step = shard_map(
+        local_eval,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=(P(), P(DATA_AXIS)),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+def make_tan_eval_step(
+    model, loss_cfg: TANLossConfig, mesh, is_cotrain: bool = False
+) -> Callable:
+    """Sharded TAN validation step: rows split over the mesh; each shard's
+    MIL-NCE grid is its local rows (the reference's per-rank DDP eval
+    semantics — contrastive negatives never cross ranks, SURVEY.md §5), and
+    per-shard losses reduce as a row-weighted psum mean. Batch rows must be
+    divisible by the mesh size (the trainer wraps the ragged tail like the
+    reference's DistributedSampler pad-by-repeat).
+    """
+
+    def local_eval(params, batch):
+        out = model.apply(
+            {"params": params},
+            batch["video"], batch["text"],
+            batch["video_padding_mask"], batch["text_padding_mask"],
+            deterministic=True,
+        )
+        if is_cotrain:  # eval has no EMA pass; agreement from online
+            out = {**out, "ema-logits_dual": out["logits_dual"],
+                   "ema-logits_joint": out["logits_joint"]}
+        ld = tan_loss(
+            batch["start"], batch["end"], out,
+            batch["video_padding_mask"], batch["text_padding_mask"],
+            loss_cfg, abs_text_pos=batch.get("abs_text_pos"),
+        )
+        rows = jnp.asarray(batch["video"].shape[0], jnp.float32)
+        agg = {
+            k: jax.lax.psum(v * rows, DATA_AXIS)
+            / jnp.maximum(jax.lax.psum(rows, DATA_AXIS), 1e-6)
+            for k, v in _scalars(ld).items()
+        }
+        agg["_rows"] = jax.lax.psum(rows, DATA_AXIS)
+        return agg
+
+    step = shard_map(
+        local_eval,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
 def make_grounding_train_step(
     model,
     loss_cfg: GroundingLossConfig,

@@ -30,12 +30,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from exoground_tpu.losses.grounding import GroundingLossConfig, egoexo_loss
-from exoground_tpu.losses.milnce import TANLossConfig, tan_loss
+from exoground_tpu.losses.grounding import GroundingLossConfig
+from exoground_tpu.losses.milnce import TANLossConfig
 from exoground_tpu.models.ema import ema_init
 from exoground_tpu.parallel.mesh import make_mesh, replicate, shard_batch
 from exoground_tpu.parallel.train_step import (
+    make_grounding_eval_step,
     make_grounding_train_step,
+    make_tan_eval_step,
     make_tan_train_step,
 )
 from exoground_tpu.train.checkpoint import (
@@ -152,6 +154,38 @@ class BaseTrainer:
                 yield buf.pop(0)
         while buf:
             yield buf.pop(0)
+
+    def _pad_rows(self, batch: Dict, mode: str = "zeros") -> Dict:
+        """Pad batch rows up to the mesh multiple for the sharded eval step.
+
+        mode='zeros': dummy rows with all-pad narrations + row_valid mask
+        (exactly excluded from grounding metrics). mode='wrap': repeat real
+        rows (the reference DistributedSampler's pad-by-repeat — needed for
+        TAN whose contrastive grid couples rows within a shard)."""
+        ndev = self.mesh.devices.size
+        b = next(iter(batch.values())).shape[0]
+        b_pad = -(-b // ndev) * ndev
+        if b_pad == b:
+            if mode == "zeros":
+                batch = dict(batch)
+                batch["row_valid"] = np.ones(b, np.float32)
+            return batch
+        out = {}
+        for k, v in batch.items():
+            v = np.asarray(v)
+            if mode == "wrap":
+                reps = np.concatenate([v] * (-(-b_pad // b)), axis=0)[:b_pad]
+                out[k] = reps
+            else:
+                pad = np.zeros((b_pad - b,) + v.shape[1:], v.dtype)
+                if k == "narration_padding_mask":
+                    pad = np.ones_like(pad)  # dummy rows: every narration padded
+                out[k] = np.concatenate([v, pad], axis=0)
+        if mode == "zeros":
+            out["row_valid"] = np.concatenate(
+                [np.ones(b, np.float32), np.zeros(b_pad - b, np.float32)]
+            )
+        return out
 
     def _log(self, metrics: Dict, prefix: str):
         if self.writer is None:
@@ -286,32 +320,21 @@ class TANTrainer(BaseTrainer):
         return meters["Loss"].avg
 
     def evaluate(self, loader: Iterable[Dict], epoch: int) -> float:
+        """Validation sharded over the mesh (reference DistributedSampler eval
+        semantics: rows split across devices, per-shard contrastive grids,
+        ragged tails padded by repeating rows; main_egoexo4d_distributed.py:
+        533-540). One jitted shard_map per val sweep, metrics psum'd in-graph."""
         if self._eval_step is None:
-            def eval_fn(params, batch):
-                out = self.model.apply(
-                    {"params": params},
-                    batch["video"], batch["text"],
-                    batch["video_padding_mask"], batch["text_padding_mask"],
-                    deterministic=True,
-                )
-                if self.is_cotrain:  # eval has no EMA pass; agreement from online
-                    out = {**out, "ema-logits_dual": out["logits_dual"],
-                           "ema-logits_joint": out["logits_joint"]}
-                ld = tan_loss(
-                    batch["start"], batch["end"], out,
-                    batch["video_padding_mask"], batch["text_padding_mask"],
-                    self.loss_cfg, abs_text_pos=batch.get("abs_text_pos"),
-                )
-                return {k: v for k, v in ld.items() if getattr(v, "ndim", 1) == 0}
-
-            self._eval_step = jax.jit(eval_fn)
+            self._eval_step = make_tan_eval_step(
+                self.model, self.loss_cfg, self.mesh, is_cotrain=self.is_cotrain
+            )
         meter = AverageMeter("Loss", ":.4f")
         for raw in loader:
-            batch = self.prepare_batch(raw)
-            ld = self._eval_step(self.params, batch)
+            batch = self._pad_rows(self.prepare_batch(raw), mode="wrap")
+            ld = self._eval_step(self.params, shard_batch(batch, self.mesh))
             loss = float(ld["loss"])
             if _finite(loss):
-                meter.update(loss, batch["video"].shape[0])
+                meter.update(loss, int(ld["_rows"]))
         if self.writer:
             self.writer.add_data("val/loss", meter.avg, epoch)
         return meter.avg
@@ -477,39 +500,35 @@ class EgoExoTrainer(BaseTrainer):
         return meters["Loss"].avg
 
     def evaluate(self, loader, epoch: int, test: bool = False):
-        """Val/test pass: loss + IoU meters (+ per-camera-rank IoU binning and
+        """Val/test pass sharded over the mesh: rows split across devices
+        (reference DistributedSampler test sharding + per-rank meters,
+        main_egoexo4d_distributed.py:533-540,750-777), metrics psum'd exactly
+        in-graph; ragged tails pad with fully-masked dummy rows. Host side
+        keeps loss + IoU meters (+ per-camera-rank IoU binning and
         test_results json at test, reference :239-357)."""
         if self._eval_step is None:
-            def eval_fn(params, batch):
-                out = self.model.apply(
-                    {"params": params},
-                    batch["video_features"], batch["narration_features"],
-                    batch["video_padding_mask"], batch["narration_padding_mask"],
-                    deterministic=True, **self._model_inputs(batch),
-                )
-                ld, ious = egoexo_loss(
-                    out, batch, batch["narration_padding_mask"], self.loss_cfg
-                )
-                scalars = {
-                    k: v for k, v in ld.items() if getattr(v, "ndim", 1) == 0
-                }
-                return scalars, ious
-
-            self._eval_step = jax.jit(eval_fn)
+            self._eval_step = make_grounding_eval_step(
+                self.model, self.loss_cfg, self.mesh
+            )
         meters: Dict[str, AverageMeter] = {}
         loss_meter = AverageMeter("Loss", ":.4f")
         rank_iou: Dict[str, List[float]] = {}
         save_list = []
         for raw in loader:
             batch = self.prepare_batch(raw)
-            scalars, ious = self._eval_step(self.params, batch)
             b = batch["video_features"].shape[0]
-            n_valid = int((~batch["narration_padding_mask"]).sum())
+            padded = self._pad_rows(batch, mode="zeros")
+            scalars, ious = self._eval_step(
+                self.params, shard_batch(padded, self.mesh)
+            )
+            scalars = {k: float(v) for k, v in scalars.items()}
+            n_valid = int(scalars.pop("_n_valid"))
+            scalars.pop("_rows")  # meter weight stays the real row count b
             for k, v in scalars.items():
                 m = meters.setdefault(k, AverageMeter(k, ":.4f"))
-                m.update(float(v), n_valid if k.startswith("IoU>=") else b)
-            loss_meter.update(float(scalars["loss"]), b)
-            ious_np = np.asarray(ious)
+                m.update(v, n_valid if k.startswith("IoU>=") else b)
+            loss_meter.update(scalars["loss"], b)
+            ious_np = np.asarray(ious)[:b]
             if test and self.cfg.model in ("grounding", "joint"):
                 meta = raw.get("metadata", {})
                 save_list.append({
