@@ -31,6 +31,24 @@ def _scalars(d: Dict) -> Dict:
     return {k: v for k, v in d.items() if getattr(v, "ndim", None) == 0}
 
 
+def _batch_text(batch: Dict, text_tower_params) -> jnp.ndarray:
+    """Text features for the TAN steps: precomputed 'text' arrays pass
+    through; otherwise the frozen word2vec tower embeds 'token' ids INSIDE
+    the jitted step (reference in-model text tower semantics,
+    train/main.py:166-184) — no host round-trip per batch."""
+    if "text" in batch:
+        return batch["text"]
+    from exoground_tpu.models.word2vec import word2vec_forward
+
+    tok = batch["token"]
+    b, n, l = tok.shape
+    tok2 = tok.reshape(b * n, l)
+    emb = word2vec_forward(
+        text_tower_params, tok2, (tok2 != 0).astype(jnp.int32)
+    )["pooler_output"]
+    return emb.reshape(b, n, -1)
+
+
 def make_tan_train_step(
     model,
     loss_cfg: TANLossConfig,
@@ -38,6 +56,7 @@ def make_tan_train_step(
     mesh,
     ema_momentum: Optional[float] = None,
     gather_negatives: bool = False,
+    text_tower_params=None,
 ) -> Callable:
     """Build the jitted TAN train step.
 
@@ -48,17 +67,20 @@ def make_tan_train_step(
     [, abs_text_pos]; leading dim sharded over the mesh. target_params is the
     EMA twin (pass params when not cotraining); EMA update runs fused in the
     same computation every step when ema_momentum is set (the trainer controls
-    cadence by passing ema_momentum=None steps).
+    cadence by passing ema_momentum=None steps). When ``text_tower_params``
+    (frozen word2vec) is given, batches may carry 'token' (B, N, L) ids
+    instead of 'text' features — the tower runs inside the step on device.
     """
     cotrain = loss_cfg.model == "cotrain"
 
     def local_step(params, target_params, opt_state, batch, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        text = _batch_text(batch, text_tower_params)
 
         def loss_fn(p):
             out = model.apply(
                 {"params": p},
-                batch["video"], batch["text"],
+                batch["video"], text,
                 batch["video_padding_mask"], batch["text_padding_mask"],
                 deterministic=False, rngs={"pos": rng},
             )
@@ -68,7 +90,7 @@ def make_tan_train_step(
             if cotrain:
                 ema_out = model.apply(
                     {"params": target_params},
-                    batch["video"], batch["text"],
+                    batch["video"], text,
                     batch["video_padding_mask"], batch["text_padding_mask"],
                     deterministic=True,
                 )
@@ -301,7 +323,8 @@ def make_grounding_eval_step(
 
 
 def make_tan_eval_step(
-    model, loss_cfg: TANLossConfig, mesh, is_cotrain: bool = False
+    model, loss_cfg: TANLossConfig, mesh, is_cotrain: bool = False,
+    text_tower_params=None,
 ) -> Callable:
     """Sharded TAN validation step: rows split over the mesh; each shard's
     MIL-NCE grid is its local rows (the reference's per-rank DDP eval
@@ -312,9 +335,10 @@ def make_tan_eval_step(
     """
 
     def local_eval(params, batch):
+        text = _batch_text(batch, text_tower_params)
         out = model.apply(
             {"params": params},
-            batch["video"], batch["text"],
+            batch["video"], text,
             batch["video_padding_mask"], batch["text_padding_mask"],
             deterministic=True,
         )

@@ -202,10 +202,13 @@ class BaseTrainer:
 class TANTrainer(BaseTrainer):
     """MIL-NCE alignment training (reference train/main.py).
 
-    model: models.TemporalAligner (flax). text_tower: optional
-    Word2VecModel-like callable mapping token ids -> pooler features; when
-    None, batches must already carry 'text' feature arrays (e.g. the
-    EgoExo4D-TAN loader's narration features projected to 512-d upstream).
+    model: models.TemporalAligner (flax). text_tower: optional frozen
+    word2vec tower — a models.word2vec.Word2VecModel or a raw params pytree.
+    When given, batches carry 'token' (B, N, L) ids and the tower runs INSIDE
+    the jitted train/eval steps on device (the reference's in-model text
+    tower, train/main.py:166-184) — tokens are the only text payload crossing
+    the host boundary. When None, batches must already carry 'text' feature
+    arrays (e.g. the EgoExo4D-TAN loader's narration features).
     """
 
     def __init__(
@@ -220,6 +223,10 @@ class TANTrainer(BaseTrainer):
         super().__init__(cfg, mesh)
         self.model = model
         self.text_tower = text_tower
+        self._tower_params = (
+            getattr(text_tower, "params", text_tower)
+            if text_tower is not None else None
+        )
         self.loss_cfg = TANLossConfig(
             model=cfg.model,
             sim=cfg.sim,
@@ -229,9 +236,22 @@ class TANTrainer(BaseTrainer):
             use_alignability_head=bool(cfg.use_alignability_head),
         )
         batch = self.prepare_batch(sample_batch)
+        if "text" in batch:
+            init_text = batch["text"]
+        else:  # tokens: one host-side tower pass just for shape inference
+            from exoground_tpu.models.word2vec import word2vec_forward
+
+            tok = np.asarray(batch["token"])
+            b, n, l = tok.shape
+            t2 = tok.reshape(b * n, l)
+            init_text = np.asarray(
+                word2vec_forward(self._tower_params, t2, (t2 != 0).astype(np.int32))[
+                    "pooler_output"
+                ]
+            ).reshape(b, n, -1)
         self.params = model.init(
             {"params": jax.random.PRNGKey(cfg.seed), "pos": jax.random.PRNGKey(1)},
-            batch["video"], batch["text"],
+            batch["video"], init_text,
             batch["video_padding_mask"], batch["text_padding_mask"],
             deterministic=False,
         )["params"]
@@ -252,6 +272,7 @@ class TANTrainer(BaseTrainer):
             model, self.loss_cfg, self.tx, self.mesh,
             ema_momentum=cfg.momentum_m if cfg.model == "cotrain" else None,
             gather_negatives=cfg.gather_negatives,
+            text_tower_params=self._tower_params,
         )
         self._eval_step = None
 
@@ -267,10 +288,9 @@ class TANTrainer(BaseTrainer):
         elif "narration_features" in batch:
             out["text"] = np.asarray(batch["narration_features"], np.float32)
         elif self.text_tower is not None:
-            tok = np.asarray(batch["token"])
-            b, n, l = tok.shape
-            emb = self.text_tower(tok.reshape(b * n, l))["pooler_output"]
-            out["text"] = np.asarray(emb).reshape(b, n, -1)
+            # tokens ride to the device; the frozen tower embeds them inside
+            # the jitted step (no per-batch host round-trip)
+            out["token"] = np.asarray(batch["token"], np.int32)
         else:
             raise ValueError("batch needs 'text' features, narration_features, or tokens+text_tower")
         out["text_padding_mask"] = np.asarray(
@@ -326,7 +346,8 @@ class TANTrainer(BaseTrainer):
         533-540). One jitted shard_map per val sweep, metrics psum'd in-graph."""
         if self._eval_step is None:
             self._eval_step = make_tan_eval_step(
-                self.model, self.loss_cfg, self.mesh, is_cotrain=self.is_cotrain
+                self.model, self.loss_cfg, self.mesh, is_cotrain=self.is_cotrain,
+                text_tower_params=self._tower_params,
             )
         meter = AverageMeter("Loss", ":.4f")
         for raw in loader:

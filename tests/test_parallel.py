@@ -411,3 +411,55 @@ class TestShardedEval:
             losses.append(float(ld["loss"]))
         np.testing.assert_allclose(float(agg["loss"]), np.mean(losses), rtol=2e-5)
         assert int(agg["_rows"]) == 16
+
+
+def test_text_tower_inside_jitted_step():
+    """VERDICT r1 #8: tokens go into the step and the frozen word2vec tower
+    embeds them on device — identical loss to feeding host-embedded features."""
+    from exoground_tpu.models.word2vec import word2vec_forward
+
+    rng = np.random.RandomState(5)
+    b, t, n, l, dt = 8, 12, 3, 6, 24
+    tower = {
+        "word_embd": jnp.asarray(rng.randn(50, 16), jnp.float32),
+        "fc1": {"kernel": jnp.asarray(rng.randn(16, 20), jnp.float32),
+                "bias": jnp.zeros(20)},
+        "fc2": {"kernel": jnp.asarray(rng.randn(20, dt), jnp.float32),
+                "bias": jnp.zeros(dt)},
+    }
+    tok = rng.randint(0, 50, (b, n, l)).astype(np.int32)
+    tok[0, 0, -2:] = 0  # pad ids
+    t2 = tok.reshape(b * n, l)
+    text_host = np.asarray(
+        word2vec_forward(tower, jnp.asarray(t2), jnp.asarray((t2 != 0), jnp.int32))[
+            "pooler_output"
+        ]
+    ).reshape(b, n, dt)
+
+    base = _batch(b, t, n, dt, seed=6)
+    model = _tiny_model()
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, base["video"], jnp.asarray(text_host),
+        base["video_padding_mask"], base["text_padding_mask"],
+    )["params"]
+    cfg = TANLossConfig()
+    tx = make_optimizer(params, lr=1e-3, total_iterations=10)
+    mesh = make_mesh(8)
+
+    losses = {}
+    for mode in ("host", "device"):
+        if mode == "host":
+            batch = {**base, "text": jnp.asarray(text_host)}
+            step = make_tan_train_step(model, cfg, tx, mesh, ema_momentum=None)
+        else:
+            batch = {k: v for k, v in base.items() if k != "text"}
+            batch["token"] = jnp.asarray(tok)
+            step = make_tan_train_step(
+                model, cfg, tx, mesh, ema_momentum=None, text_tower_params=tower
+            )
+        p = replicate(jax.tree_util.tree_map(jnp.copy, params), mesh)
+        tg = replicate(ema_init(params), mesh)
+        o = replicate(tx.init(params), mesh)
+        _, _, _, m = step(p, tg, o, shard_batch(batch, mesh), jax.random.PRNGKey(1))
+        losses[mode] = float(m["loss"])
+    np.testing.assert_allclose(losses["device"], losses["host"], rtol=1e-6)
