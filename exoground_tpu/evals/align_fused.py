@@ -99,14 +99,24 @@ def _make_video_processor(model, cfg: AlignEvalConfig):
         )
         sim_c, dual_c, cnt = canvas[0], canvas[1], canvas[2]
 
-        # per-text alignability scores: window max over REAL frames (:191-195),
-        # folded onto the global text axis by the same one-hot matmul
+        # per-text alignability scores folded onto the global text axis by
+        # the same one-hot matmul
         neg = jnp.float32(NEG_FILL)
-        win_max_dual = jnp.max(jnp.where(valid3, dual, neg), axis=-1)  # (W, K)
-        win_max_joint = jnp.max(jnp.where(valid3, sim, neg), axis=-1)
         tv = text_valid.astype(jnp.float32)
-        a_dual = jnp.einsum("wk,wkn->n", win_max_dual * tv, onehot)
-        a_joint = jnp.einsum("wk,wkn->n", win_max_joint * tv, onehot)
+        if cfg.use_alignability_head:
+            # binary-head protocol (:197-204): dual head over raw text
+            # features, joint head at the layer-3 joint stage (loss.py:344)
+            head_dual = out["alignability-dual"][..., 0]  # (W, Npad)
+            aj = out["alignability-joint"]  # (W, Stage, Npad, 1)
+            head_joint = aj[:, min(2, aj.shape[1] - 1), :, 0]
+            a_dual = jnp.einsum("wk,wkn->n", head_dual * tv, onehot)
+            a_joint = jnp.einsum("wk,wkn->n", head_joint * tv, onehot)
+        else:
+            # per-text window max over REAL frames (:191-195)
+            win_max_dual = jnp.max(jnp.where(valid3, dual, neg), axis=-1)
+            win_max_joint = jnp.max(jnp.where(valid3, sim, neg), axis=-1)
+            a_dual = jnp.einsum("wk,wkn->n", win_max_dual * tv, onehot)
+            a_joint = jnp.einsum("wk,wkn->n", win_max_joint * tv, onehot)
         t_cnt = jnp.einsum("wk,wkn->n", tv, onehot)
 
         eps = 1e-5
@@ -133,10 +143,11 @@ class FusedAlignEvaluator:
     """
 
     def __init__(self, model, params, cfg: AlignEvalConfig):
-        assert not cfg.use_alignability_head, (
-            "fused path scores alignability from sims; use evals.align."
-            "test_alignment_htm for the binary-head protocol"
-        )
+        if cfg.use_alignability_head:
+            assert getattr(model, "use_alignability_head", 0), (
+                "cfg.use_alignability_head needs a model built with "
+                "use_alignability_head=1 (the binary head emits the scores)"
+            )
         self.cfg = cfg
         self._params = params
         self._raw = _make_video_processor(model, cfg)

@@ -53,6 +53,7 @@ class AlignmentService:
         text_tower=None,
         seq_len: int = 64,
         transfer_dtype: str = "float16",
+        use_alignability_head: bool = False,
     ):
         from exoground_tpu.evals import AlignEvalConfig, FusedAlignEvaluator
 
@@ -61,13 +62,15 @@ class AlignmentService:
         self.tokenizer = tokenizer
         self.text_tower = text_tower
         self.cfg = AlignEvalConfig(
-            seq_len=seq_len, transfer_dtype=transfer_dtype, group_videos=8
+            seq_len=seq_len, transfer_dtype=transfer_dtype, group_videos=8,
+            use_alignability_head=use_alignability_head,
         )
         self._evaluator = FusedAlignEvaluator(model, params, self.cfg)
         # no-timestamp requests score every text in every window
         self._cfg_all = AlignEvalConfig(
             seq_len=seq_len, transfer_dtype=transfer_dtype, group_videos=8,
             all_texts_active=True,
+            use_alignability_head=use_alignability_head,
         )
         self._evaluator_all = FusedAlignEvaluator(model, params, self._cfg_all)
         self._lock = threading.Lock()
@@ -125,6 +128,9 @@ class AlignmentService:
         return {
             "best_second": out["argmax"].tolist(),
             "score": out["score"].tolist(),
+            # binary-head alignability (when the service was built with
+            # use_alignability_head) or joint window-max confidence otherwise
+            "align_score": out["align_score"].tolist(),
         }
 
 

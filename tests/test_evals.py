@@ -270,3 +270,24 @@ def test_fused_grouping_invariance():
     for r in results[1:]:
         np.testing.assert_allclose(r["Recall"], results[0]["Recall"], atol=1e-9)
         np.testing.assert_allclose(r["AUC"], results[0]["AUC"], atol=1e-6)
+
+
+def test_fused_alignability_head_matches_host():
+    """VERDICT r1 #9: the fused evaluator serves the binary-alignability
+    protocol (eval_zeroshot_align.py:197-204,225-229) — parity vs host path."""
+    from exoground_tpu.evals import test_alignment_htm_fused
+
+    model = TemporalAligner(
+        num_encoder_layers=2, num_joint_layers=2, width=32, heads=4,
+        max_pos=128, attn_impl="xla", use_alignability_head=1,
+    )
+    items = [_synthetic_video_item(s, vlen=150, dim=24) for s in range(2)]
+    params = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8, 24)), jnp.zeros((1, 2, 24)),
+        jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
+    )
+    cfg = AlignEvalConfig(use_alignability_head=True)
+    host = run_alignment_htm(items, make_tan_sim_fn(model, params), cfg)
+    fused = test_alignment_htm_fused(items, model, params, cfg)
+    np.testing.assert_allclose(fused["Recall"], host["Recall"], atol=1e-9)
+    np.testing.assert_allclose(fused["AUC"], host["AUC"], atol=1e-6)
