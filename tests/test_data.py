@@ -31,7 +31,8 @@ class DummyTokenizer:
     def __call__(self, text, **kw):
         if isinstance(text, str):
             text = [text]
-        ids = [[(hash(w) % 100) + 1 for w in t.split()][:32] for t in text]
+        # stable per-process-and-run ids (hash() is randomized per process)
+        ids = [[(sum(map(ord, w)) % 100) + 1 for w in t.split()][:32] for t in text]
         ids = [i + [0] * (32 - len(i)) for i in ids]
         arr = np.asarray(ids, np.int32)
         out = arr[0] if len(text) == 1 else arr

@@ -74,8 +74,17 @@ def test_tan_loss_matches_reference(model, agreement, threshold, align_head, agr
 
     from exoground_tpu.losses.milnce import TANLossConfig, tan_loss
 
+    # Deterministic seed per agreement type. NOT hash(): string hashing is
+    # randomized per process, and the agreement pipeline makes discrete
+    # decisions (best-window argmax, IoU>=0.5 gate, 0.3-quantile confidence
+    # threshold) that can flip on ~1e-6 reduction-order noise between torch
+    # and XLA for draws that land near a boundary (~6% of random draws flip
+    # one window/text, shifting the loss a few %). The formulas themselves
+    # match to <2e-4 whenever the discrete sets agree, which fixed seeds make
+    # reproducible.
+    seed = {"keep": 0, "i": 1, "u": 2}[agree_type]
     (ld, lj, ed, ej, starts, ends, text_pad, video_pad,
-     a_dual, a_joint, abs_pos) = _random_inputs(seed=hash(agree_type) % 100)
+     a_dual, a_joint, abs_pos) = _random_inputs(seed=seed)
     b, s, t, _, n = ld.shape
 
     args = types.SimpleNamespace(
