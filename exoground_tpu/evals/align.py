@@ -87,6 +87,11 @@ class AlignEvalConfig:
     # serving mode: score EVERY text in EVERY window instead of the HTM-Align
     # active-text protocol (which needs per-text coarse ASR timestamps)
     all_texts_active: bool = False
+    # fused path: round-robin video groups over this many local devices
+    # (async dispatch keeps all chips busy; params are replicated per chip).
+    # 1 = single-device (default). Multi-chip eval sharding for the alignment
+    # protocol, the inference-side analog of the sharded eval steps.
+    eval_devices: int = 1
 
 
 def _round_up(x: int, m: int) -> int:

@@ -151,14 +151,25 @@ class FusedAlignEvaluator:
         self.cfg = cfg
         self._params = params
         self._raw = _make_video_processor(model, cfg)
+        # multi-chip: one params replica per eval device (groups round-robin
+        # over them in _dispatch; async dispatch keeps every chip busy)
+        self._devices = jax.devices()[: max(1, cfg.eval_devices)]
+        self._params_dev = {}
 
     def update_params(self, params):
         """Swap in fresh weights (e.g. a training snapshot); compiled shape
         buckets are keyed on shapes only and are reused."""
         self._params = params
+        self._params_dev = {}
 
-    def _process(self, dims, *args):
-        return self._raw(dims, self._params, *args)
+    def _process(self, dims, *args, device_index: int = 0):
+        if len(self._devices) == 1:
+            return self._raw(dims, self._params, *args)
+        if device_index not in self._params_dev:
+            self._params_dev[device_index] = jax.device_put(
+                self._params, self._devices[device_index]
+            )
+        return self._raw(dims, self._params_dev[device_index], *args)
 
     def __call__(self, dataset: Iterable[Dict]) -> Dict[str, float]:
         return _run_fused(dataset, self._process, self.cfg)
@@ -236,9 +247,14 @@ def _dispatch(dataset, process, cfg: AlignEvalConfig):
         metas.append((video, start, end, aligned, text_embed, windows))
 
     # phase 1: dispatch groups asynchronously (JAX dispatch returns
-    # immediately) so H2D uploads pipeline with device compute
+    # immediately) so H2D uploads pipeline with device compute; with
+    # eval_devices > 1, consecutive groups land on different chips and
+    # compute concurrently (multi-chip eval sharding)
     pending = []
     group = cfg.group_videos
+    n_eval_dev = max(1, cfg.eval_devices)
+    devices = jax.devices()[:n_eval_dev]
+    g_count = 0
     for g0 in range(0, len(metas), group):
         chunk = [m for m in metas[g0 : g0 + group] if m[5]]
         skipped = [m for m in metas[g0 : g0 + group] if not m[5]]
@@ -294,11 +310,14 @@ def _dispatch(dataset, process, cfg: AlignEvalConfig):
 
         # device_put is the async low-overhead H2D path (jnp.asarray routes
         # through a jitted convert and costs more per call on this backend)
+        dev_idx = g_count % n_eval_dev
+        target = devices[dev_idx] if n_eval_dev > 1 else None
         dev_args = [
-            jax.device_put(x)
+            jax.device_put(x, target)
             for x in (vb, tb, win_start, win_len, text_idx, text_valid)
         ]
-        out = process((vtot, seq_len), *dev_args)
+        out = process((vtot, seq_len), *dev_args, device_index=dev_idx)
+        g_count += 1
         for start, end, aligned, num_text, t0, v0 in offsets:
             pending.append((start, end, aligned, num_text, t0, v0, out))
     return pending

@@ -291,3 +291,25 @@ def test_fused_alignability_head_matches_host():
     fused = test_alignment_htm_fused(items, model, params, cfg)
     np.testing.assert_allclose(fused["Recall"], host["Recall"], atol=1e-9)
     np.testing.assert_allclose(fused["AUC"], host["AUC"], atol=1e-6)
+
+
+def test_fused_multi_device_round_robin_matches_single():
+    """Multi-chip fused eval: video groups round-robin over local devices
+    (async dispatch keeps all chips busy); metrics identical to 1-device."""
+    from exoground_tpu.evals import FusedAlignEvaluator
+
+    model = TemporalAligner(
+        num_encoder_layers=2, num_joint_layers=2, width=32, heads=4,
+        max_pos=128, attn_impl="xla",
+    )
+    items = [_synthetic_video_item(s, vlen=130 + 7 * s, dim=24) for s in range(6)]
+    params = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8, 24)), jnp.zeros((1, 2, 24)),
+        jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
+    )
+    base = AlignEvalConfig(group_videos=2)
+    single = FusedAlignEvaluator(model, params, base)(items)
+    multi_cfg = AlignEvalConfig(group_videos=2, eval_devices=8)
+    multi = FusedAlignEvaluator(model, params, multi_cfg)(items)
+    np.testing.assert_allclose(multi["Recall"], single["Recall"], atol=1e-9)
+    np.testing.assert_allclose(multi["AUC"], single["AUC"], atol=1e-7)
