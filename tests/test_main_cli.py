@@ -164,3 +164,39 @@ def test_cli_egoexo_joint_train(tmp_path, monkeypatch):
     import glob
 
     assert glob.glob(os.path.join(root, "*windows.csv"))
+
+
+def test_launch_scripts_flag_surface():
+    """scripts/*.sh mirror the reference train/*.sh flag surfaces; every flag
+    they pass must parse and validate against our CLI."""
+    import re
+
+    from exoground_tpu.train.config import parse_args
+
+    root = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    cases = 0
+    for name in sorted(os.listdir(root)):
+        if not name.endswith(".sh") or name == "launch_tpu_pod.sh":
+            continue
+        text = open(os.path.join(root, name)).read()
+        m = re.search(r"train\.main \\\n(.*)", text, re.S)
+        assert m, name
+        flags = []
+        for line in m.group(1).splitlines():
+            line = line.strip().rstrip("\\").strip()
+            if not line or line.startswith("#"):
+                continue
+            for tok in line.split():
+                if tok.startswith('"$') or tok == '"$@"':
+                    tok = {"\"$PREFIX\"": "x", "\"$VI\"": "/tmp/vi.pth.tar",
+                           "\"$CKPT\"": "/tmp/ckpt.pth.tar", "\"$MODEL\"": "init",
+                           "\"$AGREE\"": "0",
+                           }.get(tok, None)
+                    if tok is None:
+                        continue
+                flags.append(tok)
+        cfg = parse_args(flags)
+        if hasattr(cfg, "validate"):
+            cfg.validate()
+        cases += 1
+    assert cases >= 5
