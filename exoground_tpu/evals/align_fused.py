@@ -180,8 +180,8 @@ class FusedAlignEvaluator:
         joint-window alignability score 'align_score'."""
         results = []
         fetched: Dict[int, np.ndarray] = {}
-        for start, end, aligned, num_text, t0, v0, out in _dispatch(
-            dataset, self._process, self.cfg
+        for start, end, aligned, num_text, t0, v0, out in _prefetch(
+            _dispatch(dataset, self._process, self.cfg)
         ):
             if out is None:
                 results.append({
@@ -323,6 +323,23 @@ def _dispatch(dataset, process, cfg: AlignEvalConfig):
     return pending
 
 
+def _prefetch(pending):
+    """Start async D2H copies for every group's packed result before any
+    consumer blocks on one. Each blocking fetch through the device tunnel
+    pays a full round trip (tens of ms); kicking all copies off first means
+    the transfers overlap and only the first wait pays the latency."""
+    seen = set()
+    for rec in pending:
+        out = rec[-1]
+        if out is not None and id(out) not in seen:
+            seen.add(id(out))
+            try:
+                out.copy_to_host_async()
+            except AttributeError:
+                pass  # non-jax array (e.g. already-fetched numpy in tests)
+    return pending
+
+
 def _run_fused(dataset, process, cfg: AlignEvalConfig) -> Dict[str, float]:
     """Metric reduction over _dispatch outputs (HTM-Align R@1 + AUC)."""
     recalls: List[bool] = []
@@ -331,8 +348,8 @@ def _run_fused(dataset, process, cfg: AlignEvalConfig) -> Dict[str, float]:
 
     # phase 2: fetch tiny per-group results and slice per video
     fetched: Dict[int, tuple] = {}
-    for start, end, aligned, num_text, t0, v0, out in _dispatch(
-        dataset, process, cfg
+    for start, end, aligned, num_text, t0, v0, out in _prefetch(
+        _dispatch(dataset, process, cfg)
     ):
         if out is None:
             all_tgts.append(aligned.astype(np.int32))
