@@ -30,10 +30,11 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(np.asarray(devices), (axis,))
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS):
-    """Place every array in the batch pytree with its leading dim sharded."""
+def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS, dim: int = 0):
+    """Place every array in the batch pytree with dim ``dim`` sharded over
+    mesh axis ``axis`` (dim=1 for scan-stacked (n_steps, B, ...) batches)."""
     def put(x):
-        spec = P(axis, *([None] * (np.ndim(x) - 1)))
+        spec = P(*([None] * dim), axis, *([None] * (np.ndim(x) - 1 - dim)))
         return jax.device_put(x, NamedSharding(mesh, spec))
     return jax.tree_util.tree_map(put, batch)
 

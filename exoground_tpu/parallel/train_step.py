@@ -31,6 +31,21 @@ def _scalars(d: Dict) -> Dict:
     return {k: v for k, v in d.items() if getattr(v, "ndim", None) == 0}
 
 
+def _cast_floats(tree, dtype):
+    """Cast float leaves to ``dtype`` (mixed-precision compute). Integer /
+    bool leaves (tokens, masks, labels) pass through untouched."""
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
+def _f32(tree):
+    return _cast_floats(tree, jnp.float32)
+
+
 def _batch_text(batch: Dict, text_tower_params) -> jnp.ndarray:
     """Text features for the TAN steps: precomputed 'text' arrays pass
     through; otherwise the frozen word2vec tower embeds 'token' ids INSIDE
@@ -57,6 +72,8 @@ def make_tan_train_step(
     ema_momentum: Optional[float] = None,
     gather_negatives: bool = False,
     text_tower_params=None,
+    compute_dtype: str = "float32",
+    scan_steps: Optional[int] = None,
 ) -> Callable:
     """Build the jitted TAN train step.
 
@@ -70,30 +87,46 @@ def make_tan_train_step(
     cadence by passing ema_momentum=None steps). When ``text_tower_params``
     (frozen word2vec) is given, batches may carry 'token' (B, N, L) ids
     instead of 'text' features — the tower runs inside the step on device.
+
+    ``compute_dtype='bfloat16'`` is the TPU equivalent of the reference's AMP
+    autocast training (train/main.py:75,514): the model forward/backward runs
+    in bf16 on the MXU while master params, the loss math (logsumexp over
+    0.07-temperature logits), gradients and optimizer state stay float32.
+    bf16 needs no GradScaler (same exponent range as f32).
+
+    ``scan_steps=N`` returns a fused multi-step driver: the batch arrays gain
+    a leading (N, ...) axis (N prefetched batches stacked) and ONE dispatch
+    runs N optimizer steps via lax.scan, returning per-step stacked metrics.
+    Host->device dispatch costs a round trip per call on tunnel/PCIe-attached
+    chips; fusing N steps amortizes it to 1/N.
     """
     cotrain = loss_cfg.model == "cotrain"
+    cdt = jnp.dtype(compute_dtype)
 
     def local_step(params, target_params, opt_state, batch, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
-        text = _batch_text(batch, text_tower_params)
+        batch_c = _cast_floats(batch, cdt)
+        text = _batch_text(batch_c, _cast_floats(text_tower_params, cdt))
 
         def loss_fn(p):
             out = model.apply(
-                {"params": p},
-                batch["video"], text,
+                {"params": _cast_floats(p, cdt)},
+                batch_c["video"], text,
                 batch["video_padding_mask"], batch["text_padding_mask"],
                 deterministic=False, rngs={"pos": rng},
             )
+            out = _f32(out)
             if gather_negatives:
                 out = _gathered_logits(out)
             logits = dict(out)
             if cotrain:
                 ema_out = model.apply(
-                    {"params": target_params},
-                    batch["video"], text,
+                    {"params": _cast_floats(target_params, cdt)},
+                    batch_c["video"], text,
                     batch["video_padding_mask"], batch["text_padding_mask"],
                     deterministic=True,
                 )
+                ema_out = _f32(ema_out)
                 if gather_negatives:
                     ema_out = _gathered_logits(ema_out)
                 logits["ema-logits_dual"] = ema_out["logits_dual"]
@@ -145,10 +178,32 @@ def make_tan_train_step(
         res.update(gathered)
         return res
 
+    if scan_steps is None:
+        step = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(DATA_AXIS), P()),
+            out_specs=(P(), P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(step, donate_argnums=(0, 1, 2))
+
+    def local_scan(params, target_params, opt_state, batches, rng):
+        def body(carry, xs):
+            p, t, o = carry
+            b_i, i = xs
+            p, t, o, m = local_step(p, t, o, b_i, jax.random.fold_in(rng, i))
+            return (p, t, o), m
+        (params, target_params, opt_state), ms = jax.lax.scan(
+            body, (params, target_params, opt_state),
+            (batches, jnp.arange(scan_steps)),
+        )
+        return params, target_params, opt_state, ms
+
     step = shard_map(
-        local_step,
+        local_scan,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(DATA_AXIS), P()),
+        in_specs=(P(), P(), P(), P(None, DATA_AXIS), P()),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
@@ -162,6 +217,7 @@ def make_s3d_nce_step(
     temperature: float = 0.07,
     freeze_early: bool = True,
     gather_negatives: bool = False,
+    compute_dtype: str = "float32",
 ) -> Callable:
     """End-to-end S3D finetune step (reference end2end/main_nce.py:30-47,
     60-137): symmetric InfoNCE (sum of both directions) between S3D video
@@ -176,18 +232,21 @@ def make_s3d_nce_step(
     """
     from exoground_tpu.models.s3d import sentence_embedding_forward
 
+    cdt = jnp.dtype(compute_dtype)
+
     def local_step(params, batch_stats, opt_state, batch, rng):
         def loss_fn(p):
-            video = batch["video"]
+            video = batch["video"].astype(cdt)
             b, n = video.shape[:2]
             v = model.apply(
-                {"params": p["s3d"], "batch_stats": batch_stats},
+                {"params": _cast_floats(p["s3d"], cdt),
+                 "batch_stats": _cast_floats(batch_stats, cdt)},
                 video.reshape((b * n,) + video.shape[2:]),
                 freeze_early=freeze_early,
-            )
-            t = sentence_embedding_forward(p["text"], batch["token"])[
-                "text_embedding"
-            ]
+            ).astype(jnp.float32)
+            t = sentence_embedding_forward(
+                _cast_floats(p["text"], cdt), batch["token"]
+            )["text_embedding"].astype(jnp.float32)
             t = jnp.repeat(t, n, axis=0)
             if gather_negatives:
                 v = jax.lax.all_gather(v, DATA_AXIS, tiled=True)
@@ -374,27 +433,37 @@ def make_grounding_train_step(
     loss_cfg: GroundingLossConfig,
     optimizer: optax.GradientTransformation,
     mesh,
+    compute_dtype: str = "float32",
+    scan_steps: Optional[int] = None,
 ) -> Callable:
     """Jitted EgoExo4D/LEMMA train step for grounding / view_invariant / joint.
 
     step(params, opt_state, batch, rng) -> (params, opt_state, metrics)
     batch carries model inputs + loss targets (see losses/grounding.py).
+    ``compute_dtype='bfloat16'`` runs the model forward/backward in bf16 (the
+    reference's AMP autocast equivalent, main_egoexo4d_distributed.py:844);
+    loss math, grads and optimizer state stay float32. ``scan_steps=N`` fuses
+    N optimizer steps over a stacked (N, B, ...) batch into one dispatch
+    (see make_tan_train_step).
     """
+    cdt = jnp.dtype(compute_dtype)
 
     def local_step(params, opt_state, batch, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        batch_c = _cast_floats(batch, cdt)
 
         def loss_fn(p):
             out = model.apply(
-                {"params": p},
-                batch["video_features"], batch["narration_features"],
+                {"params": _cast_floats(p, cdt)},
+                batch_c["video_features"], batch_c["narration_features"],
                 batch["video_padding_mask"], batch["narration_padding_mask"],
-                audio_embed=batch.get("audio_features"),
+                audio_embed=batch_c.get("audio_features"),
                 audio_padding_mask=batch.get("audio_padding_mask"),
-                egocentric_video_embed=batch.get("ego_video_features_flat"),
+                egocentric_video_embed=batch_c.get("ego_video_features_flat"),
                 view_mask=batch.get("view_mask"),
                 deterministic=False, rngs={"pos": rng},
             )
+            out = _f32(out)
             ld, _ = egoexo_loss(out, batch, batch["narration_padding_mask"], loss_cfg)
             loss = ld["loss"]
             if "distill_infonce_loss" in out:
@@ -408,10 +477,31 @@ def make_grounding_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
+    if scan_steps is None:
+        step = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(DATA_AXIS), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def local_scan(params, opt_state, batches, rng):
+        def body(carry, xs):
+            p, o = carry
+            b_i, i = xs
+            p, o, m = local_step(p, o, b_i, jax.random.fold_in(rng, i))
+            return (p, o), m
+        (params, opt_state), ms = jax.lax.scan(
+            body, (params, opt_state), (batches, jnp.arange(scan_steps))
+        )
+        return params, opt_state, ms
+
     step = shard_map(
-        local_step,
+        local_scan,
         mesh=mesh,
-        in_specs=(P(), P(), P(DATA_AXIS), P()),
+        in_specs=(P(), P(), P(None, DATA_AXIS), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )

@@ -113,6 +113,17 @@ class ExperimentConfig:
     # TPU-native additions (not in the reference surface)
     gather_negatives: bool = False  # all_gather contrastive negatives over DP
     attn_impl: str = "auto"  # auto | flash | xla
+    # bf16 model compute in the train steps — the TPU equivalent of the
+    # reference's always-on AMP fp16 autocast (train/main.py:75,514). Loss
+    # math, grads and optimizer state stay f32; no GradScaler needed on bf16.
+    # Off by default: f32 is bit-stable for checkpoint-parity runs.
+    amp: bool = False
+    # Fuse N optimizer steps into ONE device dispatch (lax.scan over N
+    # stacked prefetched batches). Amortizes the host->device dispatch round
+    # trip, which dominates step time on tunnel/PCIe-attached chips. Logging,
+    # runtime snapshots and LR-schedule resolution stay correct (per-step
+    # metrics come back stacked); they just land every N steps.
+    fused_steps: int = 1
     dp_devices: int = 0  # 0 = all local devices
     data_root: str = ""  # dataset tree root (replaces hardcoded cluster paths)
     multihost: bool = False  # call jax.distributed.initialize()

@@ -155,6 +155,35 @@ class BaseTrainer:
         while buf:
             yield buf.pop(0)
 
+    def _prefetched_stacked(self, loader, n: int):
+        """Group n prepared batches into one stacked (n, B, ...) batch for
+        the fused scan_steps train step. Yields ('fused', sharded_stack) per
+        full group; ragged groups (shape mismatch or epoch tail) fall back
+        to ('single', sharded_batch) items."""
+        buf: List[Dict] = []
+
+        def flush():
+            nonlocal buf
+            group, buf = buf, []
+            if len(group) == n:
+                try:
+                    stacked = {
+                        k: np.stack([g[k] for g in group]) for k in group[0]
+                    }
+                except (ValueError, KeyError):
+                    stacked = None
+                if stacked is not None:
+                    yield "fused", shard_batch(stacked, self.mesh, dim=1)
+                    return
+            for g in group:
+                yield "single", shard_batch(g, self.mesh)
+
+        for raw in loader:
+            buf.append(self.prepare_batch(raw))
+            if len(buf) == n:
+                yield from flush()
+        yield from flush()
+
     def _pad_rows(self, batch: Dict, mode: str = "zeros") -> Dict:
         """Pad batch rows up to the mesh multiple for the sharded eval step.
 
@@ -268,11 +297,21 @@ class TANTrainer(BaseTrainer):
         )
         self.opt_state = self.tx.init(self.params)
         self._replicate()
-        self.step = make_tan_train_step(
-            model, self.loss_cfg, self.tx, self.mesh,
+        step_kw = dict(
             ema_momentum=cfg.momentum_m if cfg.model == "cotrain" else None,
             gather_negatives=cfg.gather_negatives,
             text_tower_params=self._tower_params,
+            compute_dtype="bfloat16" if cfg.amp else "float32",
+        )
+        self.step = make_tan_train_step(
+            model, self.loss_cfg, self.tx, self.mesh, **step_kw
+        )
+        self.step_fused = (
+            make_tan_train_step(
+                model, self.loss_cfg, self.tx, self.mesh,
+                scan_steps=cfg.fused_steps, **step_kw,
+            )
+            if cfg.fused_steps > 1 else None
         )
         self._eval_step = None
 
@@ -319,21 +358,44 @@ class TANTrainer(BaseTrainer):
             list(meters.values()), prefix=f"Epoch:[{epoch}]",
         )
         timer = Timer()
-        for idx, (batch_s, _raw) in enumerate(self._prefetched(loader)):
-            meters["Data"].update(timer.lap())
-            b = batch_s["video"].shape[0]
-            self.rng, step_rng = jax.random.split(self.rng)
-            self.params, self.target_params, self.opt_state, metrics = self.step(
-                self.params, self.target_params, self.opt_state, batch_s, step_rng
+        if self.step_fused is not None:
+            source = self._prefetched_stacked(loader, cfg.fused_steps)
+        else:
+            source = (
+                ("single", b) for b, _raw in self._prefetched(loader)
             )
-            loss = float(metrics["loss"])
-            if _finite(loss):
-                meters["Loss"].update(loss, b)
-            self._log({k: float(v) for k, v in metrics.items()}, "train/")
+        for idx, (kind, batch_s) in enumerate(source):
+            meters["Data"].update(timer.lap())
+            self.rng, step_rng = jax.random.split(self.rng)
+            if kind == "fused":
+                b = batch_s["video"].shape[1]
+                (self.params, self.target_params, self.opt_state,
+                 ms) = self.step_fused(
+                    self.params, self.target_params, self.opt_state,
+                    batch_s, step_rng,
+                )
+                losses = np.asarray(ms["loss"])
+                for li in losses:
+                    if _finite(float(li)):
+                        meters["Loss"].update(float(li), b)
+                self._log(
+                    {k: float(np.asarray(v)[-1]) for k, v in ms.items()},
+                    "train/",
+                )
+                self.iteration += len(losses)
+            else:
+                b = batch_s["video"].shape[0]
+                self.params, self.target_params, self.opt_state, metrics = self.step(
+                    self.params, self.target_params, self.opt_state, batch_s, step_rng
+                )
+                loss = float(metrics["loss"])
+                if _finite(loss):
+                    meters["Loss"].update(loss, b)
+                self._log({k: float(v) for k, v in metrics.items()}, "train/")
+                self.iteration += 1
             meters["Time"].update(timer.lap())
             if idx % cfg.print_freq == 0:
                 progress.display(idx)
-            self.iteration += 1
             self.maybe_save_runtime(epoch)
         if self.writer:
             self.writer.add_data("train/total_epoch_loss", meters["Loss"].avg, epoch)
@@ -433,7 +495,18 @@ class EgoExoTrainer(BaseTrainer):
         )
         self.opt_state = self.tx.init(self.params)
         self._replicate()
-        self.step = make_grounding_train_step(model, self.loss_cfg, self.tx, self.mesh)
+        self.step = make_grounding_train_step(
+            model, self.loss_cfg, self.tx, self.mesh,
+            compute_dtype="bfloat16" if cfg.amp else "float32",
+        )
+        self.step_fused = (
+            make_grounding_train_step(
+                model, self.loss_cfg, self.tx, self.mesh,
+                compute_dtype="bfloat16" if cfg.amp else "float32",
+                scan_steps=cfg.fused_steps,
+            )
+            if cfg.fused_steps > 1 else None
+        )
         self._eval_step = None
 
     # ------------------------------------------------------------ batch prep
@@ -500,21 +573,42 @@ class EgoExoTrainer(BaseTrainer):
             list(meters.values()), prefix=f"Epoch:[{epoch}]",
         )
         timer = Timer()
-        for idx, (batch_s, _raw) in enumerate(self._prefetched(loader)):
-            meters["Data"].update(timer.lap())
-            b = batch_s["video_features"].shape[0]
-            self.rng, step_rng = jax.random.split(self.rng)
-            self.params, self.opt_state, metrics = self.step(
-                self.params, self.opt_state, batch_s, step_rng
+        if self.step_fused is not None:
+            source = self._prefetched_stacked(loader, cfg.fused_steps)
+        else:
+            source = (
+                ("single", b) for b, _raw in self._prefetched(loader)
             )
-            loss = float(metrics["loss"])
-            if _finite(loss):
-                meters["Loss"].update(loss, b)
-            self._log({k: float(v) for k, v in metrics.items()}, "train/")
+        for idx, (kind, batch_s) in enumerate(source):
+            meters["Data"].update(timer.lap())
+            self.rng, step_rng = jax.random.split(self.rng)
+            if kind == "fused":
+                b = batch_s["video_features"].shape[1]
+                self.params, self.opt_state, ms = self.step_fused(
+                    self.params, self.opt_state, batch_s, step_rng
+                )
+                losses = np.asarray(ms["loss"])
+                for li in losses:
+                    if _finite(float(li)):
+                        meters["Loss"].update(float(li), b)
+                self._log(
+                    {k: float(np.asarray(v)[-1]) for k, v in ms.items()},
+                    "train/",
+                )
+                self.iteration += len(losses)
+            else:
+                b = batch_s["video_features"].shape[0]
+                self.params, self.opt_state, metrics = self.step(
+                    self.params, self.opt_state, batch_s, step_rng
+                )
+                loss = float(metrics["loss"])
+                if _finite(loss):
+                    meters["Loss"].update(loss, b)
+                self._log({k: float(v) for k, v in metrics.items()}, "train/")
+                self.iteration += 1
             meters["Time"].update(timer.lap())
             if idx % cfg.print_freq == 0:
                 progress.display(idx)
-            self.iteration += 1
             self.maybe_save_runtime(epoch)
         if self.writer:
             self.writer.add_data("train/total_epoch_loss", meters["Loss"].avg, epoch)
@@ -658,6 +752,7 @@ class S3DTrainer(BaseTrainer):
         self.step = make_s3d_nce_step(
             model, self.tx, self.mesh, freeze_early=freeze_early,
             gather_negatives=self.cfg.gather_negatives,
+            compute_dtype="bfloat16" if cfg.amp else "float32",
         )
 
     def load_backbone(self, s3d_state: Dict):

@@ -117,6 +117,142 @@ class TestDataParallelStep:
         assert np.isfinite(float(metrics["loss"]))
 
 
+class TestMixedPrecision:
+    """bf16 model compute (the reference's AMP autocast equivalent,
+    train/main.py:75,514): loss tracks the f32 step, master params stay f32."""
+
+    def test_tan_bf16_step_tracks_f32(self):
+        model = _tiny_model()
+        batch = _batch(8, 12, 3, 24, seed=5)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0)}, batch["video"], batch["text"],
+            batch["video_padding_mask"], batch["text_padding_mask"],
+        )["params"]
+        cfg = TANLossConfig(model="cotrain", learn_agreement=True)
+        tx = make_optimizer(params, lr=1e-3, total_iterations=10)
+        mesh = make_mesh(8)
+        losses, updated = {}, {}
+        for cdt in ("float32", "bfloat16"):
+            step = make_tan_train_step(
+                model, cfg, tx, mesh, ema_momentum=0.99, compute_dtype=cdt
+            )
+            p = replicate(jax.tree_util.tree_map(jnp.copy, params), mesh)
+            t = replicate(ema_init(params), mesh)
+            o = replicate(tx.init(params), mesh)
+            bs = shard_batch(batch, mesh)
+            p2, t2, o2, m = step(p, t, o, bs, jax.random.PRNGKey(1))
+            # second step: warmup lr is 0 at iteration 0, so params only
+            # move from iteration 1 on
+            p2, _, _, m = step(p2, t2, o2, shard_batch(batch, mesh),
+                               jax.random.PRNGKey(1))
+            losses[cdt] = float(m["loss"])
+            leaves = jax.tree_util.tree_leaves(jax.device_get(p2))
+            assert all(l.dtype == np.float32 for l in leaves), cdt
+            updated[cdt] = leaves
+        assert np.isfinite(losses["bfloat16"])
+        # bf16 forward on a 0.07-temperature contrastive grid: rel ~1%
+        assert abs(losses["bfloat16"] - losses["float32"]) <= (
+            0.05 * abs(losses["float32"]) + 1e-3
+        ), losses
+        # and the bf16 step actually trained (some param moved)
+        before = jax.tree_util.tree_leaves(params)
+        moved = max(
+            float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+            for a, b in zip(updated["bfloat16"], before)
+        )
+        assert moved > 0.0, moved
+
+    def test_grounding_bf16_step_tracks_f32(self):
+        from exoground_tpu.losses.grounding import GroundingLossConfig
+        from exoground_tpu.models.grounding import ExoGroundingTransformer
+        from exoground_tpu.parallel import make_grounding_train_step
+
+        b, t, n, c = 8, 12, 3, 24
+        rng = np.random.RandomState(7)
+        model = ExoGroundingTransformer(
+            num_encoder_layers=1, num_decoder_layers=1, video_embed_dim=c,
+            text_embed_dim=c, feature_dim=32, attn_impl="xla",
+        )
+        starts = rng.rand(b, n).astype(np.float32) * 0.5
+        batch = {
+            "video_features": rng.randn(b, t, c).astype(np.float32),
+            "narration_features": rng.randn(b, n, c).astype(np.float32),
+            "video_padding_mask": np.zeros((b, t), bool),
+            "narration_padding_mask": np.zeros((b, n), bool),
+            "starts": starts, "ends": starts + 0.3,
+            "mean": starts + 0.15, "duration": np.full((b, n), 0.3, np.float32),
+        }
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "pos": jax.random.PRNGKey(1)},
+            batch["video_features"], batch["narration_features"],
+            batch["video_padding_mask"], batch["narration_padding_mask"],
+            deterministic=False,
+        )["params"]
+        cfg = GroundingLossConfig(model="grounding")
+        tx = make_optimizer(params, lr=1e-3, total_iterations=10)
+        mesh = make_mesh(8)
+        losses = {}
+        for cdt in ("float32", "bfloat16"):
+            step = make_grounding_train_step(
+                model, cfg, tx, mesh, compute_dtype=cdt
+            )
+            p = replicate(jax.tree_util.tree_map(jnp.copy, params), mesh)
+            o = replicate(tx.init(params), mesh)
+            _, _, m = step(p, o, shard_batch(batch, mesh), jax.random.PRNGKey(2))
+            losses[cdt] = float(m["loss"])
+        assert np.isfinite(losses["bfloat16"])
+        assert abs(losses["bfloat16"] - losses["float32"]) <= (
+            0.05 * abs(losses["float32"]) + 1e-3
+        ), losses
+
+
+class TestScanSteps:
+    def test_fused_two_steps_match_sequential(self):
+        """scan_steps=2 (one dispatch, two optimizer steps over a stacked
+        batch) must reproduce two sequential single-step calls whose rng is
+        fold_in(key, i) — the exact host-side protocol it fuses."""
+        model = _tiny_model()
+        b1 = _batch(8, 12, 3, 24, seed=11)
+        b2 = _batch(8, 12, 3, 24, seed=12)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0)}, b1["video"], b1["text"],
+            b1["video_padding_mask"], b1["text_padding_mask"],
+        )["params"]
+        cfg = TANLossConfig(model="cotrain", learn_agreement=True)
+        tx = make_optimizer(params, lr=1e-3, total_iterations=10)
+        mesh = make_mesh(8)
+        key = jax.random.PRNGKey(5)
+
+        single = make_tan_train_step(model, cfg, tx, mesh, ema_momentum=0.99)
+        p = replicate(jax.tree_util.tree_map(jnp.copy, params), mesh)
+        t = replicate(ema_init(params), mesh)
+        o = replicate(tx.init(params), mesh)
+        losses = []
+        for i, b in enumerate((b1, b2)):
+            p, t, o, m = single(p, t, o, shard_batch(b, mesh),
+                                jax.random.fold_in(key, i))
+            losses.append(float(m["loss"]))
+        p_seq = jax.tree_util.tree_map(np.asarray, jax.device_get(p))
+
+        fused = make_tan_train_step(
+            model, cfg, tx, mesh, ema_momentum=0.99, scan_steps=2
+        )
+        stacked = jax.tree_util.tree_map(
+            lambda x, y: jnp.stack([x, y]), b1, b2
+        )
+        p = replicate(jax.tree_util.tree_map(jnp.copy, params), mesh)
+        t = replicate(ema_init(params), mesh)
+        o = replicate(tx.init(params), mesh)
+        p2, _, _, ms = fused(p, t, o, shard_batch(stacked, mesh, dim=1), key)
+        np.testing.assert_allclose(
+            np.asarray(ms["loss"]), np.asarray(losses), rtol=1e-5
+        )
+        p_fused = jax.tree_util.tree_map(np.asarray, jax.device_get(p2))
+        for a, b in zip(jax.tree_util.tree_leaves(p_seq),
+                        jax.tree_util.tree_leaves(p_fused)):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+
 class TestSchedule:
     def test_warmup_then_cosine(self):
         fn = warmup_cosine_schedule(1.0, total_iterations=1100, warmup_iterations=100)

@@ -183,6 +183,35 @@ def test_tan_trainer_end_to_end(tmp_path):
     trainer.close(), trainer2.close()
 
 
+def test_tan_trainer_fused_steps(tmp_path):
+    """--fused_steps 2: 3 batches -> one fused group of 2 + one single tail;
+    iteration counting, meters and finite losses must match the protocol."""
+    cfg = ExperimentConfig(
+        model="init", epochs=1, lr=1e-3, batch_size=8, seed=0,
+        dp_devices=8, fused_steps=2,
+    )
+    cfg.log_path = str(tmp_path / "log")
+    cfg.model_path = str(tmp_path / "model")
+    os.makedirs(cfg.log_path), os.makedirs(cfg.model_path)
+    model = TemporalAligner(
+        num_encoder_layers=2, num_joint_layers=2, width=32, heads=4,
+        max_pos=32, attn_impl="xla",
+    )
+    batches = _tan_batches(num=3)
+    trainer = TANTrainer(model, cfg, batches[0], iters_per_epoch=3)
+    assert trainer.step_fused is not None
+    loss = trainer.train_epoch(batches, epoch=0)
+    assert np.isfinite(loss)
+    assert trainer.iteration == 3
+    # ragged group: mixed text counts can't stack -> the group falls back to
+    # single steps; the epoch tail is a lone single step
+    ragged = _tan_batches(n=5, num=1) + _tan_batches(num=2)
+    loss = trainer.train_epoch(ragged, epoch=1)
+    assert np.isfinite(loss)
+    assert trainer.iteration == 6
+    trainer.close()
+
+
 def test_tan_trainer_cotrain_ema_moves(tmp_path):
     cfg = ExperimentConfig(
         model="cotrain", learn_agreement=1, temporal_agreement_type="keep",
@@ -269,6 +298,28 @@ def test_egoexo_trainer_end_to_end(tmp_path):
     assert res_files
     payload = json.load(open(res_files[0]))
     assert payload and "metadata" in payload[0]
+    trainer.close()
+
+
+def test_egoexo_trainer_fused_steps(tmp_path):
+    ds, loader, c = _egoexo_loader()
+    cfg = ExperimentConfig(
+        model="joint", use_distill_nce_loss=True, same_view_negative=True,
+        epochs=1, lr=1e-3, dp_devices=8, views="exo", fused_steps=2,
+    )
+    cfg.log_path = str(tmp_path / "log")
+    os.makedirs(cfg.log_path)
+    model = ExoGroundingTransformer(
+        num_encoder_layers=1, num_decoder_layers=1,
+        video_embed_dim=c, text_embed_dim=c, feature_dim=32,
+        use_distill_nce_loss=True, attn_impl="xla",
+    )
+    sample = next(iter(loader))
+    trainer = EgoExoTrainer(model, cfg, sample, iters_per_epoch=len(loader))
+    assert trainer.step_fused is not None
+    loss = trainer.train_epoch(loader, epoch=0)
+    assert np.isfinite(loss)
+    assert trainer.iteration == len(loader)
     trainer.close()
 
 
