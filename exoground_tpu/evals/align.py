@@ -94,8 +94,7 @@ class AlignEvalConfig:
     eval_devices: int = 1
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from exoground_tpu.utils.shapes import round_up as _round_up  # noqa: E402
 
 
 def make_tan_sim_fn(model, params) -> Callable:

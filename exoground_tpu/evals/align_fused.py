@@ -152,8 +152,9 @@ class FusedAlignEvaluator:
         self._params = params
         self._raw = _make_video_processor(model, cfg)
         # multi-chip: one params replica per eval device (groups round-robin
-        # over them in _dispatch; async dispatch keeps every chip busy)
-        self._devices = jax.devices()[: max(1, cfg.eval_devices)]
+        # over them in _dispatch; async dispatch keeps every chip busy).
+        # Clamped to the devices that actually exist.
+        self._devices = jax.devices()[: _n_eval_devices(cfg)]
         self._params_dev = {}
 
     def update_params(self, params):
@@ -209,6 +210,11 @@ def test_alignment_htm_fused(
     return FusedAlignEvaluator(model, params, cfg)(dataset)
 
 
+def _n_eval_devices(cfg: AlignEvalConfig) -> int:
+    """cfg.eval_devices clamped to [1, number of local devices]."""
+    return max(1, min(cfg.eval_devices, len(jax.devices())))
+
+
 def _dispatch(dataset, process, cfg: AlignEvalConfig):
     """Group-batched dispatch (phases 0-1 of the fused eval).
 
@@ -252,7 +258,7 @@ def _dispatch(dataset, process, cfg: AlignEvalConfig):
     # compute concurrently (multi-chip eval sharding)
     pending = []
     group = cfg.group_videos
-    n_eval_dev = max(1, cfg.eval_devices)
+    n_eval_dev = _n_eval_devices(cfg)
     devices = jax.devices()[:n_eval_dev]
     g_count = 0
     for g0 in range(0, len(metas), group):

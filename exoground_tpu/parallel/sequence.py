@@ -183,8 +183,7 @@ def _encoder_layer_ring(
     return x + h
 
 
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
+from exoground_tpu.utils.shapes import round_up as _round_up  # noqa: E402
 
 
 def _l2n(x):
@@ -239,9 +238,14 @@ def sequence_parallel_sim(
         else jnp.broadcast_to(text_padding_mask, (b, k))
     )
 
+    # pos embed for the REAL length s (identical to the single-device model
+    # path — interpolation must resample to s, not the padded length), then
+    # zero-padded to s_pad: pad rows are key-masked so their pos is inert
     pos = slice_or_interpolate_pos_embed(
-        params["temporal_pos_embed"], s_pad, interpolate_from, 0
-    )  # (S_pad, C) — computed globally, sharded with the video below
+        params["temporal_pos_embed"], s, interpolate_from, 0
+    )  # (S, C) — computed globally, sharded with the video below
+    if s_pad != s:
+        pos = jnp.pad(pos, ((0, s_pad - s), (0, 0)))
     text_pos = None
     if use_text_pos_enc:
         text_pos = slice_or_interpolate_pos_embed(

@@ -77,7 +77,11 @@ class AlignmentService:
 
     @classmethod
     def from_checkpoint(cls, checkpoint_path: str, num_layers: int = 6, **kw):
-        """Load the reference's released .pth.tar (cotrain TAN) directly."""
+        """Load the reference's released .pth.tar (cotrain TAN) directly.
+
+        ``use_alignability_head=True`` builds the model WITH the binary head
+        (the released cotrain checkpoint carries its weights) so the fused
+        evaluator can serve the head-score protocol."""
         from exoground_tpu.models import TemporalAligner
         from exoground_tpu.utils.convert import (
             convert_tan_state_dict,
@@ -87,7 +91,8 @@ class AlignmentService:
         state = load_torch_checkpoint(checkpoint_path)
         params = convert_tan_state_dict(state, twin_branch="target")
         model = TemporalAligner(
-            num_encoder_layers=num_layers, num_joint_layers=num_layers
+            num_encoder_layers=num_layers, num_joint_layers=num_layers,
+            use_alignability_head=int(bool(kw.get("use_alignability_head"))),
         )
         return cls(model, {"params": params}, **kw)
 

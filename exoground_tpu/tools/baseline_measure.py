@@ -73,6 +73,8 @@ def measure_reference_torch_cpu(items, seq_len=SEQ_LEN):
     try:
         import torch
         from tan_model import TemporalAligner as RefAligner
+    except ImportError:
+        return None
     finally:
         sys.path.pop(0)
         sys.path.pop(0)
@@ -215,7 +217,11 @@ def main():
     ref_items = make_bench_items(video_dim=4096, text_dim=4096)
     print("measuring reference torch CPU ...", file=sys.stderr)
     ref_fps = measure_reference_torch_cpu(ref_items)
-    print(f"reference torch CPU: {ref_fps:.1f} frames/s", file=sys.stderr)
+    print(
+        "reference torch CPU: "
+        + (f"{ref_fps:.1f} frames/s" if ref_fps else "unavailable"),
+        file=sys.stderr,
+    )
     print("measuring ours (jax CPU) ...", file=sys.stderr)
     ours_cpu_fps = measure_ours_cpu()
     print(f"ours jax CPU: {ours_cpu_fps:.1f} frames/s", file=sys.stderr)

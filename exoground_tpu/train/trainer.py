@@ -47,6 +47,7 @@ from exoground_tpu.train.checkpoint import (
     save_runtime_checkpoint,
 )
 from exoground_tpu.train.config import ExperimentConfig
+from exoground_tpu.utils.shapes import round_up
 from exoground_tpu.train.logging import AsyncWriter, DeviceMonitor, Timer
 from exoground_tpu.train.optim import make_optimizer
 from exoground_tpu.utils.meters import AverageMeter, ProgressMeter
@@ -155,11 +156,13 @@ class BaseTrainer:
         while buf:
             yield buf.pop(0)
 
-    def _prefetched_stacked(self, loader, n: int):
+    def _prefetched_stacked(self, loader, n: int, depth: int = 1):
         """Group n prepared batches into one stacked (n, B, ...) batch for
         the fused scan_steps train step. Yields ('fused', sharded_stack) per
         full group; ragged groups (shape mismatch or epoch tail) fall back
-        to ('single', sharded_batch) items."""
+        to ('single', sharded_batch) items. Keeps ``depth`` groups prepared
+        and device_put ahead of the consumer so host prep + H2D overlap the
+        in-flight fused step (the stacked analog of _prefetched's depth)."""
         buf: List[Dict] = []
 
         def flush():
@@ -178,11 +181,15 @@ class BaseTrainer:
             for g in group:
                 yield "single", shard_batch(g, self.mesh)
 
+        ahead: List = []
         for raw in loader:
             buf.append(self.prepare_batch(raw))
             if len(buf) == n:
-                yield from flush()
-        yield from flush()
+                ahead.extend(flush())
+                while len(ahead) > depth:
+                    yield ahead.pop(0)
+        ahead.extend(flush())
+        yield from ahead
 
     def _pad_rows(self, batch: Dict, mode: str = "zeros") -> Dict:
         """Pad batch rows up to the mesh multiple for the sharded eval step.
@@ -193,7 +200,7 @@ class BaseTrainer:
         TAN whose contrastive grid couples rows within a shard)."""
         ndev = self.mesh.devices.size
         b = next(iter(batch.values())).shape[0]
-        b_pad = -(-b // ndev) * ndev
+        b_pad = round_up(b, ndev)
         if b_pad == b:
             if mode == "zeros":
                 batch = dict(batch)

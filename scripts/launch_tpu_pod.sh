@@ -19,5 +19,9 @@ fi
 TPU_NAME=$1; ZONE=$2; shift 2
 [ "$1" = "--" ] && shift
 
+# %q-quote each arg so values with spaces/metacharacters survive the remote
+# shell's re-splitting (e.g. --name_prefix "vi run1")
+ARGS=$(printf '%q ' "$@")
+
 gcloud compute tpus tpu-vm ssh "$TPU_NAME" --zone "$ZONE" --worker=all \
-    --command "cd ~/exoground_tpu && python -m exoground_tpu.train.main $*"
+    --command "cd ~/exoground_tpu && python -m exoground_tpu.train.main $ARGS"

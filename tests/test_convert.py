@@ -346,3 +346,15 @@ class TestRealCheckpointFileIngestion:
         ))
         assert len(resp["best_second"]) == 4
         assert all(np.isfinite(resp["score"]))
+
+        # binary-head serving mode: from_checkpoint must build the model WITH
+        # the head (the cotrain file carries binary_head weights)
+        svc_h = AlignmentService.from_checkpoint(
+            path, num_layers=2, transfer_dtype="float32",
+            use_alignability_head=True,
+        )
+        resp_h = svc_h.align(AlignRequest(
+            video=rng.randn(96, 4096).astype(np.float32),
+            text_embeds=rng.randn(4, 4096).astype(np.float32),
+        ))
+        assert all(np.isfinite(resp_h["align_score"]))

@@ -381,6 +381,40 @@ def test_sequence_parallel_ragged_padded_video():
     )
 
 
+def test_sequence_parallel_ragged_with_interpolation():
+    """Pos-emb interpolation must resample to the REAL video length, not the
+    mesh-padded one, or every frame's position drifts vs the model path
+    (global-mode protocol, tan_model.py:151-154)."""
+    from exoground_tpu.models import TemporalAligner
+    from exoground_tpu.parallel import make_mesh
+    from exoground_tpu.parallel.sequence import sequence_parallel_dual_sim
+
+    rng = np.random.RandomState(9)
+    b, s, k, dv, dt, w = 1, 100, 4, 24, 16, 32  # 100 % 8 != 0 -> pads to 104
+    model = TemporalAligner(
+        num_encoder_layers=2, num_joint_layers=2, width=w, heads=4,
+        max_pos=64, attn_impl="xla",  # table shorter than s: must interpolate
+    )
+    video = jnp.asarray(rng.randn(b, s, dv), jnp.float32)
+    text = jnp.asarray(rng.randn(b, k, dt), jnp.float32)
+    vmask = jnp.zeros((b, s), bool)
+    params = model.init(
+        jax.random.PRNGKey(0), video[:, :32], text,
+        jnp.zeros((b, 32), bool), jnp.zeros((b, k), bool),
+    )["params"]
+
+    ref = model.apply(
+        {"params": params}, video, text, interpolate_from=64,
+        video_padding_mask=vmask, method=TemporalAligner.text_visual_sim,
+    )["dual-sim"][:, -1]
+
+    sim = sequence_parallel_dual_sim(
+        params, video, text[0], make_mesh(8), num_layers=2, heads=4,
+        interpolate_from=64, video_padding_mask=vmask,
+    )
+    np.testing.assert_allclose(np.asarray(sim), np.asarray(ref), atol=3e-5)
+
+
 def test_sequence_parallel_joint_sim_matches_model():
     """Sequence-parallel JOINT mode (VERDICT r1 #6): the joint encoder's text
     block replicates on every shard, video K/V ride the ring — result matches
