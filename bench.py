@@ -160,6 +160,17 @@ def bench_train(jax, jnp):
     bs = shard_batch(stack(batch), mesh, dim=1)  # device-to-device reshard
     key = jax.random.PRNGKey(42)
 
+    # XLA's own FLOP count for the 50-step program (for the achieved-FLOP/s
+    # field; None if this jax version's cost analysis is unavailable)
+    program_flops = None
+    try:
+        ca = step.lower(p, tg, o, bs, key).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        program_flops = float(ca["flops"])
+    except Exception:
+        pass
+
     p, tg, o, m = step(p, tg, o, bs, key)  # compile + warm caches
     jax.block_until_ready(m["loss"])
 
@@ -176,7 +187,10 @@ def bench_train(jax, jnp):
         if r >= 2 and (time.monotonic() > deadline or dt < 3.5e-3):
             break
         time.sleep(1.0)
-    return b / dt, dt * 1e3
+    tflops = (
+        program_flops / n_steps / dt / 1e12 if program_flops else None
+    )
+    return b / dt, dt * 1e3, tflops
 
 
 def main():
@@ -187,7 +201,7 @@ def main():
     import jax.numpy as jnp
 
     fps = bench_inference(jax, jnp)
-    train_sps, step_ms = bench_train(jax, jnp)
+    train_sps, step_ms, train_tflops = bench_train(jax, jnp)
 
     measured = _load_measured_baseline()
     if measured:
@@ -212,6 +226,10 @@ def main():
                 "train_cotrain_samples_per_sec_per_chip": round(train_sps, 1),
                 "train_cotrain_step_ms": round(step_ms, 2),
                 "train_compute_dtype": "bfloat16",
+                **(
+                    {"train_achieved_tflops_per_s": round(train_tflops, 2)}
+                    if train_tflops else {}
+                ),
                 **extra,
             }
         )

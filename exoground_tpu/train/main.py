@@ -331,12 +331,20 @@ def run_htm_tan(cfg):
         evaluator_box = {}
 
         def downstream(tr):
+            import jax
+
             # one evaluator for the whole run: compiled shape buckets are
             # reused; only the param snapshot refreshes per eval
             if "ev" not in evaluator_box:
                 evaluator_box["ev"] = FusedAlignEvaluator(
                     tr.model, {"params": tr.params},
-                    AlignEvalConfig(seq_len=cfg.seq_len),
+                    AlignEvalConfig(
+                        seq_len=cfg.seq_len,
+                        use_alignability_head=bool(cfg.use_alignability_head),
+                        # in-loop eval rides every DP chip (round-robin
+                        # video groups; clamped to the devices that exist)
+                        eval_devices=cfg.dp_devices or len(jax.devices()),
+                    ),
                 )
             else:
                 evaluator_box["ev"].update_params({"params": tr.params})
