@@ -218,6 +218,7 @@ def make_s3d_nce_step(
     freeze_early: bool = True,
     gather_negatives: bool = False,
     compute_dtype: str = "float32",
+    scan_steps: Optional[int] = None,
 ) -> Callable:
     """End-to-end S3D finetune step (reference end2end/main_nce.py:30-47,
     60-137): symmetric InfoNCE (sum of both directions) between S3D video
@@ -276,10 +277,33 @@ def make_s3d_nce_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
+    if scan_steps is None:
+        step = shard_map(
+            local_step,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(DATA_AXIS), P()),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(step, donate_argnums=(0, 2))
+
+    def local_scan(params, batch_stats, opt_state, batches, rng):
+        def body(carry, xs):
+            p, o = carry
+            b_i, i = xs
+            p, o, m = local_step(
+                p, batch_stats, o, b_i, jax.random.fold_in(rng, i)
+            )
+            return (p, o), m
+        (params, opt_state), ms = jax.lax.scan(
+            body, (params, opt_state), (batches, jnp.arange(scan_steps))
+        )
+        return params, opt_state, ms
+
     step = shard_map(
-        local_step,
+        local_scan,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(DATA_AXIS), P()),
+        in_specs=(P(), P(), P(), P(None, DATA_AXIS), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )

@@ -155,8 +155,10 @@ def test_s3d_nce_step_8dev():
     # degenerate (softmax over one element); gathering makes it the global 8x8
     step = make_s3d_nce_step(model, tx, mesh, freeze_early=True,
                              gather_negatives=True)
-    # snapshot BEFORE the step: donation consumes the device buffers
+    # snapshot BEFORE the step: donation consumes the device buffers (the
+    # replicated arrays can alias params' own buffers on the origin device)
     conv1_before = jax.device_get(params["s3d"]["conv1"])
+    params_host = jax.device_get(params)
     p = replicate(params, mesh)
     bs = replicate(variables["batch_stats"], mesh)
     o = replicate(tx.init(params), mesh)
@@ -170,6 +172,20 @@ def test_s3d_nce_step_8dev():
     assert all(np.allclose(x, y) for x, y in zip(a0, a1))
     assert not np.allclose(text_params["fc2"]["kernel"],
                            jax.device_get(p2["text"]["fc2"]["kernel"]))
+
+    # fused scan variant: 2 steps, one dispatch, per-step stacked metrics
+    step2 = make_s3d_nce_step(model, tx, mesh, freeze_early=True,
+                              gather_negatives=True, scan_steps=2)
+    stacked = {
+        "video": np.stack([video, video]),
+        "token": np.stack([token, token]),
+    }
+    p = replicate(params_host, mesh)
+    o = replicate(tx.init(params_host), mesh)
+    p3, o3, ms = step2(p, bs, o, shard_batch(stacked, mesh, dim=1),
+                       jax.random.PRNGKey(0))
+    assert ms["loss"].shape == (2,)
+    assert np.isfinite(np.asarray(ms["loss"])).all()
 
 
 def test_htm_clip_dataset_grey_fallback():
