@@ -290,3 +290,72 @@ def test_visualize_features_end_to_end(tmp_path):
     written = visualize_dump_dir(dump, out_dir, method="pca")
     assert len(written) == 2 * b  # heatmap + projection per window
     assert all(os.path.exists(p) and os.path.getsize(p) > 0 for p in written)
+
+
+def test_stratify_results_end_to_end(tmp_path):
+    """Scripted scenario-stratification (reference
+    visualization/scenario_stratification_results.ipynb): trainer-format
+    results -> per-task tables, recall@theta, seen/unseen split, plot."""
+    import json
+
+    from exoground_tpu.tools.stratify_results import (
+        flatten_results,
+        recall_at_thresholds,
+        run,
+    )
+
+    rng = np.random.RandomState(0)
+    takes = [
+        {"take_name": "uni_bike_01", "task_name": "bike repair",
+         "parent_task_name": "repair"},
+        {"take_name": "uni_cook_01", "task_name": "cooking pasta",
+         "parent_task_name": "cooking"},
+        {"take_name": "uni_cook_02", "task_name": "cooking pasta",
+         "parent_task_name": "cooking"},
+    ]
+    takes_path = tmp_path / "takes.json"
+    takes_path.write_text(json.dumps(takes))
+    (tmp_path / "unseen.txt").write_text("uni_cook_02\n")
+
+    def result_batch(take, n, base):
+        # (B=2, N) iou map padded to 4; only n real narrations per row
+        ious = np.clip(base + 0.1 * rng.rand(2, 4), 0, 1)
+        return {
+            "loss_dict": ious.tolist(),
+            "metadata": {
+                "narration": [[f"s{j}" for j in range(n)]] * 2,
+                "video_id": [take] * 2,
+                "cam_id": ["cam01", "cam02"],
+                "narr_ranks": None,
+            },
+        }
+
+    results = [
+        result_batch("uni_bike_01", 3, 0.8),
+        result_batch("uni_cook_01", 2, 0.2),
+        result_batch("uni_cook_02", 4, 0.5),
+    ]
+    res_path = tmp_path / "test_results_epoch_1.json"
+    res_path.write_text(json.dumps(results))
+
+    recs = flatten_results(results)
+    assert len(recs) == 2 * (3 + 2 + 4)  # padding dropped per narration list
+    r = recall_at_thresholds([0.05, 0.35, 0.75], thresholds=(0.1, 0.3, 0.7))
+    assert r == {"IoU>=0.1": 2 / 3, "IoU>=0.3": 2 / 3, "IoU>=0.7": 1 / 3}
+
+    out_dir = tmp_path / "out"
+    report = run(
+        [str(res_path)], takes_json=str(takes_path),
+        unseen_file=str(tmp_path / "unseen.txt"), group="task",
+        out_dir=str(out_dir), plot=True,
+    )
+    entry = report["models"][str(res_path)]
+    groups = {row["group"]: row for row in entry["by_group"]}
+    assert set(groups) == {"bike repair", "cooking pasta"}
+    assert groups["bike repair"]["mean_iou"] > groups["cooking pasta"]["mean_iou"]
+    assert groups["bike repair"]["count"] == 6
+    su = entry["seen_unseen"]
+    assert su["unseen"]["count"] == 8 and su["seen"]["count"] == 10
+    assert os.path.exists(out_dir / "stratified_report.json")
+    assert os.path.exists(out_dir / "test_results_epoch_1_task.csv")
+    assert os.path.getsize(out_dir / "stratified_task.png") > 0
