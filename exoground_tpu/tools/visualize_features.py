@@ -196,15 +196,54 @@ def visualize_dump_dir(
     return written
 
 
+def compare_runs(
+    run_dirs: List[str],
+    out_dir: str,
+    method: str = "pca",
+    max_windows: Optional[int] = 16,
+    labels: Optional[List[str]] = None,
+) -> str:
+    """Multi-run feature comparison (reference
+    visualization/parallel_vis_feat.ipynb): load each run's feature dumps,
+    jointly standardize, embed ALL runs in one 2-D projection, one color per
+    run — the notebook's distill-vs-no-distill-vs-no-curriculum t-SNE."""
+    os.makedirs(out_dir, exist_ok=True)
+    labels = labels or [os.path.basename(os.path.normpath(d)) for d in run_dirs]
+    groups = []
+    for d in run_dirs:
+        records = load_feature_dumps(d)
+        if max_windows:
+            records = records[:max_windows]
+        if not records:
+            raise ValueError(f"no feature dumps under {d}")
+        groups.append(np.vstack([r["output_features"] for r in records]))
+    emb = project_2d(groups, method=method)
+    return plot_projection(
+        emb, labels,
+        os.path.join(out_dir, f"compare_{method}.png"),
+        title=f"{method.upper()} output-feature embedding by run",
+    )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--features_dir", required=True)
+    ap.add_argument("--features_dir", required=True, nargs="+",
+                    help="one dump dir; several = multi-run comparison plot")
     ap.add_argument("--out_dir", required=True)
     ap.add_argument("--method", default="pca", choices=["pca", "tsne"])
     ap.add_argument("--max_windows", type=int, default=16)
+    ap.add_argument("--labels", nargs="*", default=None,
+                    help="per-run legend labels for the comparison plot")
     args = ap.parse_args(argv)
+    if len(args.features_dir) > 1:
+        path = compare_runs(
+            args.features_dir, args.out_dir, args.method, args.max_windows,
+            labels=args.labels,
+        )
+        print(f"wrote {path}")
+        return [path]
     paths = visualize_dump_dir(
-        args.features_dir, args.out_dir, args.method, args.max_windows
+        args.features_dir[0], args.out_dir, args.method, args.max_windows
     )
     print(f"wrote {len(paths)} images to {args.out_dir}")
     return paths

@@ -359,3 +359,32 @@ def test_stratify_results_end_to_end(tmp_path):
     assert os.path.exists(out_dir / "stratified_report.json")
     assert os.path.exists(out_dir / "test_results_epoch_1_task.csv")
     assert os.path.getsize(out_dir / "stratified_task.png") > 0
+
+
+def test_visualize_features_compare_runs(tmp_path):
+    """Multi-run comparison mode (reference parallel_vis_feat.ipynb): two
+    dump dirs -> one jointly-embedded scatter, one color per run."""
+    from exoground_tpu.tools.visualize_features import compare_runs, main
+    from exoground_tpu.utils.visualize import save_features_to_dir
+
+    rng = np.random.RandomState(3)
+    b, t, c = 2, 6, 12
+    dirs = []
+    for k in range(2):
+        meta = {
+            "video_id": [f"vid{k}"] * b,
+            "exo_camera": ["cam01"] * b,
+            "start_sec": [i * 16 for i in range(b)],
+        }
+        d = str(tmp_path / f"run{k}")
+        save_features_to_dir(d, meta, rng.randn(b, t, c).astype(np.float32) + k)
+        dirs.append(d)
+
+    out = compare_runs(dirs, str(tmp_path / "cmp"), method="pca")
+    assert os.path.exists(out) and os.path.getsize(out) > 0
+    # CLI route with several dirs picks the comparison mode
+    paths = main([
+        "--features_dir", *dirs, "--out_dir", str(tmp_path / "cmp2"),
+        "--method", "pca", "--labels", "no_distill", "distill",
+    ])
+    assert len(paths) == 1 and os.path.exists(paths[0])
