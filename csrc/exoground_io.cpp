@@ -285,9 +285,11 @@ int eg_gather_windows(const char** paths, const int64_t* starts,
           std::memset(m, 0, valid);
           std::memset(m + valid, 1, seq_bucket - valid);
         } else {
+          // readable file, window past its end: a legitimately empty window
+          // is a zero row with a full-PAD mask, NOT a failure (parity with
+          // the python fallback and FeatureStore.read_windows)
           std::memset(dst, 0, size_t(seq_bucket) * dim * 4);
           std::memset(m, 1, seq_bucket);
-          failures.fetch_add(1);
         }
         npy_close(&f);
       }

@@ -19,10 +19,15 @@ import numpy as np
 
 
 def pad_by_last(x: np.ndarray, length: int) -> np.ndarray:
-    """(t, ...) -> (length, ...), tail filled with x[-1] (loader_htm.py:13-23)."""
+    """(t, ...) -> (length, ...), tail filled with x[-1] (loader_htm.py:13-23).
+
+    A zero-length input (annotation window past the end of a truncated
+    feature file) pads with zeros — there is no last frame to repeat."""
     t = x.shape[0]
     if t >= length:
         return x[:length]
+    if t == 0:
+        return np.zeros((length,) + x.shape[1:], dtype=x.dtype)
     out = np.empty((length,) + x.shape[1:], dtype=x.dtype)
     out[:t] = x
     out[t:] = x[-1]

@@ -21,6 +21,7 @@ Intended-behavior fixes vs the reference (documented per SURVEY.md §7):
 
 from __future__ import annotations
 
+import ast
 import os
 from collections import Counter
 from dataclasses import dataclass
@@ -207,6 +208,12 @@ def camera_view_order(
         positions.append(ext[:, -1])
         rotations.append(ext[:, :3])
         labels.append(cam)
+    if ego_label is None:
+        # aria pose missing the window-midpoint frame (pose coverage can be
+        # shorter than the take): no gaze ray to sort by — ego-first fallback
+        cams = [c for c in cam_list if c != ego_cam]
+        cams.insert(0, ego_cam)
+        return cams[::-1], {c: i for i, c in enumerate(cams)}
     positions = np.asarray(positions)
     rotations = np.asarray(rotations)
     ego_idx = labels.index(ego_label)
@@ -420,9 +427,15 @@ class EgoExo4DDataset:
                 worst_rank = max(int(k) for k in rank.keys())
                 if curr == str(worst_rank):  # don't use self as negative (:384-385)
                     worst_rank -= 1
-                worst_idx = view_names.index(rank[str(worst_rank)])
-            tgt[t - start] = best_idx
-            neg[t - start] = worst_idx
+                # single-camera ranking where self is the only entry: the
+                # only non-self negative left is the ego view (rank '-1'
+                # does not exist)
+                worst = rank[str(worst_rank)] if worst_rank >= 0 else "ego"
+                worst_idx = view_names.index(worst)
+                tgt[t - start] = best_idx
+                neg[t - start] = worst_idx
+            # an empty per-second ranking leaves tgt/neg at the ego view
+            # (index 0) instead of reusing a stale neighbour or crashing
 
         valid = np.zeros((exo_feats.shape[0], cfg.duration), bool)
         valid[tgt, np.arange(cfg.duration)] = True  # reference :320-325
@@ -441,7 +454,11 @@ class EgoExo4DDataset:
                     out.append(int(rng.choice(choices)) if choices
                                else int(rng.randint(0, d)))
                 else:
-                    out.append(int(rng.randint(rs, re + 1)))
+                    # rs > re when the lone narration starts exactly at the
+                    # window boundary; fall back to a uniform draw like the
+                    # multi-narration branch
+                    out.append(int(rng.randint(rs, re + 1)) if rs <= re
+                               else int(rng.randint(0, d)))
         else:
             narr = np.stack([f.reshape(-1) for f in narr_feats])
             sim = ego_feats @ narr.T
@@ -466,8 +483,10 @@ class EgoExo4DDataset:
         rng = self._rng(idx)
         exo_cams = w["exo_cam"]
         if isinstance(exo_cams, str):
+            # CSV cache round-trip stringifies the list; literal_eval parses
+            # exactly the legitimate format and nothing else
             exo_cams = (
-                eval(exo_cams, {"__builtins__": {}}) if exo_cams.startswith("[")
+                ast.literal_eval(exo_cams) if exo_cams.startswith("[")
                 else [exo_cams]
             )
         nids = [n for n in str(w["narration_ids"]).split(",") if n]

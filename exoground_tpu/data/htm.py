@@ -312,6 +312,16 @@ class HTMAlignDataset:
         clipped = _clip_sentences(
             cap, start_ts, end_ts, cfg.duration, self.tokenizer, cfg.token_len
         )
+        if not clipped["text"]:
+            # anchor sentence itself can clip away (sub-second segment or
+            # all-stop-word tokens): same [UNK] fallback as HTMFeatureDataset
+            # (loader_htm.py:229-238) so collate never sees an empty stack
+            tok = np.asarray(
+                self.tokenizer("[UNK]")["input_ids"], np.int32
+            ).reshape(-1)[: cfg.token_len]
+            tok = np.pad(tok, (0, cfg.token_len - tok.shape[0]))
+            clipped = {"text": ["[UNK]"], "token": [tok], "start": [0],
+                       "end": [cfg.duration], "aligned": [0]}
         vlen = self.store.length(vid)
         video = self.store.read(vid, start_ts, min(end_ts, vlen))
         return {"_video": video, "_texts": clipped, "vid": vid,

@@ -170,9 +170,15 @@ class LemmaDataset:
         )
 
         out: Dict = {}
-        if cfg.same_view_negative and narr_feats:
-            out["same_view_neg_idxs"] = EgoExo4DDataset._same_view_neg_idxs(
-                self, video, narr_feats, u_starts, u_ends, rng
+        if cfg.same_view_negative:
+            # always emit the key (zeros fallback for narration-less windows,
+            # matching EgoExo4DDataset) so collate sees consistent dicts
+            out["same_view_neg_idxs"] = (
+                EgoExo4DDataset._same_view_neg_idxs(
+                    self, video, narr_feats, u_starts, u_ends, rng
+                )
+                if narr_feats
+                else np.zeros(video.shape[0], np.int64)
             )
 
         pad_narr = np.zeros((cfg.duration, cfg.feature_dim), np.float32)

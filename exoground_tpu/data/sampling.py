@@ -104,6 +104,15 @@ class CurriculumShardedSampler(ShardedSampler):
         self.end_epoch_frac = end_epoch_frac
 
     def curriculum_progress(self) -> float:
+        # Formula-exact parity with the reference
+        # (main_egoexo4d_distributed.py:48). NOTE the reference's expression
+        # algebraically cancels end_epoch_frac — progress is always
+        # start_frac + epoch/max_epochs, reaching 1.0 after
+        # (1-start_frac)*max_epochs epochs regardless of --end_epoch_frac.
+        # Reproduced as-is because it changes which samples train at which
+        # epoch (a behavioral surface, unlike the unreachable reference bugs
+        # we fix); the presumably-intended ramp would be
+        # start_frac + (epoch/(max_epochs*end_epoch_frac))*(1-start_frac).
         p = self.start_frac + (
             self.epoch / (self.max_epochs * self.end_epoch_frac)
         ) * self.end_epoch_frac

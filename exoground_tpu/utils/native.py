@@ -136,6 +136,10 @@ def gather_windows(
     for i, p in enumerate(paths):
         try:
             arr = np.load(p, mmap_mode="r")
+            if arr.ndim != 2 or arr.shape[1] != dim:
+                raise ValueError(
+                    f"{p}: shape {arr.shape} incompatible with dim={dim}"
+                )
             s = max(0, int(starts[i]))
             e = min(arr.shape[0], int(ends[i]))
             valid = min(max(e - s, 0), seq_bucket)

@@ -431,3 +431,137 @@ def test_htm_deferred_video_io_parity(tmp_path):
     np.testing.assert_array_equal(bl["video_padding_mask"],
                                   be["video_padding_mask"])
     np.testing.assert_array_equal(bl["token"], be["token"])
+
+
+# ------------------------------------------------- data-layer edge-case fixes
+def test_egoexo4d_pathological_rankings():
+    """Empty per-second rankings fall back to the ego view; a single-entry
+    ranking where the current cam is its own worst rank uses ego as the
+    negative instead of KeyError('-1')."""
+    src = _egoexo_fixture()
+    uid = "uid0"
+    # second 0: empty ranking; second 1: single entry that IS the current cam
+    src.camera_rankings[uid]["0"] = {}
+    src.camera_rankings[uid]["1"] = {"0": "cam01"}
+    cfg = EgoExoConfig(
+        duration=20, hop_length=10, views="exo", feature_dim=24,
+        use_distill_nce_loss=True,
+    )
+    ds = EgoExo4DDataset(cfg, src, split="train")
+    # find a window of take0 starting at 0 with exo cam01 (curr == '0')
+    idx = next(
+        i for i, w in enumerate(ds.windows)
+        if w["video_id"] == "take0" and int(w["start_sec"]) == 0
+        and w["exo_cam"] == "cam01"
+    )
+    item = ds[idx]
+    # empty-rank second labels the ego view (index 0), no crash / stale reuse
+    assert item["view_rank_label"][0] == 0
+    assert item["view_rank_neg_label"][0] == 0
+    # single-entry self ranking: negative falls back to ego (index 0)
+    assert item["view_rank_neg_label"][1] == 0
+
+
+def test_egoexo4d_same_view_neg_boundary_narration():
+    """A lone narration starting exactly at the window end must not crash
+    randint(low>=high); it falls back to a uniform draw."""
+    src = _egoexo_fixture()
+    cfg = EgoExoConfig(duration=20, hop_length=10, views="exo",
+                       feature_dim=24, same_view_negative=True)
+    ds = EgoExo4DDataset(cfg, src, split="train")
+    rng = np.random.RandomState(0)
+    ego = rng.randn(20, 24).astype(np.float32)
+    narr = [rng.randn(1, 24).astype(np.float32)]
+    out = ds._same_view_neg_idxs(ego, narr, [20.0], [22.0], rng)
+    assert out.shape == (20,)
+    assert (0 <= out).all() and (out < 20).all()
+
+
+def test_camera_view_order_missing_midpoint_pose():
+    """Aria pose missing the window-midpoint frame -> ego-first fallback
+    instead of ValueError."""
+    pose = {
+        "aria01": {"camera_extrinsics": {"999": np.eye(3, 4).tolist()}},
+        "cam01": {"camera_extrinsics": np.eye(3, 4).tolist()},
+    }
+    cams, dist = camera_view_order(pose, ["cam01", "aria01"], 0, 20, "aria01")
+    assert dist["aria01"] == 0 and cams[-1] == "aria01"
+
+
+def test_pad_by_last_empty_window():
+    from exoground_tpu.data.collate import pad_by_last, stack_videos
+
+    out = pad_by_last(np.zeros((0, 8), np.float32), 4)
+    assert out.shape == (4, 8) and (out == 0).all()
+    vb = stack_videos([np.zeros((0, 8), np.float32),
+                       np.ones((2, 8), np.float32)], 4)
+    assert vb["video_padding_mask"][0].all()
+    assert not vb["video_padding_mask"][1, :2].any()
+
+
+def test_read_windows_empty_window_parity(tmp_path):
+    """A window entirely past a (truncated) file's end is a zero row with a
+    full-PAD mask on BOTH the native and python paths — not an IOError."""
+    arr = np.random.RandomState(0).randn(50, 16).astype(np.float32)
+    np.save(str(tmp_path / "v.npy"), arr)
+    store = FeatureStore(str(tmp_path), (".npy",))
+    v, m = store.read_windows(["v", "v"], [60, 0], [92, 32], 32, 16)
+    assert m[0].all() and (v[0] == 0).all()
+    np.testing.assert_allclose(v[1], arr[:32], atol=1e-6)
+
+    from exoground_tpu.utils import native as native_mod
+    paths = [str(tmp_path / "v.npy")]
+    v2, m2 = native_mod.gather_windows(
+        paths, np.asarray([60]), np.asarray([92]), 32, 16
+    )
+    assert m2[0].all() and (v2[0] == 0).all()
+
+
+def test_htm_align_window_mode_unk_fallback():
+    """Sub-second segments clip to nothing; window mode emits the [UNK]
+    fallback like the train loader instead of crashing the collate."""
+    mem, _ = _htm_fixture(n_vids=1, vlen=300)
+    vid = list(mem)[0]
+    anno = {vid: [[1, 10.2, 10.5, "blip"]]}
+    ds = HTMAlignDataset(
+        HTMConfig(duration=64, text_bucket=8), tokenizer=DummyTokenizer(),
+        mode="window", anno=anno, store=FeatureStore(mem=mem),
+    )
+    batch = ds.collate_fn([ds[0]])
+    assert batch["video"].shape == (1, 64, 16)
+    assert batch["token"].shape[0] == 1
+
+
+def test_lemma_same_view_neg_key_consistent():
+    """LEMMA always emits same_view_neg_idxs under same_view_negative, even
+    for narration-less windows, so mixed batches collate."""
+    from exoground_tpu.data.lemma import LemmaConfig, LemmaDataset
+
+    rng = np.random.RandomState(2)
+    dur, c = 48, 24
+    mem_v = {f"lv_{cam}": rng.randn(dur, c).astype(np.float32)
+             for cam in ("fpv1", "master")}
+    mem_n = {"0": rng.randn(1, 32).astype(np.float32)}  # only HOI 0 exists
+    annotations = [
+        {"vid_name": "lv", "unique_narration_id": "n0",
+         "start_frame": 0, "end_frame": 6 * 24, "narration": "HOI 0"},
+        {"vid_name": "lv", "unique_narration_id": "n1",
+         "start_frame": 18 * 24, "end_frame": 24 * 24, "narration": "HOI 1"},
+    ]
+    ds = LemmaDataset(
+        LemmaConfig(duration=16, hop_length=16, feature_dim=32,
+                    same_view_negative=True),
+        split_rows=[{"video_id": "lv", "duration_sec": dur}],
+        annotations=annotations,
+        hoi_text_map={0: "text 0", 1: "text 1"},
+        video_store=FeatureStore(mem=mem_v),
+        narration_store=FeatureStore(mem=mem_n),
+        split="train",
+    )
+    assert len(ds) == 2
+    items = [ds[i] for i in range(len(ds))]
+    # second window's only narration (HOI 1) is missing from the store ->
+    # narration-less item must still carry the key (zeros fallback)
+    assert all("same_view_neg_idxs" in it for it in items)
+    batch = ds.collate_fn(items)
+    assert batch["same_view_neg_idxs"].shape[0] == len(items)
