@@ -32,10 +32,25 @@ def make_mesh(n_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
 
 def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS, dim: int = 0):
     """Place every array in the batch pytree with dim ``dim`` sharded over
-    mesh axis ``axis`` (dim=1 for scan-stacked (n_steps, B, ...) batches)."""
+    mesh axis ``axis`` (dim=1 for scan-stacked (n_steps, B, ...) batches).
+
+    Multihost: each process passes its OWN per-host batch (the sharded
+    sampler gives every host distinct rows) and it becomes that host's shard
+    of the global batch — global rows = per-host rows x process_count,
+    matching DDP's per-rank batch semantics. device_put would instead treat
+    the local array as the (assumed replicated) global value and silently
+    drop (H-1)/H of every loaded batch.
+    """
+    multihost = jax.process_count() > 1
+
     def put(x):
         spec = P(*([None] * dim), axis, *([None] * (np.ndim(x) - 1 - dim)))
-        return jax.device_put(x, NamedSharding(mesh, spec))
+        sharding = NamedSharding(mesh, spec)
+        if multihost:
+            return jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            )
+        return jax.device_put(x, sharding)
     return jax.tree_util.tree_map(put, batch)
 
 

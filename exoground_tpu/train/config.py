@@ -96,6 +96,7 @@ class ExperimentConfig:
     exo_exo_distill: bool = False
 
     # data dimensions
+    fps: int = 30  # annotation frame rate (LEMMA: 24, set by parse_args)
     video_feature_dim: int = 4096
     text_feature_dim: int = 4096
     audio_feature_dim: int = 2304
@@ -181,8 +182,8 @@ def parse_args(argv: Optional[List[str]] = None, dataset: Optional[str] = None) 
     cfg = ExperimentConfig(**kw)
     if dataset:
         cfg.dataset = dataset
-    if cfg.dataset == "lemma":
-        cfg.fps = 24  # type: ignore[attr-defined]
+    if cfg.dataset == "lemma" and cfg.fps == 30:
+        cfg.fps = 24  # LEMMA annotations are 24 fps (loader_lemma.py)
     return cfg.validate()
 
 

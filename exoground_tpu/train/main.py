@@ -67,7 +67,7 @@ def build_egoexo_dataset(cfg, split: str):
         reverse_ranking=cfg.reverse_ranking,
         randomize_ranking=cfg.randomize_ranking,
         exo_exo_distill=cfg.exo_exo_distill,
-        feature_dim=cfg.text_feature_dim, seed=cfg.seed,
+        feature_dim=cfg.text_feature_dim, seed=cfg.seed, fps=cfg.fps,
     )
     csv_cache = os.path.join(
         root,
@@ -104,7 +104,7 @@ def build_lemma_dataset(cfg, split: str):
         same_view_negative=cfg.same_view_negative,
         reverse_ranking=cfg.reverse_ranking,
         randomize_ranking=cfg.randomize_ranking,
-        feature_dim=cfg.text_feature_dim, seed=cfg.seed,
+        feature_dim=cfg.text_feature_dim, seed=cfg.seed, fps=cfg.fps,
     )
     return LemmaDataset(
         dcfg, split_rows, annotations, hoi_text_map,
@@ -211,10 +211,12 @@ def main(argv=None):
             train_ds, cfg.batch_size, sampler=sampler,
             num_workers=cfg.num_workers,
         )
+        # eval must see EVERY sample: the sharded eval step pads ragged
+        # tails with dummy rows, so the last partial batch is kept
         val_loader = ThreadedLoader(
             val_ds, cfg.batch_size,
             sampler=ShardedSampler(len(val_ds), shards, shard, shuffle=False),
-            num_workers=cfg.num_workers, drop_last=True,
+            num_workers=cfg.num_workers, drop_last=False,
         )
         model = build_model(cfg)
         sample = next(iter(train_loader))
@@ -291,7 +293,7 @@ def run_htm_tan(cfg):
     val_loader = ThreadedLoader(
         val_ds, cfg.batch_size,
         sampler=ShardedSampler(len(val_ds), shards, shard, shuffle=False),
-        num_workers=cfg.num_workers,
+        num_workers=cfg.num_workers, drop_last=False,
     )
 
     model = build_model(cfg)
@@ -320,8 +322,16 @@ def run_htm_tan(cfg):
         )
 
         def embed(texts):
+            # pad tokens masked exactly like the in-step tower
+            # (parallel/train_step.py:_batch_text) so eval embeddings match
+            # the ones the model trains against
             tok = tokenizer(texts)
-            return np.asarray(text_tower(tok["input_ids"])["pooler_output"])
+            ids = np.asarray(tok["input_ids"])
+            return np.asarray(
+                text_tower(ids, attention_mask=(ids != 0).astype(np.int32))[
+                    "pooler_output"
+                ]
+            )
 
         align_items = []
         for i in range(len(align_ds)):

@@ -95,8 +95,16 @@ def make_optimizer(
     """AdamW + two-group decay + warmup-cosine (+ optional clip / accumulation).
 
     ``accumulate_steps`` reproduces ``backprop_freq`` gradient accumulation
-    (reference main.py:107-113) via optax.MultiSteps.
+    (reference main.py:107-113) via optax.MultiSteps. The reference steps its
+    LR scheduler every MINI-BATCH (main.py:133) while MultiSteps advances the
+    inner schedule only on real optimizer steps (every k mini-batches), so
+    the schedule's iteration counts are rescaled to inner-step units here —
+    warmup still spans 1000 mini-batches of data, cosine still reaches 0 at
+    the end of training.
     """
+    if accumulate_steps > 1:
+        total_iterations = max(1, total_iterations // accumulate_steps)
+        warmup_iterations = max(1, warmup_iterations // accumulate_steps)
     schedule = warmup_cosine_schedule(lr, total_iterations, warmup_iterations)
     chain = []
     if grad_clip:

@@ -74,10 +74,16 @@ class BaseTrainer:
         n_dev = cfg.dp_devices or len(jax.devices())
         self.mesh = mesh if mesh is not None else make_mesh(n_dev)
         self.iteration = cfg.iteration
+        self._last_runtime_save = cfg.iteration
+        self._last_log = cfg.iteration - 5  # first step logs
         self.start_epoch = cfg.start_epoch
         self.best_acc = -1e5
+        # rank-0-only writers: in multihost runs every process executes the
+        # trainer; checkpoints and TB events must be written once
+        # (reference rank==0 guards, main.py:137,119)
+        self.is_chief = jax.process_index() == 0
         self.writer = (
-            AsyncWriter(cfg.log_path) if cfg.log_path else None
+            AsyncWriter(cfg.log_path) if cfg.log_path and self.is_chief else None
         )
         self.monitor = DeviceMonitor()
         self.rng = jax.random.PRNGKey(cfg.seed)
@@ -96,7 +102,7 @@ class BaseTrainer:
         return state
 
     def save_epoch(self, epoch: int, is_best: bool = False, keep_all: bool = False):
-        if not self.cfg.model_path:
+        if not self.cfg.model_path or not self.is_chief:
             return
         save_checkpoint(
             self._ckpt_state(epoch), is_best=is_best,
@@ -105,7 +111,12 @@ class BaseTrainer:
         )
 
     def maybe_save_runtime(self, epoch: int):
-        if self.cfg.model_path and self.iteration % self.cfg.runtime_save_iter == 0:
+        # threshold, not modulo: with --fused_steps N the iteration counter
+        # advances by N per dispatch (and resume offsets are arbitrary), so
+        # `iteration % k == 0` can have no solutions
+        due = self.iteration - self._last_runtime_save >= self.cfg.runtime_save_iter
+        if self.cfg.model_path and self.is_chief and due:
+            self._last_runtime_save = self.iteration
             save_runtime_checkpoint(
                 self._ckpt_state(epoch),
                 filename=os.path.join(self.cfg.model_path, "runtime.pth.tar"),
@@ -118,6 +129,8 @@ class BaseTrainer:
         self.params = restore_into(jax.device_get(self.params), blob["state_dict"])
         if mode == "resume":
             self.iteration = int(blob.get("iteration", 0))
+            self._last_runtime_save = self.iteration
+            self._last_log = self.iteration - 5
             self.start_epoch = int(blob.get("epoch", 0)) + 1
             self.best_acc = float(blob.get("best_acc", -1e5))
             if "optimizer" in blob:
@@ -223,10 +236,65 @@ class BaseTrainer:
             )
         return out
 
+    def _run_train_epoch(
+        self,
+        loader: Iterable[Dict],
+        epoch: int,
+        batch_key: str,
+        do_single: Callable,
+        do_fused: Optional[Callable],
+    ) -> float:
+        """Shared train loop: meters/progress, fused-vs-single dispatch,
+        finite-loss guard, every-5 logging, runtime-checkpoint cadence.
+        ``do_single(batch_s, rng) -> metrics`` and ``do_fused(stacked, rng)
+        -> stacked metrics`` advance the trainer state internally."""
+        cfg = self.cfg
+        meters = {k: AverageMeter(k, ":.4f") for k in ("Time", "Data", "Loss")}
+        progress = ProgressMeter(
+            getattr(loader, "__len__", lambda: 0)(),
+            list(meters.values()), prefix=f"Epoch:[{epoch}]",
+        )
+        timer = Timer()
+        if do_fused is not None:
+            source = self._prefetched_stacked(loader, cfg.fused_steps)
+        else:
+            source = (("single", b) for b, _raw in self._prefetched(loader))
+        for idx, (kind, batch_s) in enumerate(source):
+            meters["Data"].update(timer.lap())
+            self.rng, step_rng = jax.random.split(self.rng)
+            if kind == "fused":
+                b = batch_s[batch_key].shape[1]
+                ms = do_fused(batch_s, step_rng)
+                losses = np.asarray(ms["loss"])
+                for li in losses:
+                    if _finite(float(li)):
+                        meters["Loss"].update(float(li), b)
+                self._log(
+                    {k: float(np.asarray(v)[-1]) for k, v in ms.items()},
+                    "train/",
+                )
+                self.iteration += len(losses)
+            else:
+                b = batch_s[batch_key].shape[0]
+                metrics = do_single(batch_s, step_rng)
+                loss = float(metrics["loss"])
+                if _finite(loss):
+                    meters["Loss"].update(loss, b)
+                self._log({k: float(v) for k, v in metrics.items()}, "train/")
+                self.iteration += 1
+            meters["Time"].update(timer.lap())
+            if idx % cfg.print_freq == 0:
+                progress.display(idx)
+            self.maybe_save_runtime(epoch)
+        if self.writer:
+            self.writer.add_data("train/total_epoch_loss", meters["Loss"].avg, epoch)
+        return meters["Loss"].avg
+
     def _log(self, metrics: Dict, prefix: str):
         if self.writer is None:
             return
-        if self.iteration % 5 == 0:
+        if self.iteration - self._last_log >= 5:  # every-5 cadence (main.py:119)
+            self._last_log = self.iteration
             self.writer.add_dict(metrics, self.iteration, prefix=prefix)
             self.monitor.log_to(self.writer, self.iteration)
 
@@ -270,6 +338,7 @@ class TANTrainer(BaseTrainer):
             temporal_agreement_type=cfg.temporal_agreement_type,
             loss_threshold=cfg.loss_threshold,
             use_alignability_head=bool(cfg.use_alignability_head),
+            optim_policy=cfg.optim_policy,
         )
         batch = self.prepare_batch(sample_batch)
         if "text" in batch:
@@ -358,55 +427,24 @@ class TANTrainer(BaseTrainer):
 
     # ------------------------------------------------------------ train loop
     def train_epoch(self, loader: Iterable[Dict], epoch: int) -> float:
-        cfg = self.cfg
-        meters = {k: AverageMeter(k, ":.4f") for k in ("Time", "Data", "Loss")}
-        progress = ProgressMeter(
-            getattr(loader, "__len__", lambda: 0)(),
-            list(meters.values()), prefix=f"Epoch:[{epoch}]",
-        )
-        timer = Timer()
-        if self.step_fused is not None:
-            source = self._prefetched_stacked(loader, cfg.fused_steps)
-        else:
-            source = (
-                ("single", b) for b, _raw in self._prefetched(loader)
+        def do_single(batch_s, rng):
+            (self.params, self.target_params, self.opt_state,
+             metrics) = self.step(
+                self.params, self.target_params, self.opt_state, batch_s, rng
             )
-        for idx, (kind, batch_s) in enumerate(source):
-            meters["Data"].update(timer.lap())
-            self.rng, step_rng = jax.random.split(self.rng)
-            if kind == "fused":
-                b = batch_s["video"].shape[1]
-                (self.params, self.target_params, self.opt_state,
-                 ms) = self.step_fused(
-                    self.params, self.target_params, self.opt_state,
-                    batch_s, step_rng,
-                )
-                losses = np.asarray(ms["loss"])
-                for li in losses:
-                    if _finite(float(li)):
-                        meters["Loss"].update(float(li), b)
-                self._log(
-                    {k: float(np.asarray(v)[-1]) for k, v in ms.items()},
-                    "train/",
-                )
-                self.iteration += len(losses)
-            else:
-                b = batch_s["video"].shape[0]
-                self.params, self.target_params, self.opt_state, metrics = self.step(
-                    self.params, self.target_params, self.opt_state, batch_s, step_rng
-                )
-                loss = float(metrics["loss"])
-                if _finite(loss):
-                    meters["Loss"].update(loss, b)
-                self._log({k: float(v) for k, v in metrics.items()}, "train/")
-                self.iteration += 1
-            meters["Time"].update(timer.lap())
-            if idx % cfg.print_freq == 0:
-                progress.display(idx)
-            self.maybe_save_runtime(epoch)
-        if self.writer:
-            self.writer.add_data("train/total_epoch_loss", meters["Loss"].avg, epoch)
-        return meters["Loss"].avg
+            return metrics
+
+        def do_fused(stacked, rng):
+            (self.params, self.target_params, self.opt_state,
+             ms) = self.step_fused(
+                self.params, self.target_params, self.opt_state, stacked, rng
+            )
+            return ms
+
+        return self._run_train_epoch(
+            loader, epoch, "video", do_single,
+            do_fused if self.step_fused is not None else None,
+        )
 
     def evaluate(self, loader: Iterable[Dict], epoch: int) -> float:
         """Validation sharded over the mesh (reference DistributedSampler eval
@@ -573,53 +611,22 @@ class EgoExoTrainer(BaseTrainer):
 
     # ------------------------------------------------------------ train loop
     def train_epoch(self, loader, epoch: int) -> float:
-        cfg = self.cfg
-        meters = {k: AverageMeter(k, ":.4f") for k in ("Time", "Data", "Loss")}
-        progress = ProgressMeter(
-            getattr(loader, "__len__", lambda: 0)(),
-            list(meters.values()), prefix=f"Epoch:[{epoch}]",
-        )
-        timer = Timer()
-        if self.step_fused is not None:
-            source = self._prefetched_stacked(loader, cfg.fused_steps)
-        else:
-            source = (
-                ("single", b) for b, _raw in self._prefetched(loader)
+        def do_single(batch_s, rng):
+            self.params, self.opt_state, metrics = self.step(
+                self.params, self.opt_state, batch_s, rng
             )
-        for idx, (kind, batch_s) in enumerate(source):
-            meters["Data"].update(timer.lap())
-            self.rng, step_rng = jax.random.split(self.rng)
-            if kind == "fused":
-                b = batch_s["video_features"].shape[1]
-                self.params, self.opt_state, ms = self.step_fused(
-                    self.params, self.opt_state, batch_s, step_rng
-                )
-                losses = np.asarray(ms["loss"])
-                for li in losses:
-                    if _finite(float(li)):
-                        meters["Loss"].update(float(li), b)
-                self._log(
-                    {k: float(np.asarray(v)[-1]) for k, v in ms.items()},
-                    "train/",
-                )
-                self.iteration += len(losses)
-            else:
-                b = batch_s["video_features"].shape[0]
-                self.params, self.opt_state, metrics = self.step(
-                    self.params, self.opt_state, batch_s, step_rng
-                )
-                loss = float(metrics["loss"])
-                if _finite(loss):
-                    meters["Loss"].update(loss, b)
-                self._log({k: float(v) for k, v in metrics.items()}, "train/")
-                self.iteration += 1
-            meters["Time"].update(timer.lap())
-            if idx % cfg.print_freq == 0:
-                progress.display(idx)
-            self.maybe_save_runtime(epoch)
-        if self.writer:
-            self.writer.add_data("train/total_epoch_loss", meters["Loss"].avg, epoch)
-        return meters["Loss"].avg
+            return metrics
+
+        def do_fused(stacked, rng):
+            self.params, self.opt_state, ms = self.step_fused(
+                self.params, self.opt_state, stacked, rng
+            )
+            return ms
+
+        return self._run_train_epoch(
+            loader, epoch, "video_features", do_single,
+            do_fused if self.step_fused is not None else None,
+        )
 
     def evaluate(self, loader, epoch: int, test: bool = False):
         """Val/test pass sharded over the mesh: rows split across devices
@@ -645,11 +652,19 @@ class EgoExoTrainer(BaseTrainer):
             )
             scalars = {k: float(v) for k, v in scalars.items()}
             n_valid = int(scalars.pop("_n_valid"))
-            scalars.pop("_rows")  # meter weight stays the real row count b
+            scalars.pop("_rows")
+            # meter weights mirror each metric's in-graph psum denominator so
+            # the cross-batch aggregate is the exact global mean: grounding
+            # scalars (incl. mean IoU / loss) are per-narration -> n_valid;
+            # VI per-step metrics are per-(row, timestep) -> row count b
+            vi_keys = {"L1 loss", "Pos cosine sim", "Avg neg cosine sim",
+                       "InfoNCE loss"}
+            vi_mode = self.cfg.model == "view_invariant"
             for k, v in scalars.items():
                 m = meters.setdefault(k, AverageMeter(k, ":.4f"))
-                m.update(v, n_valid if k.startswith("IoU>=") else b)
-            loss_meter.update(scalars["loss"], b)
+                per_row = k in vi_keys or (vi_mode and k == "loss")
+                m.update(v, b if per_row else n_valid)
+            loss_meter.update(scalars["loss"], b if vi_mode else n_valid)
             ious_np = np.asarray(ious)[:b]
             if test and self.cfg.model in ("grounding", "joint"):
                 meta = raw.get("metadata", {})
