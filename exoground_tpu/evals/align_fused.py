@@ -22,9 +22,10 @@ eval set shares a handful of compilations. Host-side active-text selection
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import math
-from typing import Dict, Iterable, List
+from typing import Dict, Iterable, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -172,17 +173,30 @@ class FusedAlignEvaluator:
             )
         return self._raw(dims, self._params_dev[device_index], *args)
 
-    def __call__(self, dataset: Iterable[Dict]) -> Dict[str, float]:
-        return _run_fused(dataset, self._process, self.cfg)
+    def _cfg_for(self, all_texts_active: Optional[bool]) -> AlignEvalConfig:
+        """Per-call protocol override: all_texts_active only changes
+        host-side window construction, so the same compiled programs serve
+        both request kinds (no second evaluator / executable cache)."""
+        if all_texts_active is None or all_texts_active == self.cfg.all_texts_active:
+            return self.cfg
+        return dataclasses.replace(self.cfg, all_texts_active=all_texts_active)
 
-    def predict(self, dataset: Iterable[Dict]) -> List[Dict]:
+    def __call__(
+        self, dataset: Iterable[Dict], all_texts_active: Optional[bool] = None
+    ) -> Dict[str, float]:
+        return _run_fused(dataset, self._process, self._cfg_for(all_texts_active))
+
+    def predict(
+        self, dataset: Iterable[Dict], all_texts_active: Optional[bool] = None
+    ) -> List[Dict]:
         """Raw per-video predictions (serving path): for each item, the
-        per-text best-second 'argmax' (video-relative), max-sim 'score' and
-        joint-window alignability score 'align_score'."""
+        per-text best-second 'argmax' (video-relative, clamped to >= 0) and
+        max-sim 'score' / 'align_score' (NEG_FILL sentinel = the text had no
+        covered window; its argmax is meaningless)."""
         results = []
         fetched: Dict[int, np.ndarray] = {}
         for start, end, aligned, num_text, t0, v0, out in _prefetch(
-            _dispatch(dataset, self._process, self.cfg)
+            _dispatch(dataset, self._process, self._cfg_for(all_texts_active))
         ):
             if out is None:
                 results.append({
@@ -195,8 +209,14 @@ class FusedAlignEvaluator:
             if key not in fetched:
                 fetched[key] = np.asarray(out)
             packed = fetched[key]
+            # an all-NEG_FILL row (text with no covered window) argmaxes the
+            # flat group canvas at global 0; clamp so callers never see a
+            # negative "video-relative" second
+            argmax = np.clip(
+                packed[0, t0 : t0 + num_text].astype(np.int64) - v0, 0, None
+            )
             results.append({
-                "argmax": packed[0, t0 : t0 + num_text].astype(np.int64) - v0,
+                "argmax": argmax,
                 "score": packed[1, t0 : t0 + num_text],
                 "align_score": packed[3, t0 : t0 + num_text],
             })
@@ -242,6 +262,11 @@ def _dispatch(dataset, process, cfg: AlignEvalConfig):
         text_embed = np.asarray(item["text_embed"], dtype=np.float32)
         vlen, num_text = video.shape[0], len(start)
         steps = np.arange(0, vlen - seq_len // 2, seq_len // 4)
+        if steps.size == 0:
+            # video shorter than seq_len//2: the reference protocol has no
+            # such videos and would emit zero windows (silent sentinel
+            # results); serve it with one window covering the whole video
+            steps = np.zeros(1, np.int64)
         if cfg.all_texts_active:
             full = np.ones(num_text, dtype=bool)
             windows = [(int(st), full) for st in steps]

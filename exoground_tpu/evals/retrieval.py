@@ -21,10 +21,12 @@ import numpy as np
 
 def compute_retrieval_metrics(sim: np.ndarray) -> Dict[str, float]:
     """R1/R5/R10/MR from a (queries, candidates) sim matrix with diagonal GT
-    (reference :13-26, originally MIL-NCE repo metrics.py)."""
+    (reference :13-26, originally MIL-NCE repo metrics.py). Score ties with
+    the GT take the FIRST (best) rank per row — the upstream np.where would
+    return several hits per tied row and shift every metric."""
     sx = np.sort(-sim, axis=1)
     d = -np.diag(sim)[:, None]
-    ind = np.where(sx - d == 0)[1]
+    ind = np.argmax(sx == d, axis=1)
     return {
         "R1": float(np.mean(ind == 0)),
         "R5": float(np.mean(ind < 5)),

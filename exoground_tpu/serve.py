@@ -65,14 +65,9 @@ class AlignmentService:
             seq_len=seq_len, transfer_dtype=transfer_dtype, group_videos=8,
             use_alignability_head=use_alignability_head,
         )
+        # ONE evaluator serves both protocols: all_texts_active is a per-call
+        # host-side switch, so the compiled shape buckets are shared
         self._evaluator = FusedAlignEvaluator(model, params, self.cfg)
-        # no-timestamp requests score every text in every window
-        self._cfg_all = AlignEvalConfig(
-            seq_len=seq_len, transfer_dtype=transfer_dtype, group_videos=8,
-            all_texts_active=True,
-            use_alignability_head=use_alignability_head,
-        )
-        self._evaluator_all = FusedAlignEvaluator(model, params, self._cfg_all)
         self._lock = threading.Lock()
 
     @classmethod
@@ -100,8 +95,15 @@ class AlignmentService:
         assert self.tokenizer is not None and self.text_tower is not None, (
             "attach tokenizer + text_tower to serve raw texts"
         )
+        # pad-token mask must reach the tower: the word2vec max-pool would
+        # otherwise pool over pad embeddings, mismatching the embeddings the
+        # model was trained/evaluated against (train/main.py embed())
         tok = self.tokenizer(texts)
-        return np.asarray(self.text_tower(tok["input_ids"])["pooler_output"])
+        ids = np.asarray(tok["input_ids"])
+        mask = np.asarray(tok.get("attention_mask", (ids != 0).astype(np.int32)))
+        return np.asarray(
+            self.text_tower(ids, attention_mask=mask)["pooler_output"]
+        )
 
     def align(self, req: AlignRequest) -> Dict:
         """One video + K texts -> per-text best second + confidence score."""
@@ -111,17 +113,21 @@ class AlignmentService:
         )
         k = te.shape[0]
         vlen = req.video.shape[0]
-        if req.start is None:
-            # no coarse timestamps: use the all-texts-active evaluator, which
-            # scores every text in every window (the HTM-Align active-text
-            # protocol needs per-text ASR timestamps)
-            evaluator = self._evaluator_all
+        all_texts = req.start is None
+        if all_texts:
+            # no coarse timestamps: score every text in every window (the
+            # HTM-Align active-text protocol needs per-text ASR timestamps)
             start = np.zeros(k)
             end = np.full(k, float(vlen))
+            order = np.arange(k)
         else:
-            evaluator = self._evaluator
             start = np.asarray(req.start, np.float64)
             end = np.asarray(req.end, np.float64)
+            # the active-text window protocol derives index SPANS, which
+            # assumes chronological text order (evals/align.py); sort by
+            # midpoint and unsort the results
+            order = np.argsort((start + end) / 2.0, kind="stable")
+            start, end, te = start[order], end[order], te[order]
         item = {
             "video": np.asarray(req.video, np.float32),
             "start": start, "end": end,
@@ -129,13 +135,15 @@ class AlignmentService:
             "text_embed": te,
         }
         with self._lock:  # evaluator shape-buckets are shared state
-            out = evaluator.predict([item])[0]
+            out = self._evaluator.predict([item], all_texts_active=all_texts)[0]
+        inv = np.empty(k, np.int64)
+        inv[order] = np.arange(k)
         return {
-            "best_second": out["argmax"].tolist(),
-            "score": out["score"].tolist(),
+            "best_second": out["argmax"][inv].tolist(),
+            "score": out["score"][inv].tolist(),
             # binary-head alignability (when the service was built with
             # use_alignability_head) or joint window-max confidence otherwise
-            "align_score": out["align_score"].tolist(),
+            "align_score": out["align_score"][inv].tolist(),
         }
 
 
@@ -143,8 +151,6 @@ class GroundingService:
     """ExoGround interval prediction with shape-bucketed compiled programs."""
 
     def __init__(self, model, params, seq_len: int = 64, text_bucket: int = 64):
-        import functools
-
         import jax
 
         self.model = model
@@ -152,12 +158,17 @@ class GroundingService:
         self.seq_len = seq_len
         self.text_bucket = text_bucket
 
-        @functools.partial(jax.jit, static_argnums=())
+        @jax.jit
         def _run(params, video, narr, vmask, nmask):
             out = model.apply(
                 params, video, narr, vmask, nmask, deterministic=True
             )
-            return out["interval_preds"]
+            preds = out["interval_preds"]
+            # use_decoder=False models emit per-stage (B, Stage, N, 2)
+            # predictions; serve the final stage (grounding.py:236)
+            if preds.ndim == 4:
+                preds = preds[:, -1]
+            return preds
 
         self._run = _run
         self._lock = threading.Lock()
@@ -177,8 +188,18 @@ class GroundingService:
         narration_embeds: np.ndarray,  # (K, Dt)
         use_center_duration: bool = True,
     ) -> Dict:
-        """-> per-narration normalized (start, end) in [0, 1] of the window."""
+        """-> per-narration normalized (start, end) in [0, 1] of the window.
+
+        Videos longer than seq_len are rejected: the model grounds within a
+        seq_len window and the normalized intervals would silently refer to
+        a truncated video. Window long videos upstream.
+        """
         t, k = video.shape[0], narration_embeds.shape[0]
+        if t > self.seq_len:
+            raise ValueError(
+                f"video has {t} frames but the grounding model's window is "
+                f"{self.seq_len}; split the video into windows upstream"
+            )
         tpad = self.seq_len
         kpad = -(-k // self.text_bucket) * self.text_bucket
         vb = np.zeros((1, tpad, video.shape[1]), np.float32)

@@ -116,3 +116,59 @@ def test_alignment_service_covers_whole_video():
     assert out["score"][0] > -1e4
     # and argmax is free to land mid-video (not pinned to head/tail)
     assert 0 <= out["best_second"][0] < 160
+
+
+def test_alignment_service_unsorted_timestamps_and_short_video():
+    """Timestamp-protocol requests with texts in arbitrary order are sorted
+    by midpoint internally and unsorted on output (the active-text protocol
+    assumes chronological order); videos shorter than seq_len//2 are served
+    with one covering window instead of sentinel results."""
+    model, params = _tan()
+    svc = AlignmentService(model, params, seq_len=16, transfer_dtype="float32")
+    rng = np.random.RandomState(3)
+    video = rng.randn(80, 24).astype(np.float32)
+    te = rng.randn(4, 16).astype(np.float32)
+    start = np.asarray([60.0, 5.0, 40.0, 20.0])
+    end = start + 6.0
+    out = svc.align(AlignRequest(video=video, text_embeds=te,
+                                 start=start, end=end))
+    order = np.argsort((start + end) / 2.0, kind="stable")
+    out_sorted = svc.align(AlignRequest(
+        video=video, text_embeds=te[order],
+        start=start[order], end=end[order],
+    ))
+    # same per-text results regardless of request order
+    for k in ("best_second", "score"):
+        np.testing.assert_allclose(
+            np.asarray(out[k])[order], out_sorted[k], rtol=1e-5
+        )
+    # short video: 6 frames < seq_len//2 -> single covering window
+    short = svc.align(AlignRequest(
+        video=rng.randn(6, 24).astype(np.float32), text_embeds=te,
+    ))
+    assert all(0 <= t < 6 for t in short["best_second"])
+    assert all(s > -1e4 for s in short["score"])  # no NEG_FILL sentinels
+
+
+def test_grounding_service_rejects_long_video_and_handles_stage_preds():
+    import pytest
+
+    c = 24
+    rng = np.random.RandomState(1)
+    # use_decoder=False -> per-stage (B, Stage, N, 2) interval_preds
+    model = ExoGroundingTransformer(
+        num_encoder_layers=1, num_decoder_layers=1, use_decoder=False,
+        video_embed_dim=c, text_embed_dim=c, feature_dim=32, attn_impl="xla",
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, c)), jnp.zeros((1, 8, c)),
+        jnp.zeros((1, 16), bool), jnp.zeros((1, 8), bool),
+    )
+    svc = GroundingService(model, params, seq_len=16, text_bucket=8)
+    out = svc.ground(rng.randn(16, c).astype(np.float32),
+                     rng.randn(3, c).astype(np.float32))
+    assert len(out["start"]) == 3
+    assert all(isinstance(v, float) for v in out["start"])  # scalars, not lists
+    with pytest.raises(ValueError, match="window"):
+        svc.ground(rng.randn(40, c).astype(np.float32),
+                   rng.randn(3, c).astype(np.float32))
