@@ -117,19 +117,26 @@ def make_tan_sim_fn(model, params) -> Callable:
 
     cache: Dict[int, Callable] = {}
 
-    def _call_interp(video, vmask, text, tmask, interpolate_from):
+    def _call_interp(video, vmask, text, tmask, interpolate_from, pos_len):
         key = interpolate_from
         if key not in cache:
             cache[key] = jax.jit(
-                lambda v, vm, t, tm: model.apply(
+                lambda v, vm, t, tm, pl: model.apply(
                     params, v, t, interpolate_from=key,
                     video_padding_mask=vm, lang_padding_mask=tm,
+                    pos_interp_len=pl,
                     method=type(model).text_visual_sim,
                 )
             )
-        return cache[key](video, vmask, text, tmask)
+        # pos table resamples to the REAL video length even when the video
+        # axis is a padded bucket (traced scalar: one compile per bucket)
+        pl = jnp.asarray(
+            video.shape[1] if pos_len is None else pos_len, jnp.float32
+        )
+        return cache[key](video, vmask, text, tmask, pl)
 
-    def sim_fn(video, vmask, text, tmask, interpolate_from=None):
+    def sim_fn(video, vmask, text, tmask, interpolate_from=None,
+               pos_interp_len=None):
         video = jnp.asarray(video)
         text = jnp.asarray(text)
         vmask = jnp.asarray(vmask, dtype=bool)
@@ -137,7 +144,9 @@ def make_tan_sim_fn(model, params) -> Callable:
         if interpolate_from is None:
             out = _call(video, vmask, text, tmask)
         else:
-            out = _call_interp(video, vmask, text, tmask, interpolate_from)
+            out = _call_interp(
+                video, vmask, text, tmask, interpolate_from, pos_interp_len
+            )
         res = {
             # last stage, (W, K, L) orientation like the reference closure
             "sim": np.asarray(out["sim"][:, -1].transpose(0, 2, 1)),
@@ -283,7 +292,8 @@ def test_alignment_htm(
             vm[0, :vlen] = False
             tb = text_embed[None]
             tm = np.zeros((1, num_text), bool)
-            out = sim_fn(vb, vm, tb, tm, interpolate_from=seq_len)
+            out = sim_fn(vb, vm, tb, tm, interpolate_from=seq_len,
+                         pos_interp_len=vlen)
             sim = out["sim"][0, :, :vlen] * cfg.sim_scale
             dual = out["dual-sim"][0, :, :vlen] * cfg.sim_scale
             if cfg.use_alignability_head:

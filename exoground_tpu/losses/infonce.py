@@ -125,9 +125,11 @@ def l1_cosine_metrics(output_features, video_features, positive_indices, negativ
 
 
 def symmetric_info_nce(video_embed, text_embed, temperature: float = 0.07):
-    """Plain symmetric InfoNCE over the batch (reference end2end/main_nce.py:30-47)."""
+    """Plain symmetric InfoNCE over the batch: SUM of the two directions
+    (reference end2end/main_nce.py:47 — loss = loss_per_t + loss_per_v).
+    Returns (loss, per-direction dict) so callers can report both terms."""
     sim = jnp.einsum("bc,kc->bk", video_embed, text_embed) / temperature
     labels = jnp.arange(sim.shape[0])
     loss_v = -jnp.take_along_axis(jax.nn.log_softmax(sim, axis=1), labels[:, None], 1).mean()
     loss_t = -jnp.take_along_axis(jax.nn.log_softmax(sim, axis=0), labels[None, :], 0).mean()
-    return (loss_v + loss_t) / 2
+    return loss_v + loss_t, {"loss-per-video": loss_v, "loss-per-text": loss_t, "sim": sim}

@@ -88,16 +88,23 @@ class TemporalAligner(nn.Module):
     # helpers
     # ------------------------------------------------------------------
 
-    def _pos_slice(self, table, seq_len, interpolate_from, deterministic):
+    def _pos_slice(self, table, seq_len, interpolate_from, deterministic,
+                   true_len=None):
         start = 0
         if interpolate_from is None and self.random_pos_start and not deterministic:
             start = random_pos_start(self.make_rng("pos"), seq_len)
-        return slice_or_interpolate_pos_embed(table, seq_len, interpolate_from, start)
+        return slice_or_interpolate_pos_embed(
+            table, seq_len, interpolate_from, start, true_len=true_len
+        )
 
-    def _video_with_time(self, video_embed, interpolate_from, deterministic):
+    def _video_with_time(self, video_embed, interpolate_from, deterministic,
+                         pos_interp_len=None):
         x = self.ln_video_init(self.video_pre_proj(video_embed))
         t = x.shape[1]
-        pos = self._pos_slice(self.temporal_pos_embed, t, interpolate_from, deterministic)
+        pos = self._pos_slice(
+            self.temporal_pos_embed, t, interpolate_from, deterministic,
+            true_len=pos_interp_len,
+        )
         return x + self.ln_position_init(pos)[None]
 
     # ------------------------------------------------------------------
@@ -105,10 +112,13 @@ class TemporalAligner(nn.Module):
     # ------------------------------------------------------------------
 
     def get_visual_feature(
-        self, video_embed, video_padding_mask, interpolate_from=None, deterministic=True
+        self, video_embed, video_padding_mask, interpolate_from=None,
+        deterministic=True, pos_interp_len=None,
     ):
         """Dual-encoder video tower -> per-stage features (B, Stage, T, C)."""
-        x = self._video_with_time(video_embed, interpolate_from, deterministic)
+        x = self._video_with_time(
+            video_embed, interpolate_from, deterministic, pos_interp_len
+        )
         if self.num_encoder_layers == 0:
             return x[:, None]  # (B, 1, T, C); degenerate config used by baselines
         stages = self.video_temporal_encoder(x, video_padding_mask, impl=self.attn_impl)
@@ -135,13 +145,16 @@ class TemporalAligner(nn.Module):
         lang_padding_mask,
         interpolate_from=None,
         deterministic=True,
+        pos_interp_len=None,
     ):
         """Joint encoder over [video ⊕ text]; returns (video, text) stage stacks.
 
         Note: like the reference (tan_model.py:181-192), the joint pass draws
         its own (independent) random pos start.
         """
-        x = self._video_with_time(video_embed, interpolate_from, deterministic)
+        x = self._video_with_time(
+            video_embed, interpolate_from, deterministic, pos_interp_len
+        )
         t = x.shape[1]
         joint = jnp.concatenate([x, lang_embed_with_time], axis=1)
         joint_mask = jnp.concatenate([video_padding_mask, lang_padding_mask], axis=1)
@@ -211,8 +224,14 @@ class TemporalAligner(nn.Module):
         interpolate_from=None,
         video_padding_mask=None,
         lang_padding_mask=None,
+        pos_interp_len=None,
     ):
         """Per-video similarity dict used by the overlap-seq/global stitchers.
+
+        ``pos_interp_len`` (traced scalar): when the video axis is a padded
+        length bucket in global mode, the pos table interpolates to THIS real
+        video length (not the bucket), so real frames get the reference's
+        unpadded positional values.
 
         interpolate_from may be an int (video only) or (video, text) tuple.
         Optional padding masks allow the TPU-first *batched-window* eval:
@@ -248,11 +267,14 @@ class TemporalAligner(nn.Module):
             lang_with_time = self.get_textual_feature(lang_embed)
 
         joint_video, joint_text = self.get_joint_feature(
-            video_embed, vmask, lang_with_time, lmask, video_if
+            video_embed, vmask, lang_with_time, lmask, video_if,
+            pos_interp_len=pos_interp_len,
         )
         sim_joint = jnp.einsum("bstc,bskc->bstk", _l2norm(joint_video), _l2norm(joint_text))
 
-        video_out = self.get_visual_feature(video_embed, vmask, video_if)
+        video_out = self.get_visual_feature(
+            video_embed, vmask, video_if, pos_interp_len=pos_interp_len
+        )
         lang_raw = self.get_textual_feature(lang_embed)
         sim_dual = jnp.einsum("bstc,bkc->bstk", _l2norm(video_out), _l2norm(lang_raw))
 

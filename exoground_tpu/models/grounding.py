@@ -30,7 +30,13 @@ from flax import linen as nn
 
 from exoground_tpu.losses.infonce import info_nce_diag, pairwise_view_info_nce
 from exoground_tpu.models.vi_encoder import ViewInvariantEncoder, ViewInvariantMLP
-from exoground_tpu.ops.blocks import LN_EPS, TemporalDecoder, TemporalEncoder
+from exoground_tpu.ops.blocks import (
+    LN_EPS,
+    TemporalDecoder,
+    TemporalEncoder,
+    torch_linear_bias_init,
+    torch_linear_kernel_init,
+)
 from exoground_tpu.ops.pos_embed import (
     get_position_embedding_sine,
     random_pos_start,
@@ -80,7 +86,13 @@ class ExoGroundingTransformer(nn.Module):
         self.ln_text_post_enc = nn.LayerNorm(epsilon=LN_EPS)
 
         if self.use_distill_nce_loss or self.use_pairwise_distill_nce_loss:
-            self.exo_feature_proj = nn.Dense(self.video_embed_dim, kernel_init=init01)
+            # NOT in the reference's re-init list (exo_ground_model.py:108-112):
+            # keeps torch nn.Linear defaults
+            self.exo_feature_proj = nn.Dense(
+                self.video_embed_dim,
+                kernel_init=torch_linear_kernel_init,
+                bias_init=torch_linear_bias_init(w),
+            )
         if self.use_audio:
             self.ln_audio_init = nn.LayerNorm(epsilon=LN_EPS)
             self.audio_pre_proj = nn.Dense(w, use_bias=False, kernel_init=init01)
@@ -322,9 +334,13 @@ class GroundingModel(nn.Module):
         deterministic: bool = True,
     ):
         if self.vi_encoder is not None:
+            # deterministic must reach the VI pre-pass: the reference draws
+            # the random pos start during training even under no_grad
+            # (vi_encoder.py:146-150)
             vi_out = self.vi_encoder(
                 video_embed, lang_embed, video_padding_mask, lang_padding_mask,
                 egocentric_video_embed=egocentric_video_embed,
+                deterministic=deterministic,
             )
             vi_video = jax.lax.stop_gradient(vi_out["high_dim_features"])
         else:
@@ -340,7 +356,17 @@ class GroundingModel(nn.Module):
                 out["high_dim_features"], egocentric_video_embed
             )
         elif self.multi_view and self.use_pairwise_distill_nce_loss:
-            vm = view_mask if self.pairwise_distill_mode == "all" else ~video_padding_mask
+            if self.pairwise_distill_mode == "all":
+                vm = view_mask
+            else:
+                # 'unmasked' derives availability from the stitched timestep
+                # padding mask: view v exists iff any of its Tv slots is real
+                # (pairwise_view_info_nce's contract is a (B, V) view mask)
+                b = video_padding_mask.shape[0]
+                vm = jnp.any(
+                    ~video_padding_mask.reshape(b, self.num_max_views, -1),
+                    axis=-1,
+                )
             out["distill_infonce_loss"] = pairwise_view_info_nce(
                 out["high_dim_features"], vm, self.num_max_views
             )

@@ -17,7 +17,12 @@ from typing import Optional
 import jax.numpy as jnp
 from flax import linen as nn
 
-from exoground_tpu.ops.blocks import LN_EPS, TemporalEncoder
+from exoground_tpu.ops.blocks import (
+    LN_EPS,
+    TemporalEncoder,
+    torch_linear_bias_init,
+    torch_linear_kernel_init,
+)
 from exoground_tpu.ops.pos_embed import (
     get_position_embedding_sine,
     random_pos_start,
@@ -46,7 +51,12 @@ class ViewInvariantEncoder(nn.Module):
         self.ln_position_init = nn.LayerNorm(epsilon=LN_EPS)
         self.ln_video_post_enc = nn.LayerNorm(epsilon=LN_EPS)
         if self.use_distill_nce_loss:
-            self.exo_feature_proj = nn.Dense(self.video_embed_dim, kernel_init=init01)
+            # not in the reference re-init list: torch nn.Linear defaults
+            self.exo_feature_proj = nn.Dense(
+                self.video_embed_dim,
+                kernel_init=torch_linear_kernel_init,
+                bias_init=torch_linear_bias_init(w),
+            )
         if self.pos_enc == "learned":
             self.temporal_pos_embed = self.param(
                 "temporal_pos_embed", nn.initializers.normal(0.01), (self.max_pos, w)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -31,8 +32,32 @@ from exoground_tpu.ops.attention import MultiHeadAttention
 LN_EPS = 1e-5  # torch LayerNorm default
 
 
+def torch_linear_kernel_init(key, shape, dtype=jnp.float32):
+    """torch nn.Linear default weight init: kaiming_uniform(a=sqrt(5)) ==
+    U(-1/sqrt(fan_in), +1/sqrt(fan_in)) for 2-D kernels (shape (in, out))."""
+    bound = 1.0 / (shape[0] ** 0.5)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_linear_bias_init(fan_in: int):
+    """torch nn.Linear default bias init: U(-1/sqrt(fan_in), +1/sqrt(fan_in)).
+    The layer's fan_in is not derivable from the bias shape, so it is bound
+    here per site."""
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
 class MLP(nn.Module):
-    """4x-expansion MLP with QuickGELU (reference: tfm_model.py:23-27)."""
+    """4x-expansion MLP with QuickGELU (reference: tfm_model.py:23-27).
+
+    The reference's CLIP-style re-init covers only the WEIGHTS
+    (tan_model.py:85-86); the biases keep torch nn.Linear's uniform default,
+    reproduced here (from-scratch init parity — checkpoint loads overwrite
+    both either way)."""
 
     width: int
     fc_init: nn.initializers.Initializer = nn.initializers.normal(0.02)
@@ -40,9 +65,15 @@ class MLP(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(4 * self.width, kernel_init=self.fc_init, name="c_fc")(x)
+        x = nn.Dense(
+            4 * self.width, kernel_init=self.fc_init,
+            bias_init=torch_linear_bias_init(self.width), name="c_fc",
+        )(x)
         x = quick_gelu(x)
-        x = nn.Dense(self.width, kernel_init=self.proj_init, name="c_proj")(x)
+        x = nn.Dense(
+            self.width, kernel_init=self.proj_init,
+            bias_init=torch_linear_bias_init(4 * self.width), name="c_proj",
+        )(x)
         return x
 
 

@@ -72,19 +72,30 @@ def position_embedding_sine_from_mask(
     return jnp.transpose(pos, (0, 2, 1))
 
 
-def interpolate_pos_embed(table: jnp.ndarray, source_len: int, target_len: int) -> jnp.ndarray:
+def interpolate_pos_embed(
+    table: jnp.ndarray, source_len: int, target_len: int, true_len=None
+) -> jnp.ndarray:
     """Linearly resample ``table[:source_len]`` to ``target_len`` positions.
 
     Equivalent to torch ``F.interpolate(src.transpose(1,2), size=T,
     mode='linear', align_corners=False)`` (reference: model/tan_model.py:151-154):
     half-pixel-centre linear resampling along the time axis.
 
+    ``true_len`` (traced scalar) handles length-padded batches: positions
+    resample as if the output grid had true_len entries (the REAL video
+    length), so real frames get exactly the reference's unpadded pos values;
+    pad rows beyond true_len clamp to the table end and are key-masked away.
+
     table: (P, C) -> (target_len, C)
     """
     src = table[:source_len]  # (S, C)
     s, c = src.shape
+    denom = (
+        jnp.asarray(true_len, jnp.float32)
+        if true_len is not None else float(target_len)
+    )
     # half-pixel centres: out position i samples src at (i + 0.5) * S/T - 0.5
-    pos = (jnp.arange(target_len, dtype=jnp.float32) + 0.5) * (s / target_len) - 0.5
+    pos = (jnp.arange(target_len, dtype=jnp.float32) + 0.5) * (s / denom) - 0.5
     pos = jnp.clip(pos, 0.0, s - 1.0)
     lo = jnp.floor(pos).astype(jnp.int32)
     hi = jnp.minimum(lo + 1, s - 1)
@@ -97,16 +108,18 @@ def slice_or_interpolate_pos_embed(
     seq_len: int,
     interpolate_from: Optional[int] = None,
     start_idx: jnp.ndarray | int = 0,
+    true_len=None,
 ) -> jnp.ndarray:
     """Select the (seq_len, C) positional embedding used for a forward pass.
 
     If ``interpolate_from`` is given, resample table[:interpolate_from] to
-    seq_len (the "global" long-video mode). Otherwise take a dynamic slice
+    seq_len (the "global" long-video mode; ``true_len`` = real video length
+    when seq_len is a padded bucket). Otherwise take a dynamic slice
     starting at ``start_idx`` (0, or a random start for the length
     generalization augmentation; reference: model/tan_model.py:146-160).
     """
     if interpolate_from:
-        return interpolate_pos_embed(table, interpolate_from, seq_len)
+        return interpolate_pos_embed(table, interpolate_from, seq_len, true_len)
     start_idx = jnp.asarray(start_idx, dtype=jnp.int32)
     return jax.lax.dynamic_slice_in_dim(table, start_idx, seq_len, axis=0)
 

@@ -23,6 +23,7 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from exoground_tpu.losses.grounding import GroundingLossConfig, egoexo_loss
+from exoground_tpu.losses.infonce import symmetric_info_nce
 from exoground_tpu.losses.milnce import TANLossConfig, tan_loss
 from exoground_tpu.parallel.mesh import DATA_AXIS
 
@@ -252,19 +253,13 @@ def make_s3d_nce_step(
             if gather_negatives:
                 v = jax.lax.all_gather(v, DATA_AXIS, tiled=True)
                 t = jax.lax.all_gather(t, DATA_AXIS, tiled=True)
-            sim = jnp.einsum("bc,kc->bk", v, t) / temperature
+            loss, parts = symmetric_info_nce(v, t, temperature)
+            sim = parts["sim"]
             labels = jnp.arange(sim.shape[0])
-            loss_t = -jnp.mean(
-                jnp.take_along_axis(jax.nn.log_softmax(sim, 1), labels[:, None], 1)
-            )
-            loss_v = -jnp.mean(
-                jnp.take_along_axis(jax.nn.log_softmax(sim, 0), labels[None, :], 0)
-            )
-            loss = loss_t + loss_v  # sum, reference main_nce.py:47
             metrics = {
                 "loss": loss,
-                "loss-per-text": loss_t,
-                "loss-per-video": loss_v,
+                "loss-per-text": parts["loss-per-text"],
+                "loss-per-video": parts["loss-per-video"],
                 "top1-per-text": jnp.mean((jnp.argmax(sim, -1) == labels) * 1.0),
                 "top1-per-video": jnp.mean((jnp.argmax(sim, 0) == labels) * 1.0),
             }

@@ -313,3 +313,43 @@ def test_fused_multi_device_round_robin_matches_single():
     multi = FusedAlignEvaluator(model, params, multi_cfg)(items)
     np.testing.assert_allclose(multi["Recall"], single["Recall"], atol=1e-9)
     np.testing.assert_allclose(multi["AUC"], single["AUC"], atol=1e-7)
+
+
+def test_global_mode_padded_interpolation_matches_unpadded():
+    """Global mode pads the video axis to a length bucket; pos_interp_len
+    must make real frames' positional embeddings identical to an unpadded
+    pass (reference tan_model.py:151-154 resamples to the REAL length)."""
+    from exoground_tpu.evals.align import make_tan_sim_fn
+    from exoground_tpu.models import TemporalAligner
+
+    rng = np.random.RandomState(11)
+    model = TemporalAligner(
+        num_encoder_layers=1, num_joint_layers=1, width=32, heads=4,
+        max_pos=64, attn_impl="xla",
+    )
+    vlen, k, dv, dt = 90, 3, 24, 16  # longer than the 64-entry pos table
+    video = rng.randn(1, vlen, dv).astype(np.float32)
+    text = rng.randn(1, k, dt).astype(np.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(video[:, :32]), jnp.asarray(text),
+        jnp.zeros((1, 32), bool), jnp.zeros((1, k), bool),
+    )
+    sim_fn = make_tan_sim_fn(model, params)
+
+    ref = sim_fn(video, np.zeros((1, vlen), bool), text,
+                 np.zeros((1, k), bool), interpolate_from=64)
+
+    pad_len = 128
+    vb = np.zeros((1, pad_len, dv), np.float32)
+    vb[0, :vlen] = video[0]
+    vm = np.ones((1, pad_len), bool)
+    vm[0, :vlen] = False
+    padded = sim_fn(vb, vm, text, np.zeros((1, k), bool),
+                    interpolate_from=64, pos_interp_len=vlen)
+
+    np.testing.assert_allclose(
+        padded["sim"][:, :, :vlen], ref["sim"], atol=2e-5
+    )
+    np.testing.assert_allclose(
+        padded["dual-sim"][:, :, :vlen], ref["dual-sim"], atol=2e-5
+    )

@@ -184,6 +184,11 @@ class TestInfoNCE:
         t = _rand(B, C, seed=23)
         sim = torch.from_numpy(v) @ torch.from_numpy(t).T / 0.07
         labels = torch.arange(B)
-        ref = (F.cross_entropy(sim, labels) + F.cross_entropy(sim.T, labels)) / 2
-        ours = symmetric_info_nce(jnp.asarray(v), jnp.asarray(t))
+        # SUM of the two directions (reference end2end/main_nce.py:47)
+        ref = F.cross_entropy(sim, labels) + F.cross_entropy(sim.T, labels)
+        ours, parts = symmetric_info_nce(jnp.asarray(v), jnp.asarray(t))
         np.testing.assert_allclose(float(ours), ref.item(), rtol=1e-5)
+        np.testing.assert_allclose(
+            float(parts["loss-per-video"] + parts["loss-per-text"]),
+            ref.item(), rtol=1e-5,
+        )
