@@ -17,6 +17,7 @@
 
 #include <atomic>
 #include <condition_variable>
+#include <cstdlib>
 #include <cstdint>
 #include <cstring>
 #include <fcntl.h>
@@ -84,10 +85,23 @@ bool parse_npy_header(const uint8_t* buf, size_t len, size_t* data_offset,
   auto close = h.find(')', open);
   if (open == std::string::npos || close == std::string::npos) return false;
   std::string shape = h.substr(open + 1, close - open - 1);
-  long long r = 0, c = 1;
-  if (std::sscanf(shape.c_str(), "%lld, %lld", &r, &c) < 1) return false;
-  *rows = r;
-  *cols = c;
+  // parse the FULL shape tuple: only 1-D/2-D arrays are valid feature files.
+  // N-D files must fail the parse (the python fallback raises on them);
+  // sscanf of just the first two dims would silently misread (T, N, C) data.
+  long long dims[4] = {0, 1, -1, -1};
+  int ndim = 0;
+  const char* p = shape.c_str();
+  while (*p && ndim < 4) {
+    char* end = nullptr;
+    long long v = std::strtoll(p, &end, 10);
+    if (end == p) break;  // trailing comma of a 1-tuple, or spaces
+    dims[ndim++] = v;
+    p = end;
+    while (*p == ',' || *p == ' ') ++p;
+  }
+  if (ndim < 1 || ndim > 2) return false;
+  *rows = dims[0];
+  *cols = ndim == 2 ? dims[1] : 1;
   return true;
 }
 

@@ -44,6 +44,8 @@ def shard_batch(batch, mesh: Mesh, axis: str = DATA_AXIS, dim: int = 0):
     multihost = jax.process_count() > 1
 
     def put(x):
+        if np.ndim(x) <= dim:  # scalar/low-rank leaves have no batch axis
+            return jax.device_put(x, NamedSharding(mesh, P()))
         spec = P(*([None] * dim), axis, *([None] * (np.ndim(x) - 1 - dim)))
         sharding = NamedSharding(mesh, spec)
         if multihost:

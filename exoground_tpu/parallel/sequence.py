@@ -183,11 +183,8 @@ def _encoder_layer_ring(
     return x + h
 
 
+from exoground_tpu.models.aligner import _l2norm as _l2n  # noqa: E402
 from exoground_tpu.utils.shapes import round_up as _round_up  # noqa: E402
-
-
-def _l2n(x):
-    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-8)
 
 
 def sequence_parallel_sim(

@@ -410,9 +410,16 @@ def make_tan_eval_step(
     per-shard losses reduce as a row-weighted psum mean. Batch rows must be
     divisible by the mesh size (the trainer wraps the ragged tail like the
     reference's DistributedSampler pad-by-repeat).
+
+    step(params, target_params, batch) -> scalars. The reference computes no
+    TAN validation loss at all (its evaluate() runs the downstream HTM-Align
+    /YC2 protocols, main.py:211-213); this val loss mirrors the TRAIN
+    protocol, so for cotrain the agreement pseudo-targets come from the EMA
+    teacher — deriving them from the online logits themselves would bias the
+    val loss low (targets perfectly correlated with the scored logits).
     """
 
-    def local_eval(params, batch):
+    def local_eval(params, target_params, batch):
         text = _batch_text(batch, text_tower_params)
         out = model.apply(
             {"params": params},
@@ -420,9 +427,15 @@ def make_tan_eval_step(
             batch["video_padding_mask"], batch["text_padding_mask"],
             deterministic=True,
         )
-        if is_cotrain:  # eval has no EMA pass; agreement from online
-            out = {**out, "ema-logits_dual": out["logits_dual"],
-                   "ema-logits_joint": out["logits_joint"]}
+        if is_cotrain:
+            ema_out = model.apply(
+                {"params": target_params},
+                batch["video"], text,
+                batch["video_padding_mask"], batch["text_padding_mask"],
+                deterministic=True,
+            )
+            out = {**out, "ema-logits_dual": ema_out["logits_dual"],
+                   "ema-logits_joint": ema_out["logits_joint"]}
         ld = tan_loss(
             batch["start"], batch["end"], out,
             batch["video_padding_mask"], batch["text_padding_mask"],
@@ -440,7 +453,7 @@ def make_tan_eval_step(
     step = shard_map(
         local_eval,
         mesh=mesh,
-        in_specs=(P(), P(DATA_AXIS)),
+        in_specs=(P(), P(), P(DATA_AXIS)),
         out_specs=P(),
         check_vma=False,
     )

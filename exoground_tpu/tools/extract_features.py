@@ -113,6 +113,8 @@ def extract_video_features(
         params = bf16_params_keep_layernorm(params)
     fn = jax.jit(encode_fn)
     t = frames.shape[0]
+    if t == 0:  # decode succeeded but yielded no frames: empty feature track
+        return np.zeros((0, 1), cfg.out_dtype)
     feats: List[np.ndarray] = []
     for i in range(0, t, cfg.frame_bucket):
         chunk = frames[i : i + cfg.frame_bucket]

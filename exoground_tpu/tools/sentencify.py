@@ -142,6 +142,10 @@ def merge_linebreaks(
         overlap = s_arr[1:] - e_arr[:-1] < 0
         if overlap.sum() > 0:
             mid = np.stack([s_arr[1:], e_arr[:-1]]).mean(0)
+            # a caption fully nested in its predecessor would get a midpoint
+            # PAST its own end (inverted span -> descending token timestamps
+            # downstream); cap the boundary at the nested caption's end
+            mid = np.minimum(mid, e_arr[1:])
             s_arr[1:][overlap] = mid[overlap]
             e_arr[:-1][overlap] = mid[overlap]
             assert (s_arr[1:] - e_arr[:-1] < 0).sum() == 0

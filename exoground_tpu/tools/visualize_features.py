@@ -39,15 +39,24 @@ def load_feature_dumps(base_dir: str) -> List[Dict]:
             continue
         for cam in sorted(os.listdir(tdir)):
             cdir = os.path.join(tdir, cam)
-            for start in sorted(os.listdir(cdir), key=lambda s: float(s)):
+            if not os.path.isdir(cdir):
+                continue  # stray files (notes, .DS_Store) don't abort the walk
+            def _num(s):
+                try:
+                    float(s)
+                    return True
+                except ValueError:
+                    return False
+            for start in sorted(filter(_num, os.listdir(cdir)), key=float):
                 d = os.path.join(cdir, start)
+                feat_path = os.path.join(d, "output_features.npy")
+                if not (os.path.isdir(d) and os.path.exists(feat_path)):
+                    continue
                 rec = {
                     "video_id": take,
                     "exo_cam": cam,
                     "start_sec": float(start),
-                    "output_features": np.load(
-                        os.path.join(d, "output_features.npy")
-                    ),
+                    "output_features": np.load(feat_path),
                 }
                 for name, key in (
                     ("ego_seq.npy", "target_features"),

@@ -459,7 +459,9 @@ class TANTrainer(BaseTrainer):
         meter = AverageMeter("Loss", ":.4f")
         for raw in loader:
             batch = self._pad_rows(self.prepare_batch(raw), mode="wrap")
-            ld = self._eval_step(self.params, shard_batch(batch, self.mesh))
+            ld = self._eval_step(
+                self.params, self.target_params, shard_batch(batch, self.mesh)
+            )
             loss = float(ld["loss"])
             if _finite(loss):
                 meter.update(loss, int(ld["_rows"]))

@@ -269,14 +269,12 @@ def convert_s3d_state_dict(state: Dict[str, np.ndarray]) -> Dict:
 
 
 def convert_sentence_embedding_from_s3d(state: Dict[str, np.ndarray]) -> Dict:
-    """S3D checkpoint -> Sentence_Embedding params (s3dg.py:186-239)."""
-    state = strip_prefix(state, "module.")
-    prefix = "text_module." if any(k.startswith("text_module.") for k in state) else ""
-    return {
-        "word_embd": state[f"{prefix}word_embd.weight"],
-        "fc1": _dense(state, f"{prefix}fc1"),
-        "fc2": _dense(state, f"{prefix}fc2"),
-    }
+    """S3D checkpoint -> Sentence_Embedding params (s3dg.py:186-239).
+
+    Same {word_embd, fc1, fc2} mapping as the word2vec tower (the reference's
+    Sentence_Embedding and Word2VecModel share the layout) after stripping
+    the DDP prefix; delegates so the mapping lives in one place."""
+    return convert_word2vec_from_s3d(strip_prefix(state, "module."))
 
 
 def convert_grounding_state_dict(

@@ -83,9 +83,14 @@ def available() -> bool:
 
 
 def npy_shape(path: str) -> Optional[Tuple[int, int]]:
+    """(rows, cols) of a 1-D/2-D .npy file, or None if unreadable — the same
+    contract on both the native and numpy paths."""
     lib = get_lib()
     if lib is None:
-        arr = np.load(path, mmap_mode="r")
+        try:
+            arr = np.load(path, mmap_mode="r")
+        except (OSError, ValueError):
+            return None
         return int(arr.shape[0]), int(arr.shape[1]) if arr.ndim > 1 else 1
     r, c = ctypes.c_int64(), ctypes.c_int64()
     if lib.eg_npy_shape(path.encode(), ctypes.byref(r), ctypes.byref(c)) != 0:
@@ -126,7 +131,13 @@ def gather_windows(
             mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
         if failures and on_error == "raise":
-            bad = [p for p, m in zip(paths, mask) if m.all()]
+            # all-PAD rows include legitimately empty windows (readable file,
+            # window past its end) — attribute blame only to paths that are
+            # actually unreadable or mis-shaped
+            shapes = {p: npy_shape(p) for p in set(paths)}
+            bad = sorted(
+                p for p, s in shapes.items() if s is None or s[1] != dim
+            )
             raise IOError(
                 f"native gather: {failures} window(s) failed "
                 f"(missing/unreadable/dim!={dim}): {bad[:4]}"

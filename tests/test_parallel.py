@@ -562,7 +562,7 @@ class TestShardedEval:
         cfg = TANLossConfig()
         mesh = make_mesh(8)
         step = make_tan_eval_step(model, cfg, mesh)
-        agg = step(params, shard_batch(batch, mesh))
+        agg = step(params, params, shard_batch(batch, mesh))
 
         # host truth: loss per 2-row shard, row-weighted mean
         losses = []
