@@ -193,6 +193,36 @@ def bench_train(jax, jnp):
     return b / dt, dt * 1e3, tflops
 
 
+def _start_watchdog(timeout_s: float = 1200.0):
+    """The device tunnel has a rare fully-stalled regime (PERF.md) where any
+    device call hangs for hours. If the bench makes no progress for
+    ``timeout_s``, emit an explanatory JSON record (value 0 = failed run,
+    never a fake measurement) and exit so the driver records *something*."""
+    import threading
+
+    def fire():
+        print(
+            json.dumps({
+                "metric": "htm_align_overlap_seq_throughput",
+                "value": 0,
+                "unit": "frames_aligned_per_sec_per_chip",
+                "vs_baseline": 0,
+                "error": (
+                    "device unresponsive for "
+                    f"{int(timeout_s)}s (stalled tunnel regime; see PERF.md "
+                    "for measured clear-window numbers)"
+                ),
+            }),
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(timeout_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     import jax
 
@@ -200,8 +230,10 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
+    watchdog = _start_watchdog()
     fps = bench_inference(jax, jnp)
     train_sps, step_ms, train_tflops = bench_train(jax, jnp)
+    watchdog.cancel()
 
     measured = _load_measured_baseline()
     if measured:
