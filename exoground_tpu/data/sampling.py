@@ -97,25 +97,33 @@ class CurriculumShardedSampler(ShardedSampler):
         max_epochs: int = 100,
         start_frac: float = 0.50,
         end_epoch_frac: float = 0.75,
+        fixed_ramp: bool = False,
     ):
         super().__init__(dataset_len, num_shards, shard, shuffle, seed)
         self.max_epochs = max_epochs
         self.start_frac = start_frac
         self.end_epoch_frac = end_epoch_frac
+        self.fixed_ramp = fixed_ramp
 
     def curriculum_progress(self) -> float:
-        # Formula-exact parity with the reference
+        # Default: formula-exact parity with the reference
         # (main_egoexo4d_distributed.py:48). NOTE the reference's expression
         # algebraically cancels end_epoch_frac — progress is always
         # start_frac + epoch/max_epochs, reaching 1.0 after
         # (1-start_frac)*max_epochs epochs regardless of --end_epoch_frac.
         # Reproduced as-is because it changes which samples train at which
         # epoch (a behavioral surface, unlike the unreachable reference bugs
-        # we fix); the presumably-intended ramp would be
-        # start_frac + (epoch/(max_epochs*end_epoch_frac))*(1-start_frac).
-        p = self.start_frac + (
-            self.epoch / (self.max_epochs * self.end_epoch_frac)
-        ) * self.end_epoch_frac
+        # we fix). ``fixed_ramp=True`` (our --fixed_curriculum switch, default
+        # off) uses the presumably-intended ramp: linear from start_frac to
+        # 1.0 at end_epoch_frac*max_epochs.
+        if self.fixed_ramp:
+            p = self.start_frac + (
+                self.epoch / (self.max_epochs * self.end_epoch_frac)
+            ) * (1.0 - self.start_frac)
+        else:
+            p = self.start_frac + (
+                self.epoch / (self.max_epochs * self.end_epoch_frac)
+            ) * self.end_epoch_frac
         return max(self.start_frac, min(1.0, p))
 
     def _base_indices(self) -> List[int]:

@@ -119,6 +119,11 @@ class ExperimentConfig:
     # math, grads and optimizer state stay f32; no GradScaler needed on bf16.
     # Off by default: f32 is bit-stable for checkpoint-parity runs.
     amp: bool = False
+    # Use the intended curriculum ramp (linear start_frac -> 1.0 at
+    # end_epoch_frac*max_epochs). Default off: the reference's formula
+    # algebraically cancels end_epoch_frac (see data/sampling.py) and parity
+    # means reproducing what it actually does.
+    fixed_curriculum: bool = False
     # Fuse N optimizer steps into ONE device dispatch (lax.scan over N
     # stacked prefetched batches). Amortizes the host->device dispatch round
     # trip, which dominates step time on tunnel/PCIe-attached chips. Logging,

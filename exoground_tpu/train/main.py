@@ -204,6 +204,7 @@ def main(argv=None):
                 len(train_ds), shards, shard, seed=cfg.seed,
                 max_epochs=cfg.epochs, start_frac=cfg.start_frac,
                 end_epoch_frac=cfg.end_epoch_frac,
+                fixed_ramp=cfg.fixed_curriculum,
             )
         else:
             sampler = ShardedSampler(len(train_ds), shards, shard, seed=cfg.seed)

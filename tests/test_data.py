@@ -565,3 +565,19 @@ def test_lemma_same_view_neg_key_consistent():
     assert all("same_view_neg_idxs" in it for it in items)
     batch = ds.collate_fn(items)
     assert batch["same_view_neg_idxs"].shape[0] == len(items)
+
+
+def test_curriculum_fixed_ramp_uses_end_epoch_frac():
+    """--fixed_curriculum: linear start_frac->1.0 at end_epoch_frac*epochs
+    (the reference formula cancels end_epoch_frac; default stays parity)."""
+    kw = dict(dataset_len=100, max_epochs=100, start_frac=0.5,
+              end_epoch_frac=0.75)
+    ref = CurriculumShardedSampler(**kw)
+    fix = CurriculumShardedSampler(fixed_ramp=True, **kw)
+    ref.set_epoch(30), fix.set_epoch(30)
+    # reference-parity: 0.5 + 30/100 = 0.8 regardless of end_epoch_frac
+    assert abs(ref.curriculum_progress() - 0.8) < 1e-9
+    # fixed: 0.5 + (30/75)*0.5 = 0.7; reaches 1.0 at epoch 75
+    assert abs(fix.curriculum_progress() - 0.7) < 1e-9
+    fix.set_epoch(75)
+    assert fix.curriculum_progress() == 1.0

@@ -633,3 +633,33 @@ def test_text_tower_inside_jitted_step():
         _, _, _, m = step(p, tg, o, shard_batch(batch, mesh), jax.random.PRNGKey(1))
         losses[mode] = float(m["loss"])
     np.testing.assert_allclose(losses["device"], losses["host"], rtol=1e-6)
+
+
+def test_amp_gather_fused_compose():
+    """The three TPU-native switches (--amp bf16 compute, --gather_negatives,
+    --fused_steps) compose in one step builder."""
+    model = _tiny_model()
+    batch = _batch(8, 12, 3, 24, seed=21)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0)}, batch["video"], batch["text"],
+        batch["video_padding_mask"], batch["text_padding_mask"],
+    )["params"]
+    cfg = TANLossConfig(model="cotrain", learn_agreement=True)
+    tx = make_optimizer(params, lr=1e-3, total_iterations=10)
+    mesh = make_mesh(8)
+    step = make_tan_train_step(
+        model, cfg, tx, mesh, ema_momentum=0.99, gather_negatives=True,
+        compute_dtype="bfloat16", scan_steps=2,
+    )
+    stacked = jax.tree_util.tree_map(lambda x: jnp.stack([x, x]), batch)
+    p = replicate(jax.tree_util.tree_map(jnp.copy, params), mesh)
+    t = replicate(ema_init(params), mesh)
+    o = replicate(tx.init(params), mesh)
+    p2, _, _, ms = step(p, t, o, shard_batch(stacked, mesh, dim=1),
+                        jax.random.PRNGKey(3))
+    assert ms["loss"].shape == (2,)
+    assert np.isfinite(np.asarray(ms["loss"])).all()
+    assert all(
+        l.dtype == np.float32
+        for l in jax.tree_util.tree_leaves(jax.device_get(p2))
+    )
