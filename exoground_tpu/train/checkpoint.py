@@ -45,8 +45,34 @@ def save_state(path: str, state: Dict[str, Any]) -> None:
 
 
 def load_state(path: str) -> Dict[str, Any]:
+    if os.path.isdir(path):  # orbax checkpoints are directories
+        return load_state_orbax(path)
     with open(path, "rb") as f:
         return serialization.msgpack_restore(f.read())
+
+
+def save_state_orbax(path: str, state: Dict[str, Any]) -> None:
+    """Orbax backend (same semantic fields as the msgpack format).
+
+    Orbax is the JAX ecosystem's standard checkpointing library: sharded /
+    async / multihost-aware saves for users integrating this framework into
+    an existing orbax-managed training stack. The msgpack format stays the
+    default (single-file, reference-lifecycle parity)."""
+    import orbax.checkpoint as ocp
+
+    blob = jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+        serialization.to_state_dict(state),
+    )
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), blob, force=True)
+
+
+def load_state_orbax(path: str) -> Dict[str, Any]:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path))
 
 
 def save_checkpoint(

@@ -350,3 +350,26 @@ def test_small_utils():
     MODEL_CARDS["tiny"] = "/x/y.pth.tar"
     assert get_model_card("tiny") == "/x/y.pth.tar"
     assert get_model_card("/z.pth.tar") == "/z.pth.tar"
+
+
+def test_orbax_checkpoint_backend(tmp_path):
+    """Orbax directory checkpoints round-trip the same semantic fields;
+    load_state auto-detects directories as orbax."""
+    from exoground_tpu.train.checkpoint import (
+        load_state,
+        save_state,
+        save_state_orbax,
+    )
+
+    state = {"epoch": 3, "iteration": 120, "best_acc": 0.5,
+             "state_dict": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}}
+    p = str(tmp_path / "ckpt_orbax")
+    save_state_orbax(p, state)
+    back = load_state(p)
+    assert back["epoch"] == 3 and back["iteration"] == 120
+    np.testing.assert_allclose(back["state_dict"]["w"], state["state_dict"]["w"])
+    p2 = str(tmp_path / "ckpt.pth.tar")
+    save_state(p2, state)
+    np.testing.assert_allclose(
+        load_state(p2)["state_dict"]["w"], state["state_dict"]["w"]
+    )
