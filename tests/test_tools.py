@@ -388,3 +388,27 @@ def test_visualize_features_compare_runs(tmp_path):
         "--method", "pca", "--labels", "no_distill", "distill",
     ])
     assert len(paths) == 1 and os.path.exists(paths[0])
+
+
+def test_linear_probe_separable_features():
+    """Linear probe (reference end2end/readme.md protocol; no probe code
+    ships upstream): separable synthetic classes probe to high top-1."""
+    from exoground_tpu.tools.linear_probe import linear_probe, topk_accuracy
+
+    rng = np.random.RandomState(0)
+    n_cls, d, per = 5, 16, 40
+    centers = rng.randn(n_cls, d) * 4
+    def make(n):
+        ys = np.repeat(np.arange(n_cls), n)
+        xs = centers[ys] + rng.randn(len(ys), d) * 0.5
+        return xs.astype(np.float32), ys
+    tx, ty = make(per)
+    ex, ey = make(10)
+    m = linear_probe(tx, ty, ex, ey, max_iter=100)
+    assert m["n_classes"] == 5
+    assert m["top1"] > 0.9
+    assert m["top5"] == 1.0
+    # topk helper sanity
+    s = np.asarray([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1]])
+    assert topk_accuracy(s, np.asarray([1, 0]), 1) == 1.0
+    assert topk_accuracy(s, np.asarray([2, 1]), 2) == 0.5
