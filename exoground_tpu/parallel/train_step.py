@@ -220,6 +220,7 @@ def make_s3d_nce_step(
     gather_negatives: bool = False,
     compute_dtype: str = "float32",
     scan_steps: Optional[int] = None,
+    train_bn: bool = False,
 ) -> Callable:
     """End-to-end S3D finetune step (reference end2end/main_nce.py:30-47,
     60-137): symmetric InfoNCE (sum of both directions) between S3D video
@@ -227,10 +228,15 @@ def make_s3d_nce_step(
     frozen early blocks (freeze_forward, s3dg.py:351-379).
 
     params: {'s3d': ..., 'text': ...}; batch: video (B, n_clips, T, H, W, 3),
-    token (B, L). batch_stats stay frozen (FrozenBN ≡ reference
-    end2end/freeze_bn.py). ``gather_negatives`` all_gathers embeddings over
-    the data axis so the contrastive batch is global (TPU-native improvement;
-    reference negatives are per-device, SURVEY.md §5).
+    token (B, L). Returns (params, batch_stats, opt_state, metrics).
+    ``train_bn=False`` keeps batch_stats frozen (FrozenBN ≡ reference
+    end2end/freeze_bn.py, the --freezeBN run); ``train_bn=True`` is the
+    reference's default non-frozen mode — running stats update from batch
+    moments (pmean'd over the data axis; momentum 0.9, s3dg.py BN defaults)
+    and come back f32 regardless of compute dtype. ``gather_negatives``
+    all_gathers embeddings over the data axis so the contrastive batch is
+    global (TPU-native improvement; reference negatives are per-device,
+    SURVEY.md §5).
     """
     from exoground_tpu.models.s3d import sentence_embedding_forward
 
@@ -240,12 +246,21 @@ def make_s3d_nce_step(
         def loss_fn(p):
             video = batch["video"].astype(cdt)
             b, n = video.shape[:2]
-            v = model.apply(
-                {"params": _cast_floats(p["s3d"], cdt),
-                 "batch_stats": _cast_floats(batch_stats, cdt)},
-                video.reshape((b * n,) + video.shape[2:]),
-                freeze_early=freeze_early,
-            ).astype(jnp.float32)
+            variables = {"params": _cast_floats(p["s3d"], cdt),
+                         "batch_stats": _cast_floats(batch_stats, cdt)}
+            flat = video.reshape((b * n,) + video.shape[2:])
+            if train_bn:
+                v, mutated = model.apply(
+                    variables, flat, freeze_early=freeze_early,
+                    train_bn=True, mutable=["batch_stats"],
+                )
+                new_stats = jax.tree_util.tree_map(
+                    lambda x: x.astype(jnp.float32), mutated["batch_stats"]
+                )
+            else:
+                v = model.apply(variables, flat, freeze_early=freeze_early)
+                new_stats = batch_stats
+            v = v.astype(jnp.float32)
             t = sentence_embedding_forward(
                 _cast_floats(p["text"], cdt), batch["token"]
             )["text_embedding"].astype(jnp.float32)
@@ -263,43 +278,48 @@ def make_s3d_nce_step(
                 "top1-per-text": jnp.mean((jnp.argmax(sim, -1) == labels) * 1.0),
                 "top1-per-video": jnp.mean((jnp.argmax(sim, 0) == labels) * 1.0),
             }
-            return loss, metrics
+            return loss, (metrics, new_stats)
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (_, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(params)
         grads = jax.lax.pmean(grads, DATA_AXIS)
         metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        if train_bn:  # keep stats replicated: each shard saw different data
+            new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, metrics
+        return params, new_stats, opt_state, metrics
 
     if scan_steps is None:
         step = shard_map(
             local_step,
             mesh=mesh,
             in_specs=(P(), P(), P(), P(DATA_AXIS), P()),
-            out_specs=(P(), P(), P()),
+            out_specs=(P(), P(), P(), P()),
             check_vma=False,
         )
         return jax.jit(step, donate_argnums=(0, 2))
 
     def local_scan(params, batch_stats, opt_state, batches, rng):
         def body(carry, xs):
-            p, o = carry
+            p, bs, o = carry
             b_i, i = xs
-            p, o, m = local_step(
-                p, batch_stats, o, b_i, jax.random.fold_in(rng, i)
+            p, bs, o, m = local_step(
+                p, bs, o, b_i, jax.random.fold_in(rng, i)
             )
-            return (p, o), m
-        (params, opt_state), ms = jax.lax.scan(
-            body, (params, opt_state), (batches, jnp.arange(scan_steps))
+            return (p, bs, o), m
+        (params, batch_stats, opt_state), ms = jax.lax.scan(
+            body, (params, batch_stats, opt_state),
+            (batches, jnp.arange(scan_steps)),
         )
-        return params, opt_state, ms
+        return params, batch_stats, opt_state, ms
 
     step = shard_map(
         local_scan,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(None, DATA_AXIS), P()),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
     return jax.jit(step, donate_argnums=(0, 2))

@@ -95,14 +95,32 @@ class ExperimentConfig:
     randomize_ranking: bool = False
     exo_exo_distill: bool = False
 
-    # data dimensions
-    fps: int = 30  # annotation frame rate (LEMMA: 24, set by parse_args)
+    # end-to-end S3D finetune (reference end2end/config.py:6-53)
+    num_frames: int = 16  # frames per decoded clip (end2end/config.py:12)
+    lr_backbone: float = 0.0  # separate S3D-backbone LR group; 0 = same LR.
+    # The reference DECLARES --lr_backbone 1e-7 (end2end/config.py:16) but its
+    # optim_policy never builds the group (main_nce.py:252-272 raises for any
+    # non-default policy), so the shipped behavior is one LR; we implement the
+    # intended two-group form behind a non-zero value.
+    freezeBN: bool = False  # frozen BN buffers (end2end/freeze_bn.py:6-37)
+    pt_backbone: bool = True  # init S3D from the MIL-NCE checkpoint (:33)
+    convert_from_frozen_bn: bool = False  # remap .scale keys on load (:303-310)
+    auto_align_tag: str = "htm_aa_v1"  # HTM-AA csv name (end2end/config.py:37)
+
+    # data dimensions.  fps: annotation frame rate; None = per-dataset default
+    # (egoexo4d 30, LEMMA 24 per loader_lemma.py, htm-aa clip decode 5 per
+    # end2end/config.py:13) resolved by parse_args — an explicit --fps always
+    # wins (a 30 sentinel used to be unoverridable for LEMMA).
+    fps: Optional[int] = None
     video_feature_dim: int = 4096
     text_feature_dim: int = 4096
     audio_feature_dim: int = 2304
     feature_dim: int = 512
     use_egovlp_features: bool = False
     use_tf_video_features: bool = False
+    # zero-shot VI baseline: score RAW video features through the VI eval
+    # (reference config_egoexo4d.py:92, loss_egoexo4d.py:152); requires --test
+    test_egovlp: bool = False
 
     # inference / output
     visualize: bool = False
@@ -143,7 +161,11 @@ class ExperimentConfig:
 
     def validate(self):
         """Mutual-exclusion checks (main_egoexo4d_distributed.py:580-611)."""
-        assert self.model in ("view_invariant", "grounding", "joint", "init", "cotrain")
+        assert self.model in (
+            "view_invariant", "grounding", "joint", "init", "cotrain", "s3d"
+        )
+        if self.dataset == "htm-aa":
+            assert self.model == "s3d", "--dataset htm-aa trains the S3D backbone"
         assert not (self.views == "ego" and self.use_distill_nce_loss)
         if self.curriculum_train:
             assert self.exos == "all"
@@ -153,6 +175,8 @@ class ExperimentConfig:
         if self.views == "multi":
             assert self.num_max_views >= 1
         assert self.optim_policy in ("default", "bce")
+        if self.test_egovlp:  # main_egoexo4d_distributed.py:606-607
+            assert self.test, "--test_egovlp is a test-time baseline"
         return self
 
 
@@ -177,6 +201,8 @@ def parse_args(argv: Optional[List[str]] = None, dataset: Optional[str] = None) 
             parser.add_argument(
                 f"--{f.name}", nargs="+", type=float, default=list(default)
             )
+        elif default is None:  # Optional[int] sentinel fields (fps)
+            parser.add_argument(f"--{f.name}", type=int, default=None)
         else:
             parser.add_argument(
                 f"--{f.name}", type=type(default), default=default
@@ -187,8 +213,10 @@ def parse_args(argv: Optional[List[str]] = None, dataset: Optional[str] = None) 
     cfg = ExperimentConfig(**kw)
     if dataset:
         cfg.dataset = dataset
-    if cfg.dataset == "lemma" and cfg.fps == 30:
-        cfg.fps = 24  # LEMMA annotations are 24 fps (loader_lemma.py)
+    if cfg.dataset == "htm-aa" and cfg.model == defaults.model:
+        cfg.model = "s3d"  # the e2e pipeline's only model (end2end/config.py:9)
+    if cfg.fps is None:  # per-dataset default; explicit --fps always wins
+        cfg.fps = {"lemma": 24, "htm-aa": 5}.get(cfg.dataset, 30)
     return cfg.validate()
 
 

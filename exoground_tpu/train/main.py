@@ -237,9 +237,108 @@ def main(argv=None):
             return results
         return trainer.fit(train_loader, val_loader, dataset=train_ds)
 
+    if cfg.dataset == "htm-aa":
+        return run_htm_e2e(cfg)
     if cfg.dataset.startswith("htm"):
         return run_htm_tan(cfg)
     raise SystemExit(f"unknown --dataset {cfg.dataset}")
+
+
+def run_htm_e2e(cfg):
+    """End-to-end S3D finetune on HTM-AA clips (reference end2end/main_nce.py:
+    275-403 + video_loader.py:39-174), the ``--dataset htm-aa --model s3d``
+    route.
+
+    Expected --data_root layout:
+      videos/{vid}.mp4                raw HTM videos (ffmpeg host decode;
+                                      grey-frame fallback when absent)
+      {auto_align_tag}.csv            HTM-AA alignment (vid,timestamp,text —
+                                      htm_aa/readme.md:24-32)
+      htm_vlen.csv (optional)         video-length filter 64 < vlen < 2000
+                                      (video_loader.py:70-73, MIL-NCE rule)
+      s3d_dict.npy + s3d_howto100m.pth  word2vec tokenizer + MIL-NCE weights
+                                      (backbone init unless --no-pt_backbone)
+
+    Flags honored: --num_frames, --fps (default 5), --freezeBN,
+    --pt_backbone, --lr_backbone, --convert_from_frozen_bn, --auto_align_tag,
+    --clip_grad, --backprop_freq (end2end/config.py:6-53). One clip per csv
+    row per epoch, sampled inside the aligned span (the reference instead
+    draws num_sample_per_video=2 random rows per video per epoch — same
+    expected coverage, deterministic per-epoch keys here).
+    """
+    import jax
+    import pandas as pd
+
+    from exoground_tpu.data import ShardedSampler, ThreadedLoader
+    from exoground_tpu.data.video_clips import ClipConfig, HTMClipDataset
+    from exoground_tpu.models.s3d import S3D
+    from exoground_tpu.models.word2vec import Word2VecTokenizer
+    from exoground_tpu.train.trainer import S3DTrainer
+    from exoground_tpu.utils.convert import (
+        convert_s3d_state_dict,
+        convert_sentence_embedding_from_s3d,
+        load_torch_checkpoint,
+    )
+
+    root = cfg.data_root
+    tokenizer = Word2VecTokenizer.from_dict_file(
+        os.path.join(root, "s3d_dict.npy")
+    )
+    ckpt = load_torch_checkpoint(os.path.join(root, "s3d_howto100m.pth"))
+    if cfg.convert_from_frozen_bn:
+        # legacy FrozenBN checkpoints store bn scale under '.scale'
+        # (reference main_nce.py:303-310 remaps on load)
+        ckpt = {
+            (k.replace(".scale", ".weight") if ".bn" in k else k): v
+            for k, v in ckpt.items()
+        }
+    text_params = convert_sentence_embedding_from_s3d(ckpt)
+
+    aa = pd.read_csv(os.path.join(root, f"{cfg.auto_align_tag}.csv"))
+    vlen_path = os.path.join(root, "htm_vlen.csv")
+    if os.path.exists(vlen_path):
+        vlen_df = pd.read_csv(vlen_path)
+        keep = set(
+            vlen_df["vid"][(vlen_df["vlen"] < 2000) & (vlen_df["vlen"] > 64)]
+        )
+        aa = aa[aa["vid"].isin(keep)]
+    clip_dur = cfg.num_frames / cfg.fps
+    pairs = [
+        {
+            "vid": r["vid"], "text": r["text"],
+            # clip centered on the aligned timestamp (video_loader.py:125-131)
+            "start": max(float(r["timestamp"]) - clip_dur / 2, 0.0),
+            "end": float(r["timestamp"]) + clip_dur / 2,
+        }
+        for r in aa.to_dict("records")
+    ]
+    if not pairs:
+        raise SystemExit(f"no HTM-AA pairs under {root}")
+    dcfg = ClipConfig(
+        video_root=os.path.join(root, "videos"), fps=cfg.fps,
+        num_frames=cfg.num_frames, seed=cfg.seed,
+    )
+    train_ds = HTMClipDataset(dcfg, pairs, tokenizer)
+    shards, shard = jax.process_count(), jax.process_index()
+    train_loader = ThreadedLoader(
+        train_ds, cfg.batch_size,
+        sampler=ShardedSampler(len(train_ds), shards, shard, seed=cfg.seed),
+        num_workers=cfg.num_workers,
+    )
+
+    # output dim follows the text tower's fc2 (512 for the MIL-NCE ckpt)
+    model = S3D(num_classes=int(text_params["fc2"]["kernel"].shape[1]))
+    sample = next(iter(train_loader))
+    trainer = S3DTrainer(
+        model, cfg, sample, text_params, iters_per_epoch=len(train_loader)
+    )
+    if cfg.pt_backbone:
+        trainer.load_backbone(convert_s3d_state_dict(ckpt))
+    if cfg.resume:
+        trainer.load_checkpoint(cfg.resume, mode="resume")
+    elif cfg.pretrain:
+        trainer.load_checkpoint(cfg.pretrain, mode="pretrain")
+    return trainer.fit(train_loader)
 
 
 def run_htm_tan(cfg):

@@ -80,6 +80,28 @@ def clip_per_param_norm(clip: float) -> optax.GradientTransformation:
     return optax.GradientTransformation(lambda params: optax.EmptyState(), update_fn)
 
 
+def scale_selected(factor: float, substrings) -> optax.GradientTransformation:
+    """Scale updates of params whose path contains any of ``substrings``.
+
+    Placed after AdamW (whose decoupled weight decay is added to updates
+    *before* LR scaling), this is exactly equivalent to a second param group
+    with lr' = factor * lr: both the Adam step and the decay shrink together,
+    matching torch AdamW({'params': backbone, 'lr': lr_backbone}) semantics
+    (the reference declares --lr_backbone at end2end/config.py:16; see
+    make_optimizer)."""
+
+    def update_fn(updates, state, params=None):
+        return (
+            jax.tree_util.tree_map_with_path(
+                lambda path, g: g * factor if _path_has(path, substrings) else g,
+                updates,
+            ),
+            state,
+        )
+
+    return optax.GradientTransformation(lambda params: optax.EmptyState(), update_fn)
+
+
 def make_optimizer(
     params,
     lr: float = 1e-4,
@@ -91,8 +113,14 @@ def make_optimizer(
     grad_clip: Optional[float] = None,
     grad_clip_mode: str = "per_param",  # per_param (reference) | global
     accumulate_steps: int = 1,
+    backbone_lr: Optional[float] = None,
+    backbone_keys=("s3d",),
 ) -> optax.GradientTransformation:
     """AdamW + two-group decay + warmup-cosine (+ optional clip / accumulation).
+
+    ``backbone_lr`` (e2e S3D finetune, --lr_backbone) puts params under the
+    ``backbone_keys`` subtrees on a second LR following the same
+    warmup-cosine shape scaled by backbone_lr/lr (see scale_selected).
 
     ``accumulate_steps`` reproduces ``backprop_freq`` gradient accumulation
     (reference main.py:107-113) via optax.MultiSteps. The reference steps its
@@ -122,6 +150,8 @@ def make_optimizer(
             mask=weight_decay_mask(params),
         )
     )
+    if backbone_lr is not None and backbone_lr != lr:
+        chain.append(scale_selected(backbone_lr / lr, backbone_keys))
     if policy != "default":
         chain.append(
             optax.masked(

@@ -236,6 +236,22 @@ class BaseTrainer:
             )
         return out
 
+    def _local_eval_rows(self, arr) -> np.ndarray:
+        """Host-local rows of a P(DATA_AXIS)-sharded eval output.
+
+        Multihost: the global array spans non-addressable devices, so
+        np.asarray would raise; this process's rows are exactly its
+        addressable shards (shard_batch builds the global batch from
+        per-process local rows via make_array_from_process_local_data, and
+        _pad_rows appends this host's dummy rows at the end of its local
+        block), reassembled in row order. Single-host: plain fetch."""
+        if jax.process_count() == 1:
+            return np.asarray(arr)
+        shards = sorted(
+            arr.addressable_shards, key=lambda s: s.index[0].start or 0
+        )
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
     def _run_train_epoch(
         self,
         loader: Iterable[Dict],
@@ -450,7 +466,15 @@ class TANTrainer(BaseTrainer):
         """Validation sharded over the mesh (reference DistributedSampler eval
         semantics: rows split across devices, per-shard contrastive grids,
         ragged tails padded by repeating rows; main_egoexo4d_distributed.py:
-        533-540). One jitted shard_map per val sweep, metrics psum'd in-graph."""
+        533-540). One jitted shard_map per val sweep, metrics psum'd in-graph.
+
+        Pad-by-repeat caveats (accepted, reference-parity): duplicated tail
+        rows count in the '_rows' loss weight like the reference's padded
+        DistributedSampler rows do, and when the final batch has fewer rows
+        than the mesh a duplicate can land in the same shard's MIL-NCE grid
+        as its original, acting as a perfect-duplicate distractor and nudging
+        the val loss slightly. Exact row weighting would need a row_valid
+        mask threaded through the contrastive grid (mode='zeros' path)."""
         if self._eval_step is None:
             self._eval_step = make_tan_eval_step(
                 self.model, self.loss_cfg, self.mesh, is_cotrain=self.is_cotrain,
@@ -520,6 +544,7 @@ class EgoExoTrainer(BaseTrainer):
             use_distill_nce_loss=cfg.use_distill_nce_loss,
             same_view_negative=cfg.same_view_negative,
             only_same_view_negative=cfg.only_same_view_negative,
+            test_egovlp=getattr(cfg, "test_egovlp", False),
         )
         batch = self.prepare_batch(sample_batch)
         self.params = model.init(
@@ -667,7 +692,10 @@ class EgoExoTrainer(BaseTrainer):
                 per_row = k in vi_keys or (vi_mode and k == "loss")
                 m.update(v, b if per_row else n_valid)
             loss_meter.update(scalars["loss"], b if vi_mode else n_valid)
-            ious_np = np.asarray(ious)[:b]
+            # this host's rows only: metadata used for binning below is
+            # host-local, and in multihost runs the global array is not
+            # host-fetchable anyway (see _local_eval_rows)
+            ious_np = self._local_eval_rows(ious)[:b]
             if test and self.cfg.model in ("grounding", "joint"):
                 meta = raw.get("metadata", {})
                 save_list.append({
@@ -757,6 +785,7 @@ class S3DTrainer(BaseTrainer):
 
         super().__init__(cfg, mesh)
         self.model = model
+        self.best_acc = 1e5  # best tracks lowest train loss (main_nce.py:293)
         video = np.asarray(sample_batch["video"], np.float32)
         variables = model.init(
             jax.random.PRNGKey(cfg.seed), jnp.asarray(video[:, 0])
@@ -764,19 +793,27 @@ class S3DTrainer(BaseTrainer):
         self.params = {"s3d": variables["params"], "text": text_params}
         self.batch_stats = variables["batch_stats"]
         self.target_params = None
+        # --lr_backbone: second LR group for the pretrained S3D trunk
+        # (reference end2end/config.py:16 declares it; see optim.py)
+        lr_backbone = getattr(cfg, "lr_backbone", 0.0)
         self.tx = make_optimizer(
             self.params, lr=cfg.lr, weight_decay=cfg.wd,
             total_iterations=cfg.epochs * iters_per_epoch,
             grad_clip=cfg.clip_grad or None,
             accumulate_steps=cfg.backprop_freq,
+            backbone_lr=lr_backbone or None, backbone_keys=("s3d",),
         )
         self.opt_state = self.tx.init(self.params)
         self._replicate()
         self.batch_stats = replicate(self.batch_stats, self.mesh)
+        # --freezeBN keeps BN buffers frozen (end2end/freeze_bn.py); the
+        # reference's default mode trains the running stats
+        self.train_bn = not getattr(cfg, "freezeBN", True)
         self.step = make_s3d_nce_step(
             model, self.tx, self.mesh, freeze_early=freeze_early,
             gather_negatives=self.cfg.gather_negatives,
             compute_dtype="bfloat16" if cfg.amp else "float32",
+            train_bn=self.train_bn,
         )
 
     def load_backbone(self, s3d_state: Dict):
@@ -805,7 +842,7 @@ class S3DTrainer(BaseTrainer):
             meters["Data"].update(timer.lap())
             batch_s = shard_batch(batch, self.mesh)
             self.rng, step_rng = jax.random.split(self.rng)
-            self.params, self.opt_state, metrics = self.step(
+            self.params, self.batch_stats, self.opt_state, metrics = self.step(
                 self.params, self.batch_stats, self.opt_state, batch_s, step_rng
             )
             loss = float(metrics["loss"])
@@ -820,8 +857,16 @@ class S3DTrainer(BaseTrainer):
         return meters["Loss"].avg
 
     def fit(self, train_loader, epochs: Optional[int] = None):
+        last = float("nan")
+        best = self.best_acc
         for epoch in range(self.start_epoch, epochs or self.cfg.epochs):
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(epoch)
-            self.train_epoch(train_loader, epoch)
-            self.save_epoch(epoch)
+            last = self.train_epoch(train_loader, epoch)
+            # reference main_nce.py:385-387 "temporary use val loss": best
+            # tracks the (lowest) train loss
+            is_best = last < best
+            best = min(last, best)
+            self.best_acc = best
+            self.save_epoch(epoch, is_best=is_best)
+        return last

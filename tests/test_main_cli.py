@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier: run with -m slow
+
 
 def _make_htm_root(tmp_path, n_vids=12, vlen=160, dim=32):
     rng = np.random.RandomState(0)
@@ -200,3 +202,116 @@ def test_launch_scripts_flag_surface():
             cfg.validate()
         cases += 1
     assert cases >= 5
+
+
+def _make_htm_aa_root(tmp_path):
+    """Synthetic HTM-AA tree: csv rows + text-tower-only checkpoint; no
+    videos/ dir so decode rides the grey-frame fallback
+    (video_loader.py:164-166)."""
+    import pandas as pd
+    import torch
+
+    root = tmp_path / "htm_aa"
+    root.mkdir()
+    rows = []
+    for i in range(8):
+        rows.append({
+            "vid": f"v{i:02d}", "timestamp": 30 + 5 * i,
+            "text": f"now we knead the dough number {i}",
+        })
+    pd.DataFrame(rows).to_csv(str(root / "htm_aa_v1.csv"), index=False)
+    pd.DataFrame(
+        {"vid": [f"v{i:02d}" for i in range(8)], "vlen": [300] * 8}
+    ).to_csv(str(root / "htm_vlen.csv"), index=False)
+    words = np.array([f"word{i}" for i in range(200)])
+    np.save(str(root / "s3d_dict.npy"), words)
+    state = {
+        "text_module.word_embd.weight": torch.randn(201, 16),
+        "text_module.fc1.weight": torch.randn(24, 16),
+        "text_module.fc1.bias": torch.zeros(24),
+        "text_module.fc2.weight": torch.randn(16, 24),
+        "text_module.fc2.bias": torch.zeros(16),
+    }
+    torch.save({"state_dict": state}, str(root / "s3d_howto100m.pth"))
+    return str(root)
+
+
+@pytest.mark.slow
+def test_cli_htm_e2e_train(tmp_path, monkeypatch):
+    """--dataset htm-aa route (reference end2end/main_nce.py:275-403): full
+    S3D + text tower, 1 epoch on grey-fallback clips, BN stats update in the
+    default (non-freezeBN) mode, checkpoint written."""
+    from exoground_tpu.train.main import main
+
+    root = _make_htm_aa_root(tmp_path)
+    monkeypatch.chdir(tmp_path)
+    last_loss = main([
+        "--dataset", "htm-aa",
+        "--data_root", root,
+        "--batch_size", "8",
+        "--epochs", "1",
+        "--num_workers", "2",
+        "--num_frames", "4",
+        "--no-pt_backbone",          # fake ckpt carries only the text tower
+        "--lr_backbone", "1e-6",
+        "--runtime_save_iter", "1000000",
+    ])
+    assert np.isfinite(last_loss)
+    import glob
+
+    assert glob.glob("log/**/model/epoch0.pth.tar", recursive=True)
+    # fps default resolved per dataset: htm-aa decodes at 5 fps
+    from exoground_tpu.train.config import parse_args
+
+    cfg = parse_args(["--dataset", "htm-aa"])
+    assert cfg.fps == 5 and cfg.model == "s3d"
+    assert parse_args(["--dataset", "lemma", "--model", "joint"]).fps == 24
+    # explicit --fps always wins (used to be silently rewritten for lemma)
+    assert parse_args(
+        ["--dataset", "lemma", "--model", "joint", "--fps", "30"]
+    ).fps == 30
+
+
+def test_s3d_train_bn_updates_stats(tmp_path):
+    """freezeBN=False (the reference default) must move BN running stats;
+    freezeBN=True must not (end2end/freeze_bn.py semantics)."""
+    import jax
+
+    from exoground_tpu.train.config import parse_args
+    from exoground_tpu.train.trainer import S3DTrainer
+    from exoground_tpu.models.s3d import S3D
+
+    rng = np.random.RandomState(0)
+    sample = {
+        "video": rng.rand(4, 1, 4, 32, 32, 3).astype(np.float32),
+        "token": rng.randint(1, 50, (4, 6)).astype(np.int32),
+    }
+    text_params = {
+        "word_embd": rng.randn(50, 12).astype(np.float32),
+        "fc1": {"kernel": rng.randn(12, 20).astype(np.float32),
+                "bias": np.zeros(20, np.float32)},
+        "fc2": {"kernel": rng.randn(20, 16).astype(np.float32),
+                "bias": np.zeros(16, np.float32)},
+    }
+
+    def one_step(freeze):
+        argv = ["--dataset", "htm-aa", "--model", "s3d", "--epochs", "1",
+                "--batch_size", "4", "--lr_backbone", "1e-6",
+                "--dp_devices", "4"]  # batch 4 must divide the mesh
+        if freeze:
+            argv.append("--freezeBN")
+        cfg = parse_args(argv)
+        tr = S3DTrainer(S3D(num_classes=16), cfg, sample, text_params,
+                        iters_per_epoch=1)
+        before = jax.device_get(tr.batch_stats)
+        tr.train_epoch([sample], epoch=0)
+        after = jax.device_get(tr.batch_stats)
+        diffs = [
+            float(np.abs(a - b).max())
+            for a, b in zip(jax.tree_util.tree_leaves(before),
+                            jax.tree_util.tree_leaves(after))
+        ]
+        return max(diffs)
+
+    assert one_step(freeze=True) == 0.0
+    assert one_step(freeze=False) > 0.0

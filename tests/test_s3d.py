@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier: run with -m slow
+
 from exoground_tpu.models.s3d import (
     S3D,
     sentence_embedding_forward,
@@ -163,7 +165,7 @@ def test_s3d_nce_step_8dev():
     bs = replicate(variables["batch_stats"], mesh)
     o = replicate(tx.init(params), mesh)
     batch = shard_batch({"video": video, "token": token}, mesh)
-    p2, o2, metrics = step(p, bs, o, batch, jax.random.PRNGKey(0))
+    p2, bs2, o2, metrics = step(p, bs, o, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
     assert 0.0 <= float(metrics["top1-per-text"]) <= 1.0
     # frozen-early: conv1 unchanged, text fc2 moved
@@ -182,8 +184,8 @@ def test_s3d_nce_step_8dev():
     }
     p = replicate(params_host, mesh)
     o = replicate(tx.init(params_host), mesh)
-    p3, o3, ms = step2(p, bs, o, shard_batch(stacked, mesh, dim=1),
-                       jax.random.PRNGKey(0))
+    p3, bs3, o3, ms = step2(p, bs, o, shard_batch(stacked, mesh, dim=1),
+                            jax.random.PRNGKey(0))
     assert ms["loss"].shape == (2,)
     assert np.isfinite(np.asarray(ms["loss"])).all()
 
