@@ -1,0 +1,238 @@
+"""Generate the self-contained golden fixtures under tests/golden/.
+
+Run ONCE in an environment with torch and the reference mounted at
+/root/reference; commits the resulting .npz files so tests/test_golden.py
+can assert numeric parity forever after without either dependency:
+
+    python -m exoground_tpu.tools.gen_golden_fixtures
+
+Each fixture stores the reference model's (name, shape) parameter manifest
+plus the reference outputs for deterministic seeded weights/inputs (see
+tests/golden_common.py). Reference entry points exercised:
+  * model/tan_model.py TemporalAligner forward + get_text_visual_sim_joint/
+    _dual (tan_model.py:94-143, 231-306)
+  * model/exo_ground_model.py ExoGroundingTransformer forward (:127-183)
+  * train/loss.py get_loss — the 5 oracle configs (MIL-NCE + agreement +
+    threshold + alignability BCE, loss.py:57-376)
+  * train/loss_egoexo4d.py get_grounding_loss_reg_head (:73-145) and
+    compute_info_nce_loss_cross_view / compute_l1_cosine_losses (:151-323)
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, REPO)
+
+from tests import golden_common as G  # noqa: E402
+
+
+def _to_torch_state(state_np):
+    import torch
+
+    return {k: torch.from_numpy(v.copy()) for k, v in state_np.items()}
+
+
+def gen_tan_forward():
+    import torch
+
+    sys.path.insert(0, "/root/reference/model")
+    import tan_model
+
+    torch.manual_seed(0)
+    model = tan_model.TemporalAligner(
+        num_encoder_layers=2, num_decoder_layers=2,
+        random_pos_start=0, use_alignability_head=1,
+    ).eval()
+    manifest = [(k, tuple(v.shape)) for k, v in model.state_dict().items()]
+    state = G.synth_state(manifest, seed=7)
+    model.load_state_dict(_to_torch_state(state))
+
+    video, lang, vmask, lmask = G.tan_forward_inputs()
+    with torch.no_grad():
+        ref = model(
+            torch.from_numpy(video), torch.from_numpy(lang),
+            torch.from_numpy(vmask), torch.from_numpy(lmask),
+            text_timestamp=None,
+        )
+    ev_video, ev_lang = G.tan_eval_inputs()
+    with torch.no_grad():
+        sim_joint = model.get_text_visual_sim_joint(
+            torch.from_numpy(ev_video), torch.from_numpy(ev_lang)
+        )
+        sim_dual = model.get_text_visual_sim_dual(
+            torch.from_numpy(ev_video), torch.from_numpy(ev_lang)
+        )
+    sim_joint = sim_joint["sim"] if isinstance(sim_joint, dict) else sim_joint
+    sim_dual = sim_dual["sim"] if isinstance(sim_dual, dict) else sim_dual
+
+    out = G.manifest_to_npz_fields(manifest)
+    for key in ("logits_dual", "logits_joint", "dual_logits_alignability",
+                "joint_logits_alignability"):
+        out[f"out::{key}"] = ref[key].numpy()
+    out["out::eval_sim_joint"] = sim_joint.numpy()
+    out["out::eval_sim_dual"] = sim_dual.numpy()
+    np.savez_compressed(os.path.join(G.GOLDEN_DIR, "tan_forward.npz"), **out)
+    print("tan_forward.npz:", {k: v.shape for k, v in out.items() if k.startswith("out::")})
+
+
+def gen_exoground_forward():
+    import torch
+
+    sys.path.insert(0, "/root/reference/model")
+    import exo_ground_model
+
+    torch.manual_seed(0)
+    model = exo_ground_model.ExoGroundingTransformer(
+        num_encoder_layers=2, num_decoder_layers=2,
+        random_pos_start=0, video_embed_dim=64, text_embed_dim=64,
+        feature_dim=128, use_distill_nce_loss=False,
+    ).eval()
+    manifest = [(k, tuple(v.shape)) for k, v in model.state_dict().items()]
+    state = G.synth_state(manifest, seed=11)
+    model.load_state_dict(_to_torch_state(state))
+
+    video, lang, vmask, lmask = G.exoground_inputs()
+    with torch.no_grad():
+        ref = model(
+            torch.from_numpy(video), torch.from_numpy(lang),
+            torch.from_numpy(vmask), torch.from_numpy(lmask),
+        )
+    out = G.manifest_to_npz_fields(manifest)
+    out["out::interval_preds"] = ref["interval_preds"].numpy()
+    np.savez_compressed(os.path.join(G.GOLDEN_DIR, "exoground_forward.npz"), **out)
+    print("exoground_forward.npz:", out["out::interval_preds"].shape)
+
+
+def _load_ref_loss():
+    from tests._oracle_utils import stub_missing_modules
+
+    stub_missing_modules()
+    sys.path.insert(0, "/root/reference/train")
+    sys.path.insert(0, "/root/reference")
+    import loss as ref_loss
+
+    return ref_loss
+
+
+def gen_tan_loss():
+    import torch
+
+    ref_loss = _load_ref_loss()
+    records = {}
+    for model, agreement, threshold, align_head, agree_type in G.TAN_LOSS_CONFIGS:
+        seed = G.TAN_LOSS_SEEDS[agree_type]
+        (ld, lj, ed, ej, starts, ends, text_pad, video_pad,
+         a_dual, a_joint, abs_pos) = G.tan_loss_inputs(seed=seed)
+        b, s, t, _, n = ld.shape
+        args = types.SimpleNamespace(
+            model=model, sim="cos", learn_agreement=agreement,
+            temporal_agreement_type=agree_type, loss_threshold=threshold,
+            use_alignability_head=align_head, optim_policy="default",
+        )
+        logits_t = {
+            "logits_dual": torch.from_numpy(ld.copy()),
+            "logits_joint": torch.from_numpy(lj.copy()),
+            "dual_logits_alignability": torch.from_numpy(a_dual.copy()),
+            "joint_logits_alignability": torch.from_numpy(
+                np.repeat(a_joint, 3, axis=1)[:, :3].copy()
+            ),
+        }
+        if model == "cotrain":
+            logits_t["ema-logits_dual"] = torch.from_numpy(ed.copy())
+            logits_t["ema-logits_joint"] = torch.from_numpy(ej.copy())
+        input_data = {
+            "start": starts, "end": ends,
+            "text": [[f"s{i}{j}" for j in range(len(starts[i]))]
+                     for i in range(b)],
+        }
+        ref = ref_loss.get_loss(
+            input_data,
+            torch.zeros(b, t, 8), torch.zeros(b, n, 8),
+            torch.from_numpy(video_pad), torch.from_numpy(text_pad),
+            logits_t, args,
+            abs_text_pos=torch.from_numpy(abs_pos),
+        )
+        tag = f"{model}_{agreement}_{threshold}_{align_head}_{agree_type}"
+        for key in G.TAN_LOSS_KEYS:
+            if key in ref:
+                records[f"{tag}::{key}"] = np.float64(float(ref[key]))
+    np.savez(os.path.join(G.GOLDEN_DIR, "tan_loss.npz"), **records)
+    print("tan_loss.npz:", len(records), "scalars")
+
+
+def _load_ref_egoexo():
+    from tests._oracle_utils import stub_missing_modules
+
+    stub_missing_modules()
+    sys.path.insert(0, "/root/reference/train")
+    sys.path.insert(0, "/root/reference")
+    import loss_egoexo4d as ref
+
+    return ref
+
+
+def gen_grounding_loss():
+    import torch
+
+    ref = _load_ref_egoexo()
+    out = {}
+    preds, starts, ends, pad, t = G.grounding_loss_inputs()
+    b = preds.shape[0]
+    per_second_views = [["0"] * t for _ in range(b)]
+    for center_duration in (True, False):
+        args = types.SimpleNamespace(
+            use_center_duration=center_duration, iou_loss_eps=1e-8,
+            iou_thresholds=[0.1, 0.3, 0.5, 0.7], test=False,
+        )
+        input_data = {
+            "mean": torch.from_numpy((starts + ends) / 2),
+            "duration": torch.from_numpy(np.abs(ends - starts)),
+            "starts": torch.from_numpy(starts),
+            "ends": torch.from_numpy(ends),
+            "metadata": {"per_second_views": per_second_views},
+        }
+        ref_dict, ref_iou = ref.get_grounding_loss_reg_head(
+            input_data, {"interval_preds": torch.from_numpy(preds)},
+            torch.from_numpy(pad), args,
+        )
+        tag = "cd" if center_duration else "se"
+        for key in ("loss", "IoU loss", "mean IoU", "IoU>=0.1", "IoU>=0.3",
+                    "IoU>=0.5", "IoU>=0.7"):
+            out[f"{tag}::{key}"] = np.float64(float(ref_dict[key]))
+        out[f"{tag}::iou_map"] = ref_iou.numpy()
+
+    feats, ego, pos, neg, svn_idx, video_feats = G.vi_infonce_inputs()
+    for same_view in (False, True):
+        ref_nce = ref.compute_info_nce_loss_cross_view(
+            torch.from_numpy(feats), torch.from_numpy(ego),
+            torch.from_numpy(pos), torch.from_numpy(neg),
+            torch.from_numpy(svn_idx) if same_view else None,
+            torch.from_numpy(video_feats) if same_view else None,
+            only_same_view_negative=False,
+        ).numpy()
+        out[f"vi_{int(same_view)}::nce"] = np.asarray(ref_nce)
+    ref_l1, ref_pc, ref_nc = ref.compute_l1_cosine_losses(
+        torch.from_numpy(feats), torch.from_numpy(ego),
+        torch.from_numpy(pos), torch.from_numpy(neg),
+    )
+    out["vi::l1"] = np.asarray(ref_l1.numpy())
+    out["vi::pos_cos"] = np.asarray(ref_pc.numpy())
+    out["vi::neg_cos"] = np.asarray(ref_nc.numpy())
+    np.savez(os.path.join(G.GOLDEN_DIR, "grounding_loss.npz"), **out)
+    print("grounding_loss.npz:", len(out), "entries")
+
+
+def main():
+    os.makedirs(G.GOLDEN_DIR, exist_ok=True)
+    gen_tan_forward()
+    gen_exoground_forward()
+    gen_tan_loss()
+    gen_grounding_loss()
+
+
+if __name__ == "__main__":
+    main()
