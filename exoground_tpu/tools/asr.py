@@ -90,21 +90,184 @@ def detect_language(
     raise RuntimeError("detect_language needs detector_fn or text_probe")
 
 
+class ForcedAligner:
+    """Word-level forced alignment (reference transcribe_or_translate.py:
+    102-107 and 180-184, the ``whisperx.align`` stage backed by a wav2vec2
+    CTC model). The acoustic model is injected — weights cannot live here —
+    but the alignment math itself is rebuilt: the standard CTC trellis +
+    backtrack (CTC-segmentation style) in numpy.
+
+    acoustic_fn(audio_path, start, end) -> (T, V) per-frame log-probs over
+    a character vocabulary for that audio span. ``vocab`` maps characters to
+    ids and must include ``word_sep`` (the inter-word token, wav2vec2's
+    ``|``); ``blank_id`` is the CTC blank. ``frame_duration`` converts frame
+    indices to seconds.
+    """
+
+    def __init__(
+        self,
+        acoustic_fn: Callable[[str, float, float], "object"],
+        vocab: Dict[str, int],
+        frame_duration: float = 0.02,
+        blank_id: int = 0,
+        word_sep: str = "|",
+    ):
+        self.acoustic_fn = acoustic_fn
+        self.vocab = vocab
+        self.frame_duration = frame_duration
+        self.blank_id = blank_id
+        self.word_sep = word_sep
+
+    def _tokenize(self, text: str):
+        """Transcript -> (char list, id list): lowercase, spaces to the word
+        separator, characters outside the vocab dropped (whisperx's
+        clean-char preprocessing)."""
+        chars, ids = [], []
+        for ch in " ".join(str(text).lower().split()):
+            ch = self.word_sep if ch == " " else ch
+            if ch in self.vocab:
+                chars.append(ch)
+                ids.append(self.vocab[ch])
+        return chars, ids
+
+    def align_segment(self, audio_path: str, segment: Dict) -> Optional[List[Dict]]:
+        """One ASR segment -> [{'word','start','end','score'}, ...] with
+        absolute times, or None when unalignable (empty transcript / audio
+        span shorter than the token sequence — whisperx's fallback case)."""
+        import numpy as np
+
+        chars, tokens = self._tokenize(segment["text"])
+        if not tokens:
+            return None
+        start, end = float(segment["start"]), float(segment["end"])
+        emissions = np.asarray(self.acoustic_fn(audio_path, start, end), np.float64)
+        t_frames, _ = emissions.shape
+        n = len(tokens)
+        if t_frames < n:
+            return None
+        # defensively renormalize to log-probs
+        emissions = emissions - _logsumexp(emissions, axis=-1, keepdims=True)
+
+        # CTC trellis: best log-prob of consuming the first j tokens within
+        # the first t frames (stay = emit blank, advance = emit token j)
+        neg = -1e18
+        trellis = np.full((t_frames + 1, n + 1), neg)
+        trellis[0, 0] = 0.0
+        trellis[1:, 0] = np.cumsum(emissions[:, self.blank_id])
+        tok_arr = np.asarray(tokens)
+        for t in range(1, t_frames + 1):
+            stay = trellis[t - 1, 1:] + emissions[t - 1, self.blank_id]
+            advance = trellis[t - 1, :-1] + emissions[t - 1, tok_arr]
+            trellis[t, 1:] = np.maximum(stay, advance)
+        if trellis[-1, -1] <= neg / 2:
+            return None
+
+        # backtrack: the frame at which each token was emitted
+        frames = np.zeros(n, np.int64)
+        scores = np.zeros(n)
+        j = n
+        t = t_frames
+        while j > 0 and t > 0:
+            advance = trellis[t - 1, j - 1] + emissions[t - 1, tok_arr[j - 1]]
+            stay = trellis[t - 1, j] + emissions[t - 1, self.blank_id]
+            if advance >= stay:
+                j -= 1
+                frames[j] = t - 1
+                scores[j] = np.exp(emissions[t - 1, tok_arr[j]])
+            t -= 1
+        if j > 0:  # no valid monotonic path
+            return None
+
+        words: List[Dict] = []
+        buf, f0, f1, sc = "", None, None, []
+        for ch, fr, s in zip(chars, frames, scores):
+            if ch == self.word_sep:
+                if buf:
+                    words.append(self._word(buf, f0, f1, sc, start))
+                buf, f0, f1, sc = "", None, None, []
+            else:
+                buf += ch
+                f0 = fr if f0 is None else f0
+                f1 = fr
+                sc.append(s)
+        if buf:
+            words.append(self._word(buf, f0, f1, sc, start))
+        return words
+
+    def _word(self, word, f0, f1, scores, offset):
+        import numpy as np
+
+        return {
+            "word": word,
+            "start": offset + float(f0) * self.frame_duration,
+            "end": offset + (float(f1) + 1) * self.frame_duration,
+            "score": float(np.mean(scores)) if scores else 0.0,
+        }
+
+    def __call__(self, audio_path: str, segments: List[Dict]) -> List[Dict]:
+        """Attach 'words' to every alignable segment (in place + returned)."""
+        for seg in segments:
+            words = self.align_segment(audio_path, seg)
+            if words:
+                seg["words"] = words
+        return segments
+
+
+def _logsumexp(x, axis=-1, keepdims=False):
+    import numpy as np
+
+    m = np.max(x, axis=axis, keepdims=True)
+    out = m + np.log(np.sum(np.exp(x - m), axis=axis, keepdims=True))
+    return out if keepdims else np.squeeze(out, axis=axis)
+
+
+def flatten_words(segments: List[Dict]):
+    """Segments (with optional aligned 'words') -> per-word
+    (caps, starts, ends) for Sentencify.punctuate_and_cut: aligned words give
+    exact per-word spans (the reference pipeline's precision — whisperx word
+    times feeding filters/sentencify.py:53-63 interpolation); segments
+    without words fall back to one segment-level caption whose token times
+    interpolate uniformly."""
+    caps: List[str] = []
+    starts: List[float] = []
+    ends: List[float] = []
+    for seg in segments:
+        if seg.get("words"):
+            for w in seg["words"]:
+                caps.append(w["word"])
+                starts.append(float(w["start"]))
+                ends.append(float(w["end"]))
+        else:
+            caps.append(seg["text"])
+            starts.append(float(seg["start"]))
+            ends.append(float(seg["end"]))
+    return caps, starts, ends
+
+
 def transcribe_or_translate(
     audio_path: str,
     language: str = "en",
     asr: Optional[WhisperASR] = None,
     translate_fn: Optional[Callable[[List[str]], List[str]]] = None,
+    aligner: Optional[ForcedAligner] = None,
 ) -> List[Dict]:
-    """Transcribe; non-English text is routed through ``translate_fn``
-    (reference transcribe_or_translate.py:72-213, m2m100 stage)."""
+    """Transcribe (+ forced word alignment), non-English routed through
+    ``translate_fn`` (reference transcribe_or_translate.py:72-213: whisperx
+    transcribe -> align -> m2m100). Mirroring the reference's output contract
+    (:188-198): translated segments DROP word-level times ('words' describes
+    the native transcript, kept under 'text_native'/'words_native')."""
     if asr is None:
         raise RuntimeError("pass a WhisperASR instance (no ASR weights baked in)")
     segs = asr.transcribe(audio_path)
+    if aligner is not None:
+        segs = aligner(audio_path, segs)
     if language != "en" and translate_fn is not None:
         texts = translate_fn([s["text"] for s in segs])
         for s, t in zip(segs, texts):
+            s["text_native"] = s["text"]
             s["text"] = t
+            if "words" in s:
+                s["words_native"] = s.pop("words")
     return segs
 
 

@@ -412,3 +412,97 @@ def test_linear_probe_separable_features():
     s = np.asarray([[0.1, 0.9, 0.0], [0.8, 0.1, 0.1]])
     assert topk_accuracy(s, np.asarray([1, 0]), 1) == 1.0
     assert topk_accuracy(s, np.asarray([2, 1]), 2) == 0.5
+
+
+def _toy_acoustic(truth_by_span, vocab, n_frames=24, frame_dur=0.1):
+    """Synthetic wav2vec2-style CTC model: near-one-hot log-probs placing
+    each character at a known frame; blank elsewhere."""
+    v = len(vocab) + 1
+
+    def acoustic_fn(audio_path, start, end):
+        placements = truth_by_span[(round(start, 3), round(end, 3))]
+        em = np.full((n_frames, v), np.log(0.1 / (v - 1)))
+        em[:, 0] = np.log(0.9)  # blank
+        for ch, frame in placements:
+            em[frame, 0] = np.log(0.05)
+            em[frame, vocab[ch]] = np.log(0.9)
+        return em
+
+    return acoustic_fn
+
+
+def test_forced_aligner_word_times():
+    """CTC trellis forced alignment recovers the planted word timestamps
+    (reference transcribe_or_translate.py:102-107 whisperx.align stage)."""
+    from exoground_tpu.tools.asr import ForcedAligner
+
+    vocab = {"|": 1}
+    for i, ch in enumerate("abcdefghijklmnopqrstuvwxyz"):
+        vocab[ch] = i + 2
+    placements = [("h", 2), ("e", 4), ("l", 5), ("l", 6), ("o", 7),
+                  ("|", 9), ("w", 11), ("o", 12), ("r", 13), ("l", 14),
+                  ("d", 16)]
+    fn = _toy_acoustic({(2.0, 4.4): placements}, vocab)
+    aligner = ForcedAligner(fn, vocab, frame_duration=0.1, blank_id=0)
+    words = aligner.align_segment(
+        "x.wav", {"text": "Hello  world", "start": 2.0, "end": 4.4}
+    )
+    assert [w["word"] for w in words] == ["hello", "world"]
+    assert abs(words[0]["start"] - 2.2) < 1e-6
+    assert abs(words[0]["end"] - 2.8) < 1e-6
+    assert abs(words[1]["start"] - 3.1) < 1e-6
+    assert abs(words[1]["end"] - 3.7) < 1e-6
+    assert all(w["score"] > 0.5 for w in words)
+    # unalignable: empty transcript
+    assert aligner.align_segment("x.wav", {"text": "", "start": 0, "end": 1}) is None
+
+
+def test_asr_align_sentencify_chain():
+    """ASR -> forced alignment -> sentencify: sentence boundaries land on the
+    ALIGNED word times, not uniform interpolation (the reference offline
+    pipeline's precision story: whisperx word times feed
+    filters/sentencify.py:53-63)."""
+    from exoground_tpu.tools.asr import (
+        ForcedAligner, WhisperASR, flatten_words, transcribe_or_translate,
+    )
+    from exoground_tpu.tools.sentencify import Sentencify
+
+    vocab = {"|": 1}
+    for i, ch in enumerate("abcdefghijklmnopqrstuvwxyz"):
+        vocab[ch] = i + 2
+    placements = [("h", 2), ("i", 3), ("|", 5), ("t", 8), ("h", 9), ("e", 10),
+                  ("r", 11), ("e", 12), ("|", 14), ("c", 17), ("h", 18),
+                  ("e", 19), ("f", 20)]
+    fn = _toy_acoustic({(10.0, 12.4): placements}, vocab)
+    aligner = ForcedAligner(fn, vocab, frame_duration=0.1, blank_id=0)
+    asr = WhisperASR(pipeline_fn=lambda p: {
+        "chunks": [{"text": "hi there chef", "timestamp": (10.0, 12.4)}]
+    })
+    segs = transcribe_or_translate("x.wav", "en", asr=asr, aligner=aligner)
+    assert "words" in segs[0] and len(segs[0]["words"]) == 3
+    # uniform interpolation would put word 2 at [10.8, 11.6); alignment says
+    # "there" spans frames 8..12 -> [10.8, 11.3) -- the END differs
+    caps, starts, ends = flatten_words(segs)
+    assert caps == ["hi", "there", "chef"]
+    assert abs(ends[1] - 11.3) < 1e-6
+
+    # sentencify cuts after "there" (full stop label); sentence times are the
+    # aligned word spans
+    def punctuate(tokens):
+        return [2 if t == "there" else 1 for t in tokens]
+
+    s = Sentencify(punctuate_fn=punctuate, tokenize_fn=lambda x: x.split())
+    sents, s_t, e_t = s.punctuate_and_cut(caps, starts, ends)
+    assert sents == ["hi there", "chef"]
+    assert abs(s_t[0] - 10.2) < 1e-6
+    assert abs(e_t[0] - 11.3) < 1e-6
+    assert abs(s_t[1] - 11.7) < 1e-6
+
+    # non-EN route: translated text drops word times, native kept
+    segs2 = transcribe_or_translate(
+        "x.wav", "fr", asr=asr, aligner=aligner,
+        translate_fn=lambda texts: [t.upper() for t in texts],
+    )
+    assert segs2[0]["text"] == "HI THERE CHEF"
+    assert "words" not in segs2[0] and "words_native" in segs2[0]
+    assert segs2[0]["text_native"] == "hi there chef"
