@@ -26,6 +26,11 @@ class GroundingLossConfig:
     use_distill_nce_loss: bool = False
     same_view_negative: bool = False
     only_same_view_negative: bool = False
+    # zero-shot baseline: evaluate the RAW input video features through the
+    # VI loss instead of the model's high_dim_features (reference
+    # loss_egoexo4d.py:152, --test_egovlp; test-only,
+    # main_egoexo4d_distributed.py:606-607)
+    test_egovlp: bool = False
 
 
 def _masked_mean(x, mask):
@@ -136,7 +141,8 @@ def egoexo_loss(
     joint -> sum of both."""
     if cfg.model == "view_invariant":
         return view_invariant_loss(
-            model_out["high_dim_features"],
+            batch["video_features"] if cfg.test_egovlp
+            else model_out["high_dim_features"],
             batch["ego_video_features"],
             batch["view_rank_label"],
             batch["view_rank_neg_label"],

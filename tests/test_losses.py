@@ -192,3 +192,42 @@ class TestInfoNCE:
             float(parts["loss-per-video"] + parts["loss-per-text"]),
             ref.item(), rtol=1e-5,
         )
+
+
+def test_egoexo_loss_test_egovlp_uses_raw_features():
+    """--test_egovlp scores the RAW video features through the VI loss
+    (reference loss_egoexo4d.py:152): model output must be ignored."""
+    from exoground_tpu.losses.grounding import GroundingLossConfig, egoexo_loss
+
+    rng = np.random.RandomState(0)
+    b, v, t, c = 2, 3, 8, 16
+    batch = {
+        "video_features": rng.randn(b, t, c).astype(np.float32),
+        "ego_video_features": rng.randn(b, v, t, c).astype(np.float32),
+        "view_rank_label": rng.randint(0, v, (b, t)).astype(np.int32),
+        "view_rank_neg_label": rng.randint(0, v, (b, t)).astype(np.int32),
+    }
+    pad = np.zeros((b, 4), bool)
+    model_out = {"high_dim_features": rng.randn(b, t, c).astype(np.float32)}
+    cfg = GroundingLossConfig(model="view_invariant", test_egovlp=True)
+    d1, m1 = egoexo_loss(model_out, batch, pad, cfg)
+    # garbage model output, same result
+    model_out2 = {"high_dim_features": np.full((b, t, c), 1e6, np.float32)}
+    d2, m2 = egoexo_loss(model_out2, batch, pad, cfg)
+    assert float(d1["loss"]) == float(d2["loss"])
+    # and it differs from the trained-feature path
+    d3, _ = egoexo_loss(
+        model_out, batch, pad,
+        GroundingLossConfig(model="view_invariant", test_egovlp=False),
+    )
+    assert float(d3["loss"]) != float(d1["loss"])
+    # config guard: --test_egovlp requires --test
+    from exoground_tpu.train.config import parse_args
+    import pytest as _pytest
+
+    with _pytest.raises(AssertionError):
+        parse_args(["--dataset", "egoexo4d", "--model", "view_invariant",
+                    "--test_egovlp"])
+    cfg2 = parse_args(["--dataset", "egoexo4d", "--model", "view_invariant",
+                       "--test_egovlp", "--test", "/tmp/x.pth.tar"])
+    assert cfg2.test_egovlp
