@@ -91,6 +91,8 @@ def npy_shape(path: str) -> Optional[Tuple[int, int]]:
             arr = np.load(path, mmap_mode="r")
         except (OSError, ValueError):
             return None
+        if arr.ndim > 2:  # native parser rejects N-D files; same contract
+            return None
         return int(arr.shape[0]), int(arr.shape[1]) if arr.ndim > 1 else 1
     r, c = ctypes.c_int64(), ctypes.c_int64()
     if lib.eg_npy_shape(path.encode(), ctypes.byref(r), ctypes.byref(c)) != 0:
