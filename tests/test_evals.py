@@ -8,6 +8,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier: run with -m slow
+
 from exoground_tpu.evals import AlignEvalConfig, compute_retrieval_metrics, make_tan_sim_fn, roc_auc
 from exoground_tpu.evals import test_alignment_htm as run_alignment_htm
 from exoground_tpu.models import TemporalAligner

@@ -12,6 +12,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier: run with -m slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -17,9 +17,10 @@ import pytest
 
 REF = "/root/reference/model"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference not mounted"
-)
+pytestmark = [
+    pytest.mark.slow,  # integration tier: run with -m slow
+    pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted"),
+]
 
 
 @pytest.fixture(scope="module")

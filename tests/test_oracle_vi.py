@@ -9,9 +9,10 @@ import pytest
 
 REF = "/root/reference/model"
 
-pytestmark = pytest.mark.skipif(
-    not os.path.isdir(REF), reason="reference not mounted"
-)
+pytestmark = [
+    pytest.mark.slow,  # integration tier: run with -m slow
+    pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted"),
+]
 
 
 def test_vi_mlp_parity():

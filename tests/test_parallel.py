@@ -3,6 +3,9 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # integration tier: run with -m slow
 
 from exoground_tpu.losses.milnce import TANLossConfig
 from exoground_tpu.models import TemporalAligner, ema_init

@@ -7,6 +7,9 @@ import urllib.request
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow  # integration tier: run with -m slow
 
 from exoground_tpu.models import TemporalAligner
 from exoground_tpu.models.grounding import ExoGroundingTransformer

@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # integration tier: run with -m slow
+
 from exoground_tpu.data import FeatureStore, ThreadedLoader
 from exoground_tpu.data.egoexo4d import EgoExo4DDataset, EgoExoConfig, EgoExoSource
 from exoground_tpu.models import TemporalAligner
