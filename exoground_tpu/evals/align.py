@@ -82,7 +82,12 @@ class AlignEvalConfig:
     group_videos: int = 8
     # dtype of the H2D feature upload. 'float16' halves PCIe/tunnel bytes —
     # matches on-disk feature precision (the reference's extractors save
-    # fp16) — compute still runs at compute_dtype after upcast.
+    # fp16) — compute still runs at compute_dtype after upcast. 'int8'
+    # (fused path only) halves them again via per-row absmax quantization
+    # with an f32 scale vector, dequantized on device; lossy (~0.4% of each
+    # row's range) and opt-in — metric drift on HTM-Align is noise level
+    # (see tests/test_evals.py int8 parity test) but keep fp16/f32 for
+    # strict checkpoint-parity runs.
     transfer_dtype: str = "float32"
     # serving mode: score EVERY text in EVERY window instead of the HTM-Align
     # active-text protocol (which needs per-text coarse ASR timestamps)

@@ -48,7 +48,8 @@ def _make_video_processor(model, cfg: AlignEvalConfig):
     dtype = jnp.dtype(cfg.compute_dtype)
 
     @functools.partial(jax.jit, static_argnums=(0,))
-    def _process(dims, params, video, text_embed, win_start, win_len, text_idx, text_valid):
+    def _process(dims, params, video, vscale, text_embed, tscale,
+                 win_start, win_len, text_idx, text_valid):
         if dtype != jnp.float32:
             params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
         vmax, seq_len = dims
@@ -57,9 +58,15 @@ def _make_video_processor(model, cfg: AlignEvalConfig):
 
         l_idx = jnp.arange(seq_len)
         gidx = jnp.clip(win_start[:, None] + l_idx[None, :], 0, vmax - 1)  # (W, L)
-        vb = video[gidx].astype(dtype)  # (W, L, Dv)
+        vb = video[gidx]  # (W, L, Dv)
+        if video.dtype == jnp.int8:  # dequantize (per-row absmax scales)
+            vb = vb.astype(jnp.float32) * vscale[gidx][:, :, None]
+        vb = vb.astype(dtype)
         vmask = l_idx[None, :] >= win_len[:, None]  # (W, L) True=PAD
-        tb = text_embed[text_idx].astype(dtype)  # (W, Npad, Dt)
+        tb = text_embed[text_idx]  # (W, Npad, Dt)
+        if text_embed.dtype == jnp.int8:
+            tb = tb.astype(jnp.float32) * tscale[text_idx][:, :, None]
+        tb = tb.astype(dtype)
         tmask = ~text_valid
 
         out = model.apply(
@@ -308,9 +315,14 @@ def _dispatch(dataset, process, cfg: AlignEvalConfig):
 
         dv = chunk[0][0].shape[1]
         dt = chunk[0][4].shape[1]
-        tdt = np.dtype(cfg.transfer_dtype)
+        int8 = cfg.transfer_dtype == "int8"
+        tdt = np.int8 if int8 else np.dtype(cfg.transfer_dtype)
         vb = np.zeros((vtot, dv), tdt)
         tb = np.zeros((ntot, dt), tdt)
+        # per-row dequant scales; ones (and ignored on device) unless int8.
+        # Always shipped so every transfer dtype shares one jit signature.
+        vscale = np.ones(vtot, np.float32)
+        tscale = np.ones(ntot, np.float32)
         win_start = np.zeros(wtot, np.int32)
         win_len = np.zeros(wtot, np.int32)
         text_idx = np.zeros((wtot, npad), np.int32)
@@ -321,8 +333,16 @@ def _dispatch(dataset, process, cfg: AlignEvalConfig):
         offsets = []
         for video, start, end, aligned, text_embed, windows in chunk:
             vlen, num_text = video.shape[0], len(start)
-            vb[v_off : v_off + vlen] = video
-            tb[t_off : t_off + num_text] = text_embed
+            if int8:
+                vb[v_off : v_off + vlen], vscale[v_off : v_off + vlen] = (
+                    _quantize_rows(video)
+                )
+                tb[t_off : t_off + num_text], tscale[t_off : t_off + num_text] = (
+                    _quantize_rows(text_embed)
+                )
+            else:
+                vb[v_off : v_off + vlen] = video
+                tb[t_off : t_off + num_text] = text_embed
             for i, (step, mask) in enumerate(windows):
                 wi = w_off + i
                 win_start[wi] = v_off + step
@@ -345,13 +365,24 @@ def _dispatch(dataset, process, cfg: AlignEvalConfig):
         target = devices[dev_idx] if n_eval_dev > 1 else None
         dev_args = [
             jax.device_put(x, target)
-            for x in (vb, tb, win_start, win_len, text_idx, text_valid)
+            for x in (vb, vscale, tb, tscale,
+                      win_start, win_len, text_idx, text_valid)
         ]
         out = process((vtot, seq_len), *dev_args, device_index=dev_idx)
         g_count += 1
         for start, end, aligned, num_text, t0, v0 in offsets:
             pending.append((start, end, aligned, num_text, t0, v0, out))
     return pending
+
+
+def _quantize_rows(x: np.ndarray):
+    """Per-row symmetric int8 quantization: q = round(x / (absmax/127)).
+
+    Returns (int8 array, f32 per-row scale); zero rows get scale 1."""
+    absmax = np.abs(x).max(axis=1)
+    scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.rint(x / scale[:, None]), -127, 127).astype(np.int8)
+    return q, scale
 
 
 def _prefetch(pending):

@@ -1,6 +1,7 @@
 """Eval protocol tests: ROC-AUC, retrieval metrics, overlap-seq stitcher
 exactness (batched+padded windows == naive per-window), global mode."""
 
+import dataclasses
 import math
 
 import jax
@@ -355,3 +356,27 @@ def test_global_mode_padded_interpolation_matches_unpadded():
     np.testing.assert_allclose(
         padded["dual-sim"][:, :, :vlen], ref["dual-sim"], atol=2e-5
     )
+
+
+def test_fused_eval_int8_transfer_matches_f32():
+    """transfer_dtype='int8' (per-row absmax quant + on-device dequant) must
+    reproduce f32-transfer metrics to noise level: same R@1, AUC within 2%."""
+    from exoground_tpu.evals import AlignEvalConfig, FusedAlignEvaluator
+    from exoground_tpu.models import TemporalAligner
+
+    model = TemporalAligner(
+        num_encoder_layers=2, num_joint_layers=2, width=32, heads=4,
+        max_pos=128, attn_impl="xla",
+    )
+    items = [_synthetic_video_item(s, vlen=120 + 11 * s, dim=24) for s in range(4)]
+    params = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8, 24)), jnp.zeros((1, 2, 24)),
+        jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
+    )
+    base = AlignEvalConfig(group_videos=2)
+    ref = FusedAlignEvaluator(model, params, base)(items)
+    q = FusedAlignEvaluator(
+        model, params, dataclasses.replace(base, transfer_dtype="int8")
+    )(items)
+    assert q["Recall"] == ref["Recall"], (q, ref)
+    assert abs(q["AUC"] - ref["AUC"]) < 0.02, (q, ref)
