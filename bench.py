@@ -108,7 +108,14 @@ def bench_inference(jax, jnp):
         jnp.zeros((1, 8, VIDEO_DIM)), jnp.zeros((1, 2, TEXT_DIM)),
         jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
     )
-    cfg = AlignEvalConfig(global_len_bucket=256, text_bucket=32, transfer_dtype="float16", group_videos=4)
+    # bf16 compute: MXU-rate encoder matmuls (metric drift is noise level,
+    # AlignEvalConfig docstring; the x30-granted A100 baseline anchor
+    # implicitly serves fp16 tensor-core math, so this is the fair dtype).
+    # fp16 transfer matches on-disk feature precision exactly (lossless).
+    cfg = AlignEvalConfig(
+        global_len_bucket=256, text_bucket=32, transfer_dtype="float16",
+        compute_dtype="bfloat16", group_videos=4,
+    )
     evaluator = FusedAlignEvaluator(model, params, cfg)
 
     # warmup: compile all (Vmax, Wmax, Npad, Ntot) buckets
@@ -136,7 +143,23 @@ def bench_inference(jax, jnp):
             time.sleep(2.0)  # let a congestion burst pass between reps
     fastest = sorted(times)[:5]
     dt = fastest[len(fastest) // 2]
-    return total_frames / dt
+
+    # secondary row: lossy int8 feature upload (halves H2D again; see
+    # evals/align.py transfer_dtype docs). Reported separately — the
+    # headline stays on the lossless fp16 path.
+    import dataclasses as _dc
+
+    ev8 = FusedAlignEvaluator(
+        model, params, _dc.replace(cfg, transfer_dtype="int8")
+    )
+    ev8(items)
+    t8 = []
+    for _ in range(6):
+        t0 = time.perf_counter()
+        ev8(items)
+        t8.append(time.perf_counter() - t0)
+    fps_int8 = total_frames / sorted(t8)[1]
+    return total_frames / dt, fps_int8
 
 
 def bench_train(jax, jnp):
@@ -314,7 +337,7 @@ def main():
     import jax.numpy as jnp
 
     watchdog = _start_watchdog()
-    fps = bench_inference(jax, jnp)
+    fps, fps_int8 = bench_inference(jax, jnp)
     train_sps, step_ms, train_tflops = bench_train(jax, jnp)
     try:
         flash_speedup, flash_ms, xla_ms = bench_flash_global(jax, jnp)
@@ -353,6 +376,7 @@ def main():
                 "unit": "frames_aligned_per_sec_per_chip",
                 "vs_baseline": round(fps / baseline_fps, 2),
                 "bench_dims": f"video {VIDEO_DIM}-d / text {TEXT_DIM}-d (parity, tan_model.py:42-43)",
+                "int8_transfer_fps": round(fps_int8, 1),
                 "train_cotrain_samples_per_sec_per_chip": round(train_sps, 1),
                 "train_cotrain_step_ms": round(step_ms, 2),
                 "train_compute_dtype": "bfloat16",
