@@ -144,22 +144,72 @@ def bench_inference(jax, jnp):
     fastest = sorted(times)[:5]
     dt = fastest[len(fastest) // 2]
 
-    # secondary row: lossy int8 feature upload (halves H2D again; see
-    # evals/align.py transfer_dtype docs). Reported separately — the
-    # headline stays on the lossless fp16 path.
+    # secondary rows: reduced-precision feature upload (see evals/align.py
+    # transfer_dtype docs — int8 is the quality-preserving point, ~1% sim
+    # perturbation; int4 is the documented-lossy bandwidth-emergency mode).
+    # Reported separately — the headline stays on the lossless fp16 path.
     import dataclasses as _dc
 
-    ev8 = FusedAlignEvaluator(
-        model, params, _dc.replace(cfg, transfer_dtype="int8")
-    )
-    ev8(items)
-    t8 = []
-    for _ in range(6):
+    fps_q = {}
+    for mode in ("int8", "int4"):
+        evq = FusedAlignEvaluator(
+            model, params, _dc.replace(cfg, transfer_dtype=mode)
+        )
+        evq(items)
+        tq = []
+        for _ in range(6):
+            t0 = time.perf_counter()
+            evq(items)
+            tq.append(time.perf_counter() - t0)
+        fps_q[mode] = total_frames / sorted(tq)[1]
+
+    # device-resident row: features preloaded to HBM once (the serving
+    # shape where the extractor runs on-chip, or one corpus is swept by
+    # many checkpoints); repeated sweeps run at chip rate, not link rate.
+    pre = evaluator.preload(items)
+    evaluator.run_preloaded(pre)
+    tr = []
+    for _ in range(8):
         t0 = time.perf_counter()
-        ev8(items)
-        t8.append(time.perf_counter() - t0)
-    fps_int8 = total_frames / sorted(t8)[1]
-    return total_frames / dt, fps_int8
+        evaluator.run_preloaded(pre)
+        tr.append(time.perf_counter() - t0)
+    fps_resident = total_frames / sorted(tr)[2]
+
+    # steady-state serving throughput: queue every sweep's device work
+    # before reducing any (dispatch_preloaded), so the per-sweep tunnel
+    # round trip overlaps the next sweep's compute and the chip never
+    # idles — the continuous-load serving shape.
+    n_sweeps = 6
+    best_pipe = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        batches = [evaluator.dispatch_preloaded(pre) for _ in range(n_sweeps)]
+        for p in batches:
+            evaluator.reduce_preloaded(p, pre)
+        best_pipe = min(best_pipe, (time.perf_counter() - t0) / n_sweeps)
+    fps_resident_pipe = total_frames / best_pipe
+
+    return (total_frames / dt, fps_q["int8"], fps_q["int4"],
+            fps_resident, fps_resident_pipe)
+
+
+def measure_link_bandwidth(jax, jnp, mb: int = 24) -> float:
+    """Effective host->device bandwidth (MB/s) for incompressible data.
+
+    The session chip sits behind a network tunnel whose H2D link (~40-60
+    MB/s measured) — not PCIe — is the end-to-end inference bottleneck at
+    parity dims. Publishing the measured link rate next to the throughput
+    rows makes the accounting self-consistent: fp16 frames are 8 KB, so
+    link_MBps / 0.008 is the fp16 end-to-end ceiling in frames/s."""
+    arr = np.random.RandomState(0).randn(mb * 1024 * 1024 // 2).astype(np.float16)
+    sum_fn = jax.jit(lambda x: jnp.float32(x.astype(jnp.float32).sum()))
+    float(np.asarray(sum_fn(jax.device_put(arr))))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(np.asarray(sum_fn(jax.device_put(arr))))
+        best = min(best, time.perf_counter() - t0)
+    return arr.nbytes / 1e6 / best
 
 
 def bench_train(jax, jnp):
@@ -253,17 +303,62 @@ def bench_train(jax, jnp):
     return b / dt, dt * 1e3, step_flops / dt / 1e12
 
 
+def _timed_chain(fn, args, n_chain: int, reps: int = 6):
+    """Per-call seconds with the tunnel RTT amortized: dispatch ``n_chain``
+    calls back-to-back (the device queue executes them in order) and block
+    on a host VALUE fetch of the LAST output only, so one round trip covers
+    the whole chain. Naive per-call timing on this backend measures the
+    ~30-80 ms tunnel round trip, not the chip (the round-3 'flash 0.98x'
+    artifact: 92 vs 94 ms for programs whose compute differs by ms)."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(n_chain):
+            out = fn(*args)
+        float(np.asarray(out).ravel()[0])
+        best = min(best, (time.perf_counter() - t0) / n_chain)
+    return best
+
+
+def bench_flash_attention_op(jax, jnp, s: int = 4096, heads: int = HEADS,
+                             d_head: int = WIDTH // HEADS):
+    """Op-level flash-vs-XLA attention at the kernel's home shape.
+
+    (B=1, H=8, S=4096, Dh=64) bf16 — the S x S score matrix is 8 x 4096^2
+    f32 = 536 MB, which the XLA path materializes in HBM twice (write +
+    softmax read) while the Pallas kernel streams it through VMEM. RTT
+    amortized via _timed_chain. Returns (speedup, flash_ms, xla_ms).
+    """
+    from exoground_tpu.ops.attention import attention_xla, flash_attention
+
+    rng = np.random.RandomState(0)
+    shape = (1, heads, s, d_head)
+    q = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
+    kpad = jnp.zeros((1, s), bool)
+
+    flash_fn = jax.jit(lambda q, k, v, m: flash_attention(q, k, v, m))
+    xla_fn = jax.jit(lambda q, k, v, m: attention_xla(q, k, v, m))
+    times = {}
+    for name, fn in (("flash", flash_fn), ("xla", xla_fn)):
+        out = fn(q, k, v, kpad)  # compile
+        float(np.asarray(out).ravel()[0])
+        times[name] = _timed_chain(fn, (q, k, v, kpad), n_chain=8)
+    return times["xla"] / times["flash"], times["flash"] * 1e3, times["xla"] * 1e3
+
+
 def bench_flash_global(jax, jnp, s_video: int = 2048, k_texts: int = 48):
-    """Flash-vs-XLA attention on the global-mode long-sequence path.
+    """Flash-vs-XLA on the global-mode long-sequence model path.
 
     The reference's alternative inference protocol runs ONE pass over the
     full video with interpolated positions (eval_zeroshot_align.py:207-216);
-    at S ~ 1-4k frames the encoder's S x S attention dominates and is where
-    the Pallas kernel (ops/attention.py) earns its keep — the overlap-seq
-    windows (64 x 64 scores) ride XLA by design. Times the identical E6D6
+    at S ~ 1-4k frames the encoder's S x S attention is where the Pallas
+    kernel (ops/attention.py) earns its keep — the overlap-seq windows
+    (64 x 64 scores) ride XLA by design. Times the identical E6D6
     text_visual_sim program compiled with attn_impl='xla' vs 'flash' on the
-    same params/inputs; host VALUE fetch, best of reps (tunnel discipline as
-    elsewhere). Returns (speedup, flash_ms, xla_ms).
+    same params/inputs, bf16 compute (the eval serving dtype), RTT
+    amortized via _timed_chain. Returns (speedup, flash_ms, xla_ms).
     """
     from exoground_tpu.models import TemporalAligner
 
@@ -275,6 +370,9 @@ def bench_flash_global(jax, jnp, s_video: int = 2048, k_texts: int = 48):
         jax.random.PRNGKey(0), video[:, :64], text,
         jnp.zeros((1, 64), bool), jnp.zeros((1, k_texts), bool),
     )
+    params = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    video = video.astype(jnp.bfloat16)
+    text = text.astype(jnp.bfloat16)
 
     times = {}
     for impl in ("xla", "flash"):
@@ -289,13 +387,7 @@ def bench_flash_global(jax, jnp, s_video: int = 2048, k_texts: int = 48):
 
         out = sim_fn(params, video, text)  # compile
         float(np.asarray(out).ravel()[0])
-        best = float("inf")
-        for _ in range(8):
-            t0 = time.perf_counter()
-            out = sim_fn(params, video, text)
-            float(np.asarray(out).ravel()[0])
-            best = min(best, time.perf_counter() - t0)
-        times[impl] = best
+        times[impl] = _timed_chain(sim_fn, (params, video, text), n_chain=4)
     return times["xla"] / times["flash"], times["flash"] * 1e3, times["xla"] * 1e3
 
 
@@ -337,18 +429,30 @@ def main():
     import jax.numpy as jnp
 
     watchdog = _start_watchdog()
-    fps, fps_int8 = bench_inference(jax, jnp)
+    fps, fps_int8, fps_int4, fps_resident, fps_resident_pipe = bench_inference(jax, jnp)
+    link_mbps = measure_link_bandwidth(jax, jnp)
     train_sps, step_ms, train_tflops = bench_train(jax, jnp)
+    flash_fields = {}
+    try:
+        op_speedup, op_flash_ms, op_xla_ms = bench_flash_attention_op(jax, jnp)
+        flash_fields.update({
+            "flash_attention_op_speedup": round(op_speedup, 2),
+            "flash_attention_op_flash_ms": round(op_flash_ms, 2),
+            "flash_attention_op_xla_ms": round(op_xla_ms, 2),
+            "flash_attention_op_shapes": "B1 H8 S4096 Dh64 bf16 (RTT-amortized)",
+        })
+    except Exception as e:  # never lose the headline to the extra row
+        flash_fields["flash_attention_op_error"] = str(e)[:200]
     try:
         flash_speedup, flash_ms, xla_ms = bench_flash_global(jax, jnp)
-        flash_fields = {
+        flash_fields.update({
             "global_mode_flash_speedup": round(flash_speedup, 2),
             "global_mode_flash_ms": round(flash_ms, 2),
             "global_mode_xla_ms": round(xla_ms, 2),
-            "global_mode_shapes": "1x2048-frame video, 48 texts, E6D6 w512 f32",
-        }
-    except Exception as e:  # never lose the headline to the extra row
-        flash_fields = {"global_mode_flash_error": str(e)[:200]}
+            "global_mode_shapes": "1x2048-frame video, 48 texts, E6D6 w512 bf16 (RTT-amortized)",
+        })
+    except Exception as e:
+        flash_fields["global_mode_flash_error"] = str(e)[:200]
     watchdog.cancel()
 
     measured = _load_measured_baseline()
@@ -376,7 +480,19 @@ def main():
                 "unit": "frames_aligned_per_sec_per_chip",
                 "vs_baseline": round(fps / baseline_fps, 2),
                 "bench_dims": f"video {VIDEO_DIM}-d / text {TEXT_DIM}-d (parity, tan_model.py:42-43)",
+                # the headline above is END-TO-END including the H2D feature
+                # upload, which on this session's network-tunneled chip is
+                # the bottleneck (tunnel_h2d_mbps below; a co-located host
+                # pays PCIe >10 GB/s instead). The rows below decompose it.
+                "tunnel_h2d_mbps": round(link_mbps, 1),
+                "link_ceiling_fps_fp16": round(link_mbps * 1e6 / (2 * VIDEO_DIM), 1),
+                "device_resident_fps": round(fps_resident, 1),
+                "device_resident_vs_baseline": round(fps_resident / baseline_fps, 2),
+                "device_resident_pipelined_fps": round(fps_resident_pipe, 1),
+                "device_resident_pipelined_vs_baseline": round(
+                    fps_resident_pipe / baseline_fps, 2),
                 "int8_transfer_fps": round(fps_int8, 1),
+                "int4_transfer_fps_lossy": round(fps_int4, 1),
                 "train_cotrain_samples_per_sec_per_chip": round(train_sps, 1),
                 "train_cotrain_step_ms": round(step_ms, 2),
                 "train_compute_dtype": "bfloat16",

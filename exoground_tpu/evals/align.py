@@ -87,7 +87,16 @@ class AlignEvalConfig:
     # with an f32 scale vector, dequantized on device; lossy (~0.4% of each
     # row's range) and opt-in — metric drift on HTM-Align is noise level
     # (see tests/test_evals.py int8 parity test) but keep fp16/f32 for
-    # strict checkpoint-parity runs.
+    # strict checkpoint-parity runs. 'int4' (fused path only) halves the
+    # bytes once more: group-of-128-dims absmax quantization packed two
+    # nibbles per byte with fp16 group scales (~2.06 KB per 4096-d frame),
+    # unpacked and dequantized on device. CAUTION: int4 is measurably
+    # lossy — the inner-product SNR of quantized features equals the
+    # per-dim SNR (no averaging across dims), so 4-bit gives ~10-20% sim
+    # perturbation vs int8's ~1% (tests/test_evals.py int4
+    # characterization). A bandwidth-emergency mode for links that cannot
+    # sustain int8, where approximate alignment beats no alignment; int8
+    # is the recommended reduced-precision serving point.
     transfer_dtype: str = "float32"
     # serving mode: score EVERY text in EVERY window instead of the HTM-Align
     # active-text protocol (which needs per-text coarse ASR timestamps)

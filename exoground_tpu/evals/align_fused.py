@@ -40,6 +40,23 @@ from exoground_tpu.evals.align import (
 )
 
 
+def _dequant_int4(packed, scales):
+    """Unpack nibble-packed int4 (+8 offset) and apply group scales.
+
+    packed (..., D//2) uint8, scales (..., D//group) fp16 -> (..., D) f32.
+    Vector-unit work only (shifts/masks/multiplies); XLA fuses it into the
+    consumer's first matmul read, so the packed array is the only HBM-resident
+    copy of the features."""
+    lo = (packed & 15).astype(jnp.float32) - 8.0
+    hi = (packed >> 4).astype(jnp.float32) - 8.0
+    d = packed.shape[-1] * 2
+    vals = jnp.stack([lo, hi], axis=-1).reshape(packed.shape[:-1] + (d,))
+    n_groups = scales.shape[-1]
+    vals = vals.reshape(vals.shape[:-1] + (n_groups, d // n_groups))
+    vals = vals * scales.astype(jnp.float32)[..., None]
+    return vals.reshape(vals.shape[:-2] + (d,))
+
+
 def _make_video_processor(model, cfg: AlignEvalConfig):
     """jit-per-bucket processor over (Vmax, Wmax, Npad, Ntot) shapes.
 
@@ -58,14 +75,18 @@ def _make_video_processor(model, cfg: AlignEvalConfig):
 
         l_idx = jnp.arange(seq_len)
         gidx = jnp.clip(win_start[:, None] + l_idx[None, :], 0, vmax - 1)  # (W, L)
-        vb = video[gidx]  # (W, L, Dv)
+        vb = video[gidx]  # (W, L, Dv) — packed D/2 bytes per row for int4
         if video.dtype == jnp.int8:  # dequantize (per-row absmax scales)
             vb = vb.astype(jnp.float32) * vscale[gidx][:, :, None]
+        elif video.dtype == jnp.uint8:  # int4: nibble unpack + group scales
+            vb = _dequant_int4(vb, vscale[gidx])
         vb = vb.astype(dtype)
         vmask = l_idx[None, :] >= win_len[:, None]  # (W, L) True=PAD
         tb = text_embed[text_idx]  # (W, Npad, Dt)
         if text_embed.dtype == jnp.int8:
             tb = tb.astype(jnp.float32) * tscale[text_idx][:, :, None]
+        elif text_embed.dtype == jnp.uint8:
+            tb = _dequant_int4(tb, tscale[text_idx])
         tb = tb.astype(dtype)
         tmask = ~text_valid
 
@@ -193,6 +214,66 @@ class FusedAlignEvaluator:
     ) -> Dict[str, float]:
         return _run_fused(dataset, self._process, self._cfg_for(all_texts_active))
 
+    def preload(
+        self, dataset: Iterable[Dict], all_texts_active: Optional[bool] = None
+    ) -> "PreloadedEval":
+        """Upload a dataset's planned group buffers to HBM ONCE and return a
+        handle for repeated device-resident sweeps (``run_preloaded``).
+
+        The TPU-native serving shape: in a deployment where the feature
+        extractor runs on the same chip (models/s3d.py + tools/
+        extract_features.py), or where one corpus is evaluated against many
+        checkpoints (the in-training-loop eval, train/trainer.py), the
+        features live in HBM and the host link is paid once — repeated
+        sweeps then run at chip rate instead of link rate. The reference
+        re-uploads features every sweep (eval_zeroshot_align.py:137-152
+        .cuda() per video per eval)."""
+        cfg = self._cfg_for(all_texts_active)
+        n_eval_dev = _n_eval_devices(cfg)
+        devices = jax.devices()[:n_eval_dev]
+        entries = []
+        g_count = 0
+        for entry in _plan(dataset, cfg):
+            if entry[0] == "skip":
+                entries.append(entry)
+                continue
+            _, dims, host_args, offsets = entry
+            dev_idx = g_count % n_eval_dev
+            target = devices[dev_idx] if n_eval_dev > 1 else None
+            entries.append(
+                ("group", dims, tuple(_upload(host_args, target)), offsets, dev_idx)
+            )
+            g_count += 1
+        return PreloadedEval(tuple(entries), cfg)
+
+    def dispatch_preloaded(self, pre: "PreloadedEval") -> List:
+        """Queue one sweep's device work over HBM-resident features WITHOUT
+        any host sync (JAX dispatch returns immediately). Pair with
+        ``reduce_preloaded``; under continuous load, queue sweep k+1 before
+        reducing sweep k and the chip never idles between sweeps (the
+        steady-state serving shape — e.g. scoring many checkpoints against
+        one resident corpus)."""
+        pending = []
+        for entry in pre.entries:
+            if entry[0] == "skip":
+                _, start, end, aligned, num_text = entry
+                pending.append((start, end, aligned, num_text, 0, 0, None))
+                continue
+            _, dims, dev_args, offsets, dev_idx = entry
+            out = self._process(dims, *dev_args, device_index=dev_idx)
+            for start, end, aligned, num_text, t0, v0 in offsets:
+                pending.append((start, end, aligned, num_text, t0, v0, out))
+        return pending
+
+    @staticmethod
+    def reduce_preloaded(pending: List, pre: "PreloadedEval") -> Dict[str, float]:
+        """Fetch + metric-reduce one dispatched sweep (see dispatch_preloaded)."""
+        return _reduce_metrics(pending, pre.cfg)
+
+    def run_preloaded(self, pre: "PreloadedEval") -> Dict[str, float]:
+        """One metric sweep over HBM-resident features (see ``preload``)."""
+        return _reduce_metrics(self.dispatch_preloaded(pre), pre.cfg)
+
     def predict(
         self, dataset: Iterable[Dict], all_texts_active: Optional[bool] = None
     ) -> List[Dict]:
@@ -230,6 +311,15 @@ class FusedAlignEvaluator:
         return results
 
 
+@dataclasses.dataclass(frozen=True)
+class PreloadedEval:
+    """HBM-resident eval handle (FusedAlignEvaluator.preload). Holds the
+    uploaded group buffers + slicing records; params are NOT captured, so
+    one preload serves many checkpoints via evaluator.update_params."""
+    entries: tuple
+    cfg: AlignEvalConfig
+
+
 def test_alignment_htm_fused(
     dataset: Iterable[Dict], model, params, cfg: AlignEvalConfig
 ) -> Dict[str, float]:
@@ -242,8 +332,8 @@ def _n_eval_devices(cfg: AlignEvalConfig) -> int:
     return max(1, min(cfg.eval_devices, len(jax.devices())))
 
 
-def _dispatch(dataset, process, cfg: AlignEvalConfig):
-    """Group-batched dispatch (phases 0-1 of the fused eval).
+def _plan(dataset, cfg: AlignEvalConfig):
+    """Host-side planner (phases 0-1a of the fused eval).
 
     Videos are packed ``group_videos`` at a time into ONE flat index space —
     one concatenated video buffer (per-video time offsets), one concatenated
@@ -253,9 +343,11 @@ def _dispatch(dataset, process, cfg: AlignEvalConfig):
     ever writes its own video's (text, time) block. 8 small per-video
     dispatches -> 1 MXU-saturating one.
 
-    Yields (start, end, aligned, num_text, text_offset, video_offset, out)
-    per video, where ``out`` is the group's packed device result (None when
-    the video had no active windows).
+    Yields ordered entries:
+      ('skip', start, end, aligned, num_text) — video with no active windows
+      ('group', dims, host_args, offsets) — host_args is the tuple of numpy
+        arrays to upload (vb, vscale, tb, tscale, win_start, win_len,
+        text_idx, text_valid); offsets the per-video result slicing records.
     """
     seq_len = cfg.seq_len
 
@@ -284,20 +376,12 @@ def _dispatch(dataset, process, cfg: AlignEvalConfig):
             )
         metas.append((video, start, end, aligned, text_embed, windows))
 
-    # phase 1: dispatch groups asynchronously (JAX dispatch returns
-    # immediately) so H2D uploads pipeline with device compute; with
-    # eval_devices > 1, consecutive groups land on different chips and
-    # compute concurrently (multi-chip eval sharding)
-    pending = []
     group = cfg.group_videos
-    n_eval_dev = _n_eval_devices(cfg)
-    devices = jax.devices()[:n_eval_dev]
-    g_count = 0
     for g0 in range(0, len(metas), group):
         chunk = [m for m in metas[g0 : g0 + group] if m[5]]
         skipped = [m for m in metas[g0 : g0 + group] if not m[5]]
         for _, start, end, aligned, _, _ in skipped:
-            pending.append((start, end, aligned, len(start), 0, 0, None))
+            yield ("skip", start, end, aligned, len(start))
         if not chunk:
             continue
 
@@ -316,13 +400,23 @@ def _dispatch(dataset, process, cfg: AlignEvalConfig):
         dv = chunk[0][0].shape[1]
         dt = chunk[0][4].shape[1]
         int8 = cfg.transfer_dtype == "int8"
-        tdt = np.int8 if int8 else np.dtype(cfg.transfer_dtype)
-        vb = np.zeros((vtot, dv), tdt)
-        tb = np.zeros((ntot, dt), tdt)
-        # per-row dequant scales; ones (and ignored on device) unless int8.
-        # Always shipped so every transfer dtype shares one jit signature.
-        vscale = np.ones(vtot, np.float32)
-        tscale = np.ones(ntot, np.float32)
+        int4 = cfg.transfer_dtype == "int4"
+        if int4:
+            # nibble-packed columns; 0x88 = (q=0, q=0) so buffer padding
+            # dequantizes to exact zeros (a zero byte would decode to -8)
+            vb = np.full((vtot, dv // 2), 0x88, np.uint8)
+            tb = np.full((ntot, dt // 2), 0x88, np.uint8)
+            vscale = np.ones((vtot, dv // _int4_group(dv)), np.float16)
+            tscale = np.ones((ntot, dt // _int4_group(dt)), np.float16)
+        else:
+            tdt = np.int8 if int8 else np.dtype(cfg.transfer_dtype)
+            vb = np.zeros((vtot, dv), tdt)
+            tb = np.zeros((ntot, dt), tdt)
+            # per-row dequant scales; ones (and ignored on device) unless
+            # int8. Always shipped so every transfer dtype shares one jit
+            # signature.
+            vscale = np.ones(vtot, np.float32)
+            tscale = np.ones(ntot, np.float32)
         win_start = np.zeros(wtot, np.int32)
         win_len = np.zeros(wtot, np.int32)
         text_idx = np.zeros((wtot, npad), np.int32)
@@ -339,6 +433,13 @@ def _dispatch(dataset, process, cfg: AlignEvalConfig):
                 )
                 tb[t_off : t_off + num_text], tscale[t_off : t_off + num_text] = (
                     _quantize_rows(text_embed)
+                )
+            elif int4:
+                vb[v_off : v_off + vlen], vscale[v_off : v_off + vlen] = (
+                    _quantize_rows_int4(video)
+                )
+                tb[t_off : t_off + num_text], tscale[t_off : t_off + num_text] = (
+                    _quantize_rows_int4(text_embed)
                 )
             else:
                 vb[v_off : v_off + vlen] = video
@@ -358,17 +459,42 @@ def _dispatch(dataset, process, cfg: AlignEvalConfig):
             w_off += len(windows)
         # padded windows (w_off..wtot) have text_valid all-False: they compute
         # on video[0:seq_len] but scatter nothing
+        yield (
+            "group", (vtot, seq_len),
+            (vb, vscale, tb, tscale, win_start, win_len, text_idx, text_valid),
+            offsets,
+        )
 
-        # device_put is the async low-overhead H2D path (jnp.asarray routes
-        # through a jitted convert and costs more per call on this backend)
+
+def _upload(host_args, target):
+    """device_put is the async low-overhead H2D path (jnp.asarray routes
+    through a jitted convert and costs more per call on this backend)."""
+    return [jax.device_put(x, target) for x in host_args]
+
+
+def _dispatch(dataset, process, cfg: AlignEvalConfig):
+    """Upload + dispatch every planned group asynchronously (JAX dispatch
+    returns immediately) so H2D uploads pipeline with device compute; with
+    eval_devices > 1, consecutive groups land on different chips and compute
+    concurrently (multi-chip eval sharding).
+
+    Returns (start, end, aligned, num_text, text_offset, video_offset, out)
+    per video, where ``out`` is the group's packed device result (None when
+    the video had no active windows).
+    """
+    pending = []
+    n_eval_dev = _n_eval_devices(cfg)
+    devices = jax.devices()[:n_eval_dev]
+    g_count = 0
+    for entry in _plan(dataset, cfg):
+        if entry[0] == "skip":
+            _, start, end, aligned, num_text = entry
+            pending.append((start, end, aligned, num_text, 0, 0, None))
+            continue
+        _, dims, host_args, offsets = entry
         dev_idx = g_count % n_eval_dev
         target = devices[dev_idx] if n_eval_dev > 1 else None
-        dev_args = [
-            jax.device_put(x, target)
-            for x in (vb, vscale, tb, tscale,
-                      win_start, win_len, text_idx, text_valid)
-        ]
-        out = process((vtot, seq_len), *dev_args, device_index=dev_idx)
+        out = process(dims, *_upload(host_args, target), device_index=dev_idx)
         g_count += 1
         for start, end, aligned, num_text, t0, v0 in offsets:
             pending.append((start, end, aligned, num_text, t0, v0, out))
@@ -383,6 +509,43 @@ def _quantize_rows(x: np.ndarray):
     scale = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
     q = np.clip(np.rint(x / scale[:, None]), -127, 127).astype(np.int8)
     return q, scale
+
+
+def _int4_group(dim: int) -> int:
+    """Largest power-of-two group size <= 128 that divides ``dim``."""
+    g = 128
+    while dim % g:
+        g //= 2
+    return g
+
+
+def _quantize_rows_int4(x: np.ndarray):
+    """Group-wise symmetric int4 quantization, packed two values per byte.
+
+    Each contiguous group of ``_int4_group(D)`` columns shares one fp16
+    absmax/7 scale, so the quantization step adapts to local feature
+    magnitude (per-row absmax would waste the 16 levels on outlier dims at
+    4-bit). Values are stored as unsigned nibbles q+8 in [1, 15]; byte j of
+    a packed row holds columns 2j (low nibble) and 2j+1 (high nibble) —
+    the layout the device-side unpack in _process reconstructs. A zero
+    byte decodes to q = -8 in both nibbles, so buffer padding must use
+    0x88 (q = 0); see _dispatch.
+
+    Returns (uint8 (R, D//2) packed array, fp16 (R, D//group) scales).
+    """
+    r, d = x.shape
+    if d % 2:
+        raise ValueError(f"int4 transfer needs an even feature dim, got {d}")
+    g = _int4_group(d)
+    grouped = x.reshape(r, d // g, g)
+    absmax = np.abs(grouped).max(axis=2)
+    scale = np.where(absmax > 0, absmax / 7.0, 1.0).astype(np.float16)
+    q = np.clip(
+        np.rint(grouped / scale.astype(np.float32)[:, :, None]), -7, 7
+    ).astype(np.int8).reshape(r, d)
+    u = (q + 8).astype(np.uint8)
+    packed = u[:, 0::2] | (u[:, 1::2] << 4)
+    return packed, scale
 
 
 def _prefetch(pending):
@@ -403,16 +566,19 @@ def _prefetch(pending):
 
 
 def _run_fused(dataset, process, cfg: AlignEvalConfig) -> Dict[str, float]:
-    """Metric reduction over _dispatch outputs (HTM-Align R@1 + AUC)."""
+    """Dispatch + metric reduction (HTM-Align R@1 + AUC)."""
+    return _reduce_metrics(_dispatch(dataset, process, cfg), cfg)
+
+
+def _reduce_metrics(pending, cfg: AlignEvalConfig) -> Dict[str, float]:
+    """Metric reduction over dispatched outputs (HTM-Align R@1 + AUC)."""
     recalls: List[bool] = []
     all_scores: List[np.ndarray] = []
     all_tgts: List[np.ndarray] = []
 
     # phase 2: fetch tiny per-group results and slice per video
     fetched: Dict[int, tuple] = {}
-    for start, end, aligned, num_text, t0, v0, out in _prefetch(
-        _dispatch(dataset, process, cfg)
-    ):
+    for start, end, aligned, num_text, t0, v0, out in _prefetch(pending):
         if out is None:
             all_tgts.append(aligned.astype(np.int32))
             all_scores.append(np.full(num_text, NEG_FILL))

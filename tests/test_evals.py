@@ -380,3 +380,112 @@ def test_fused_eval_int8_transfer_matches_f32():
     )(items)
     assert q["Recall"] == ref["Recall"], (q, ref)
     assert abs(q["AUC"] - ref["AUC"]) < 0.02, (q, ref)
+
+
+def test_fused_eval_int4_transfer_characterization():
+    """transfer_dtype='int4' is a documented-LOSSY bandwidth-emergency mode,
+    not a quality-gated serving default (that is int8). This test pins the
+    honest characterization: the inner-product SNR of quantized features
+    equals the per-dim quantization SNR (no sqrt-D averaging — the inner
+    product IS the average), so 4-bit group-absmax gives ~10-20% sim
+    perturbation at any feature dim. Asserts (a) the mode runs end-to-end
+    and produces sane metrics, (b) the sim perturbation stays within the
+    measured ~25%-of-absmax envelope (a broken quantizer — wrong nibble
+    order, scale misalignment — produces ~100%+), and (c) int8 sims stay
+    an order of magnitude closer, justifying the int8-default advice in
+    AlignEvalConfig."""
+    from exoground_tpu.evals import AlignEvalConfig, FusedAlignEvaluator
+    from exoground_tpu.evals.align_fused import (
+        _dequant_int4, _quantize_rows, _quantize_rows_int4,
+    )
+    from exoground_tpu.models import TemporalAligner
+
+    dim = 4096
+    model = TemporalAligner(
+        num_encoder_layers=2, num_joint_layers=2, width=32, heads=4,
+        max_pos=128, attn_impl="xla",
+    )
+    items = [_synthetic_video_item(s, vlen=120 + 11 * s, dim=dim) for s in range(2)]
+    params = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8, dim)), jnp.zeros((1, 2, dim)),
+        jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
+    )
+    base = AlignEvalConfig(group_videos=2)
+    ref = FusedAlignEvaluator(model, params, base)(items)
+    q = FusedAlignEvaluator(
+        model, params, dataclasses.replace(base, transfer_dtype="int4")
+    )(items)
+    assert np.isfinite(q["AUC"]) and abs(q["AUC"] - ref["AUC"]) < 0.1, (q, ref)
+
+    item = items[0]
+    video = item["video"][:64][None]
+    text = item["text_embed"][:8][None]
+    vq = np.asarray(_dequant_int4(*map(jnp.asarray, _quantize_rows_int4(video[0]))))[None]
+    tq = np.asarray(_dequant_int4(*map(jnp.asarray, _quantize_rows_int4(text[0]))))[None]
+    q8v, s8v = _quantize_rows(video[0])
+    q8t, s8t = _quantize_rows(text[0])
+    v8 = (q8v.astype(np.float32) * s8v[:, None])[None]
+    t8 = (q8t.astype(np.float32) * s8t[:, None])[None]
+    sim_fn = make_tan_sim_fn(model, params)
+    zv, zt = np.zeros((1, 64), bool), np.zeros((1, 8), bool)
+    s_ref = np.asarray(sim_fn(video, zv, text, zt)["sim"])
+    d4 = np.abs(np.asarray(sim_fn(vq, zv, tq, zt)["sim"]) - s_ref).max()
+    d8 = np.abs(np.asarray(sim_fn(v8, zv, t8, zt)["sim"]) - s_ref).max()
+    scale = np.abs(s_ref).max()
+    assert d4 < 0.25 * scale, (d4, scale)  # lossy but feature-preserving
+    assert d8 < 0.05 * scale, (d8, scale)  # int8: quality-preserving point
+    assert d8 < d4 / 3.0, (d8, d4)
+
+
+def test_fused_eval_preloaded_matches_streaming():
+    """preload + run_preloaded (HBM-resident features) must produce exactly
+    the metrics of the streaming __call__ path, and survive a params swap
+    (one preload serves many checkpoints)."""
+    from exoground_tpu.evals import AlignEvalConfig, FusedAlignEvaluator
+    from exoground_tpu.models import TemporalAligner
+
+    model = TemporalAligner(
+        num_encoder_layers=2, num_joint_layers=2, width=32, heads=4,
+        max_pos=128, attn_impl="xla",
+    )
+    items = [_synthetic_video_item(s, vlen=100 + 9 * s, dim=24) for s in range(3)]
+    init_args = (
+        jnp.zeros((1, 8, 24)), jnp.zeros((1, 2, 24)),
+        jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
+    )
+    params = model.init(jax.random.PRNGKey(1), *init_args)
+    cfg = AlignEvalConfig(group_videos=2, transfer_dtype="float16")
+    ev = FusedAlignEvaluator(model, params, cfg)
+    ref = ev(items)
+    pre = ev.preload(items)
+    res = ev.run_preloaded(pre)
+    assert res == ref, (res, ref)
+
+    params2 = model.init(jax.random.PRNGKey(2), *init_args)
+    ev.update_params(params2)
+    ref2 = ev(items)
+    res2 = ev.run_preloaded(pre)  # same resident buffers, new weights
+    assert res2 == ref2, (res2, ref2)
+    assert res2 != ref  # weights actually changed the metrics
+
+
+def test_int4_quantize_roundtrip_accuracy():
+    """Unit-level: pack/unpack inverts exactly and the quantization error is
+    bounded by half a step per group (absmax/7/2 -> ~7% of group absmax)."""
+    from exoground_tpu.evals.align_fused import (
+        _dequant_int4, _int4_group, _quantize_rows_int4,
+    )
+
+    rng = np.random.RandomState(3)
+    x = (rng.randn(6, 256) * np.exp(rng.randn(6, 1))).astype(np.float32)
+    packed, scale = _quantize_rows_int4(x)
+    assert packed.shape == (6, 128) and scale.shape == (6, 256 // _int4_group(256))
+    deq = np.asarray(_dequant_int4(jnp.asarray(packed), jnp.asarray(scale)))
+    g = _int4_group(256)
+    step = scale.astype(np.float32).repeat(g, axis=1)
+    assert np.all(np.abs(deq - x) <= 0.5 * step + 1e-6)
+    # padding byte 0x88 decodes to exact zeros
+    z = np.asarray(_dequant_int4(
+        jnp.full((2, 4), 0x88, jnp.uint8), jnp.ones((2, 1), jnp.float16)
+    ))
+    assert np.all(z == 0.0)
