@@ -56,9 +56,13 @@ def _resolve_impl(impl: Optional[str], sq: int, sk: int) -> str:
     impl = impl or _DEFAULT_IMPL
     if impl != "auto":
         return impl
-    # Flash pays off once the score matrix is big; tiny windows stay in XLA.
+    # Measured crossover on a v5e chip (on-device scan timing, bf16, H8 D64,
+    # blocks 512x1024 — see PERF.md "flash kernel tuning"): below ~2048x2048
+    # scores both paths sit on the same latency floor (~0.85 ms) and XLA ties
+    # or edges ahead; at 2048^2 flash wins 1.27x, at 4096^2 3.5x, at 8192^2
+    # ~80x (XLA materialises the (S,S) f32 scores in HBM and collapses).
     on_tpu = jax.default_backend() == "tpu"
-    if on_tpu and sq * sk >= 128 * 128:
+    if on_tpu and sq * sk >= 2048 * 2048:
         return "flash"
     return "xla"
 
@@ -97,13 +101,17 @@ def attention_xla(
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(kpad_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale):
+def _fwd_kernel(kpad_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr):
     """One (bh, iq, ik) grid step of blockwise attention with online softmax.
 
     q_ref: (1, BQ, D); k_ref/v_ref: (1, BK, D); kpad_ref: (1, 1, BK) int32;
     o_ref: (1, BQ, D); lse_ref: (1, BQ, 1). Scratch m/l: (BQ, 128)
     lane-replicated, acc: (BQ, D). The grid iterates ik innermost; scratch
     carries the softmax state across key blocks.
+
+    The 1/sqrt(d) softmax scale is folded into q by the caller (exact for
+    power-of-two head dims), saving one f32 pass over every (BQ, BK) score
+    block here and in both backward kernels.
     """
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -114,11 +122,11 @@ def _fwd_kernel(kpad_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0]  # (BQ, D)
+    q = q_ref[0]  # (BQ, D), pre-scaled
     k = k_ref[0]  # (BK, D)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, BK)
+    )  # (BQ, BK)
 
     valid = (kpad_ref[0] == 0)  # (1, BK)
     s = jnp.where(valid, s, NEG_INF)
@@ -151,7 +159,7 @@ def _fwd_kernel(kpad_ref, q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc
         lse_ref[0] = lse  # (BQ, 1)
 
 
-def _dq_kernel(kpad_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr, *, scale):
+def _dq_kernel(kpad_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr):
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -159,11 +167,11 @@ def _dq_kernel(kpad_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0]
+    q = q_ref[0]  # pre-scaled by the caller
     k = k_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BQ, BK)
+    )  # (BQ, BK)
     valid = (kpad_ref[0] == 0)  # (1, BK)
     lse = lse_ref[0]  # (BQ, 1)
     p = jnp.where(valid, jnp.exp(s - lse), 0.0)
@@ -173,7 +181,7 @@ def _dq_kernel(kpad_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref
         preferred_element_type=jnp.float32,
     )  # (BQ, BK)
     delta = delta_ref[0]  # (BQ, 1)
-    ds = p * (dp - delta) * scale
+    ds = p * (dp - delta)
     dq_scr[:] += jax.lax.dot_general(
         ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -184,7 +192,7 @@ def _dq_kernel(kpad_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref
         dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
 
 
-def _dkv_kernel(kpad_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, scale):
+def _dkv_kernel(kpad_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_scr, dv_scr):
     iq = pl.program_id(2)
     nq = pl.num_programs(2)
 
@@ -193,11 +201,11 @@ def _dkv_kernel(kpad_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_re
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0]  # (BQ, D)
+    q = q_ref[0]  # (BQ, D), pre-scaled by the caller
     k = k_ref[0]  # (BK, D)
     s_t = jax.lax.dot_general(
         k, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (BK, BQ)
+    )  # (BK, BQ)
     # reshape the int32 ref BEFORE comparing: relayout of a 1-bit vector
     # (bool (1,BK)->(BK,1)) is unsupported by Mosaic ("insertion of minor dim
     # ... only supported for 32-bit types"); int32 relayout is fine
@@ -214,7 +222,7 @@ def _dkv_kernel(kpad_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_re
         preferred_element_type=jnp.float32,
     )  # (BK, BQ)
     delta = delta_ref[0]  # (1, BQ) row layout
-    ds_t = p_t * (dp_t - delta) * scale
+    ds_t = p_t * (dp_t - delta)
     dk_scr[:] += jax.lax.dot_general(
         ds_t.astype(q.dtype), q, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -247,17 +255,17 @@ def _flash(q, k, v, kpad, num_heads, block_q, block_k):
 
 
 def _flash_fwd_impl(q, k, v, kpad, num_heads, block_q, block_k):
-    """q,k,v: (BH, S, D) already padded to block multiples; kpad: (B, Sk) int32."""
+    """q,k,v: (BH, S, D) already padded to block multiples, q pre-scaled by
+    1/sqrt(d); kpad: (B, Sk) int32."""
     bh, sq, d = q.shape
     sk = k.shape[1]
     h = num_heads
     nq, nk = sq // block_q, sk // block_k
-    scale = 1.0 / math.sqrt(d)
     grid = (bh, nq, nk)
     kpad3 = kpad[:, None, :]  # (B, 1, Sk): keeps mosaic's (8,128)-tile rules
 
     o, lse = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale),
+        _fwd_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // h, 0, j), memory_space=pltpu.VMEM),
@@ -299,7 +307,6 @@ def _flash_bwd_rule(num_heads, block_q, block_k, res, do):
     sk = k.shape[1]
     h = num_heads
     nq, nk = sq // block_q, sk // block_k
-    scale = 1.0 / math.sqrt(d)
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # (BH, Sq)
     kpad3 = kpad[:, None, :]  # (B, 1, Sk)
     lse_col = lse[:, :, None]  # (BH, Sq, 1) for dq (column layout)
@@ -308,7 +315,7 @@ def _flash_bwd_rule(num_heads, block_q, block_k, res, do):
     delta_row = delta[:, None, :]
 
     dq = pl.pallas_call(
-        functools.partial(_dq_kernel, scale=scale),
+        _dq_kernel,
         grid=(bh, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, block_k), lambda b, i, j: (b // h, 0, j), memory_space=pltpu.VMEM),
@@ -326,7 +333,7 @@ def _flash_bwd_rule(num_heads, block_q, block_k, res, do):
     )(kpad3, q, k, v, do, lse_col, delta_col)
 
     dk, dv = pl.pallas_call(
-        functools.partial(_dkv_kernel, scale=scale),
+        _dkv_kernel,
         grid=(bh, nk, nq),
         in_specs=[
             pl.BlockSpec((1, 1, block_k), lambda b, j, i: (b // h, 0, j), memory_space=pltpu.VMEM),
@@ -363,13 +370,20 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     key_padding_mask: Optional[jnp.ndarray] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 1024,
 ) -> jnp.ndarray:
     """Blockwise flash attention over (B, H, S, D) with key-padding masking.
 
     Pads sequence lengths up to block multiples internally (pad keys are
     masked; pad-query rows are sliced off) so callers can use arbitrary S.
+
+    Default blocks are tuned on a v5e chip (on-device scan timing, bf16 H8
+    D64): 512x1024 runs within 5% of the best measured config at every
+    S in {2048, 4096, 8192} while using ~4x less VMEM than 1024x1024 —
+    25 TFLOPS at S=4096 (XLA: 7.3), 45-49 TFLOPS at S=8192 (XLA: 0.6,
+    collapsing on the 2 GB materialised score tensor). The old 128x128
+    default ran 8192 grid programs at S=4096 and was SLOWER than XLA.
     """
     b, h, sq, d = q.shape
     sk = k.shape[2]
@@ -380,6 +394,11 @@ def flash_attention(
         kpad = jnp.zeros((b, sk), dtype=jnp.int32)
     else:
         kpad = key_padding_mask.astype(jnp.int32)
+
+    # Fold the softmax scale into q (exact when d is a power of two: the
+    # multiply only shifts the exponent). Outside the custom_vjp, so autodiff
+    # chains d(q)/d(q_scaled) automatically.
+    q = q * (1.0 / math.sqrt(d))
 
     qf = _pad_to(q.reshape(b * h, sq, d), 1, block_q)
     kf = _pad_to(k.reshape(b * h, sk, d), 1, block_k)
