@@ -227,7 +227,7 @@ def bench_train(jax, jnp):
     from exoground_tpu.losses.milnce import TANLossConfig
     from exoground_tpu.models import TemporalAligner, ema_init
     from exoground_tpu.parallel import make_mesh, make_tan_train_step, replicate, shard_batch
-    from exoground_tpu.train import make_optimizer
+    from exoground_tpu.train import make_fused_optimizer
 
     mesh = make_mesh(1)
     b, t, n = TRAIN_BATCH, TRAIN_SEQ, TRAIN_TEXTS
@@ -253,7 +253,10 @@ def bench_train(jax, jnp):
         video, text, vmask, lmask, deterministic=False,
     )["params"]
     target = ema_init(params)
-    tx = make_optimizer(params, lr=1e-4, total_iterations=1000)
+    # the trainers' default optimizer path: fused single-pass AdamW+EMA
+    # (train/optim.py::FusedAdamWEMA; --fused_optimizer, identical math to
+    # the optax chain — tests/test_optim_fused.py)
+    tx = make_fused_optimizer(params, lr=1e-4, total_iterations=1000)
     opt_state = tx.init(params)
     cfg = TANLossConfig(
         model="cotrain", learn_agreement=True, temporal_agreement_type="keep",

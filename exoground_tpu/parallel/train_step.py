@@ -47,6 +47,14 @@ def _f32(tree):
     return _cast_floats(tree, jnp.float32)
 
 
+def _is_fused_optimizer(optimizer) -> bool:
+    """True for train.optim.FusedAdamWEMA (lazy import: exoground_tpu.train's
+    package __init__ imports the trainers, which import this module)."""
+    from exoground_tpu.train.optim import FusedAdamWEMA
+
+    return isinstance(optimizer, FusedAdamWEMA)
+
+
 def _batch_text(batch: Dict, text_tower_params) -> jnp.ndarray:
     """Text features for the TAN steps: precomputed 'text' arrays pass
     through; otherwise the frozen word2vec tower embeds 'token' ids INSIDE
@@ -103,6 +111,7 @@ def make_tan_train_step(
     """
     cotrain = loss_cfg.model == "cotrain"
     cdt = jnp.dtype(compute_dtype)
+    fused_opt = _is_fused_optimizer(optimizer)
 
     def local_step(params, target_params, opt_state, batch, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
@@ -149,13 +158,18 @@ def make_tan_train_step(
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         grads = jax.lax.pmean(grads, DATA_AXIS)
         metrics = jax.lax.pmean(metrics, DATA_AXIS)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        if ema_momentum is not None:
-            target_params = jax.tree_util.tree_map(
-                lambda t, o: t * ema_momentum + o * (1.0 - ema_momentum),
-                target_params, params,
+        if fused_opt:  # single-pass AdamW(+EMA), train/optim.py::FusedAdamWEMA
+            params, opt_state, target_params = optimizer.step(
+                params, opt_state, grads, target_params, ema_momentum
             )
+        else:
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            if ema_momentum is not None:
+                target_params = jax.tree_util.tree_map(
+                    lambda t, o: t * ema_momentum + o * (1.0 - ema_momentum),
+                    target_params, params,
+                )
         return params, target_params, opt_state, metrics
 
     def _gathered_logits(out):
@@ -287,8 +301,11 @@ def make_s3d_nce_step(
         metrics = jax.lax.pmean(metrics, DATA_AXIS)
         if train_bn:  # keep stats replicated: each shard saw different data
             new_stats = jax.lax.pmean(new_stats, DATA_AXIS)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        if _is_fused_optimizer(optimizer):
+            params, opt_state, _ = optimizer.step(params, opt_state, grads)
+        else:
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
         return params, new_stats, opt_state, metrics
 
     if scan_steps is None:
@@ -525,8 +542,11 @@ def make_grounding_train_step(
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         grads = jax.lax.pmean(grads, DATA_AXIS)
         metrics = jax.lax.pmean(metrics, DATA_AXIS)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        if _is_fused_optimizer(optimizer):
+            params, opt_state, _ = optimizer.step(params, opt_state, grads)
+        else:
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
         return params, opt_state, metrics
 
     if scan_steps is None:

@@ -1,5 +1,7 @@
 from exoground_tpu.train.optim import (
+    FusedAdamWEMA,
     clip_per_param_norm,
+    make_fused_optimizer,
     make_optimizer,
     warmup_cosine_schedule,
 )

@@ -148,6 +148,15 @@ class ExperimentConfig:
     # runtime snapshots and LR-schedule resolution stay correct (per-step
     # metrics come back stacked); they just land every N steps.
     fused_steps: int = 1
+    # Single-pass fused AdamW(+EMA) update (train/optim.py::FusedAdamWEMA):
+    # identical math to the optax chain, ~0.5 ms less optimizer-tail HBM
+    # traffic per step on a 43M-param model. Auto-falls back to the optax
+    # path for configs it cannot fuse (grad accumulation, global-norm clip).
+    fused_optimizer: bool = True
+    # Adam moment dtype for the fused optimizer: float32 (reference parity)
+    # or bfloat16 (halves optimizer state + its HBM traffic; documented
+    # accuracy trade for throughput-bound runs).
+    opt_moment_dtype: str = "float32"
     dp_devices: int = 0  # 0 = all local devices
     data_root: str = ""  # dataset tree root (replaces hardcoded cluster paths)
     multihost: bool = False  # call jax.distributed.initialize()
@@ -175,6 +184,7 @@ class ExperimentConfig:
         if self.views == "multi":
             assert self.num_max_views >= 1
         assert self.optim_policy in ("default", "bce")
+        assert self.opt_moment_dtype in ("float32", "bfloat16")
         if self.test_egovlp:  # main_egoexo4d_distributed.py:606-607
             assert self.test, "--test_egovlp is a test-time baseline"
         return self

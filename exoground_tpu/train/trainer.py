@@ -49,8 +49,26 @@ from exoground_tpu.train.checkpoint import (
 from exoground_tpu.train.config import ExperimentConfig
 from exoground_tpu.utils.shapes import round_up
 from exoground_tpu.train.logging import AsyncWriter, DeviceMonitor, Timer
-from exoground_tpu.train.optim import make_optimizer
+from exoground_tpu.train.optim import make_fused_optimizer, make_optimizer
 from exoground_tpu.utils.meters import AverageMeter, ProgressMeter
+
+
+def _build_optimizer(cfg: ExperimentConfig, params, total_iterations: int, **kw):
+    """Fused single-pass AdamW when the config allows it (--fused_optimizer,
+    default on; identical update math), else the optax chain. Both expose
+    .init(params) and serialize through the same checkpoint path."""
+    opt_kw = dict(
+        lr=cfg.lr, weight_decay=cfg.wd, total_iterations=total_iterations,
+        grad_clip=cfg.clip_grad or None, accumulate_steps=cfg.backprop_freq,
+        **kw,
+    )
+    if cfg.fused_optimizer:
+        fused = make_fused_optimizer(
+            params, moment_dtype=cfg.opt_moment_dtype, **opt_kw
+        )
+        if fused is not None:
+            return fused
+    return make_optimizer(params, **opt_kw)
 
 
 def _finite(x: float) -> bool:
@@ -380,12 +398,9 @@ class TANTrainer(BaseTrainer):
         # never aliased to params (donate_argnums=(0,1,2)); only cotrain uses it
         self.is_cotrain = cfg.model == "cotrain"
         self.target_params = ema_init(self.params)
-        self.tx = make_optimizer(
-            self.params, lr=cfg.lr, weight_decay=cfg.wd,
-            total_iterations=cfg.epochs * iters_per_epoch,
+        self.tx = _build_optimizer(
+            cfg, self.params, cfg.epochs * iters_per_epoch,
             policy=cfg.optim_policy,
-            grad_clip=cfg.clip_grad or None,
-            accumulate_steps=cfg.backprop_freq,
         )
         self.opt_state = self.tx.init(self.params)
         self._replicate()
@@ -558,12 +573,9 @@ class EgoExoTrainer(BaseTrainer):
             deterministic=False,
         )["params"]
         self.target_params = None
-        self.tx = make_optimizer(
-            self.params, lr=cfg.lr, weight_decay=cfg.wd,
-            total_iterations=cfg.epochs * iters_per_epoch,
+        self.tx = _build_optimizer(
+            cfg, self.params, cfg.epochs * iters_per_epoch,
             policy=cfg.optim_policy,
-            grad_clip=cfg.clip_grad or None,
-            accumulate_steps=cfg.backprop_freq,
         )
         self.opt_state = self.tx.init(self.params)
         self._replicate()
@@ -796,11 +808,8 @@ class S3DTrainer(BaseTrainer):
         # --lr_backbone: second LR group for the pretrained S3D trunk
         # (reference end2end/config.py:16 declares it; see optim.py)
         lr_backbone = getattr(cfg, "lr_backbone", 0.0)
-        self.tx = make_optimizer(
-            self.params, lr=cfg.lr, weight_decay=cfg.wd,
-            total_iterations=cfg.epochs * iters_per_epoch,
-            grad_clip=cfg.clip_grad or None,
-            accumulate_steps=cfg.backprop_freq,
+        self.tx = _build_optimizer(
+            cfg, self.params, cfg.epochs * iters_per_epoch,
             backbone_lr=lr_backbone or None, backbone_keys=("s3d",),
         )
         self.opt_state = self.tx.init(self.params)
