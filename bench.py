@@ -312,26 +312,6 @@ def bench_train(jax, jnp):
     return b / dt, dt * 1e3, step_flops / dt / 1e12
 
 
-def _timed_chain(fn, args, n_chain: int, reps: int = 6):
-    """Per-call seconds with the tunnel RTT amortized: dispatch ``n_chain``
-    calls back-to-back (the device queue executes them in order) and block
-    on a host VALUE fetch of ONE ELEMENT of the LAST output only, so one
-    round trip covers the whole chain. Two traps this avoids on the
-    tunnel-attached backend: naive per-call timing measures the ~30-80 ms
-    round trip, not the chip (the round-3 'flash 0.98x' artifact), and
-    fetching the full output D2H times the ~50 MB/s link, not the kernel
-    (a (1,8,4096,64) bf16 output is 4 MB ≈ 80 ms of transfer). The [0,...]
-    index dispatches a device-side slice; only a scalar crosses the link."""
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(n_chain):
-            out = fn(*args)
-        float(out[(0,) * out.ndim])
-        best = min(best, (time.perf_counter() - t0) / n_chain)
-    return best
-
-
 def _scan_timed(jax, make_step, carry, n_long: int = 48, n_short: int = 8,
                 reps: int = 5):
     """Pure on-device per-iteration seconds for ``make_step`` (carry->carry).

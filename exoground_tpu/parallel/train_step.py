@@ -28,6 +28,18 @@ from exoground_tpu.losses.milnce import TANLossConfig, tan_loss
 from exoground_tpu.parallel.mesh import DATA_AXIS
 
 
+# Carried-cast scan switch: when True, scan_steps + FusedAdamWEMA + bf16
+# steps carry the compute-dtype param casts across scan iterations (the
+# optimizer kernel emits them) instead of re-casting the f32 masters each
+# iteration. Default OFF: measured on the session TPU chip it is a small
+# REGRESSION (7.30 vs 7.13 ms/step, E6D6 cotrain b=16, interleaved A/B —
+# PERF.md round-3 item 5): XLA fuses the f32->bf16 cast into each consumer
+# for free, while the two extra loop-carried trees cost real copies. Kept
+# (tested both ways, tests/test_optim_fused.py) for backends where a
+# standalone cast pass is not free.
+CARRY_CAST = False
+
+
 def _scalars(d: Dict) -> Dict:
     return {k: v for k, v in d.items() if getattr(v, "ndim", None) == 0}
 
@@ -112,15 +124,30 @@ def make_tan_train_step(
     cotrain = loss_cfg.model == "cotrain"
     cdt = jnp.dtype(compute_dtype)
     fused_opt = _is_fused_optimizer(optimizer)
+    # frozen tower: cast once at build time, not once per step
+    text_tower_c = _cast_floats(text_tower_params, cdt)
+    # scan + fused + bf16: carry the compute-dtype param/teacher casts across
+    # scan iterations (the fused optimizer emits next step's casts from its
+    # own kernel) instead of re-reading every f32 master param each iteration
+    # just to cast it. Numerics are unchanged: grad wrt the cast params is
+    # exactly the upcast of the bf16 backward output, which is what the
+    # cast-inside-loss_fn path produced too.
+    carry_cast = (fused_opt and cdt != jnp.float32 and scan_steps is not None
+                  and CARRY_CAST)
 
-    def local_step(params, target_params, opt_state, batch, rng):
+    def local_step(params, target_params, opt_state, batch, rng, casts=None):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         batch_c = _cast_floats(batch, cdt)
-        text = _batch_text(batch_c, _cast_floats(text_tower_params, cdt))
+        text = _batch_text(batch_c, text_tower_c)
+        if casts is not None:
+            p_in, t_c = casts
+        else:
+            p_in = _cast_floats(params, cdt)
+            t_c = _cast_floats(target_params, cdt) if cotrain else None
 
-        def loss_fn(p):
+        def loss_fn(p_c):
             out = model.apply(
-                {"params": _cast_floats(p, cdt)},
+                {"params": p_c},
                 batch_c["video"], text,
                 batch["video_padding_mask"], batch["text_padding_mask"],
                 deterministic=False, rngs={"pos": rng},
@@ -131,7 +158,7 @@ def make_tan_train_step(
             logits = dict(out)
             if cotrain:
                 ema_out = model.apply(
-                    {"params": _cast_floats(target_params, cdt)},
+                    {"params": t_c},
                     batch_c["video"], text,
                     batch["video_padding_mask"], batch["text_padding_mask"],
                     deterministic=True,
@@ -155,9 +182,21 @@ def make_tan_train_step(
             )
             return ld["loss"], _scalars(ld)
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(p_in)
+        # upcast BEFORE pmean: identical values to the old cast-inside-loss_fn
+        # grads (d cast(p)/dp is the upcast), and the cross-device mean stays
+        # f32 regardless of compute dtype
+        grads = _f32(grads)
         grads = jax.lax.pmean(grads, DATA_AXIS)
         metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        if carry_cast and casts is not None:
+            params, opt_state, target_params, (p_c2, t_c2) = optimizer.step(
+                params, opt_state, grads, target_params, ema_momentum,
+                cast_dtype=cdt,
+            )
+            if ema_momentum is None:
+                t_c2 = t_c  # teacher frozen this step: keep the carried cast
+            return params, target_params, opt_state, metrics, (p_c2, t_c2)
         if fused_opt:  # single-pass AdamW(+EMA), train/optim.py::FusedAdamWEMA
             params, opt_state, target_params = optimizer.step(
                 params, opt_state, grads, target_params, ema_momentum
@@ -204,6 +243,24 @@ def make_tan_train_step(
         return jax.jit(step, donate_argnums=(0, 1, 2))
 
     def local_scan(params, target_params, opt_state, batches, rng):
+        if carry_cast:
+            casts0 = (_cast_floats(params, cdt),
+                      _cast_floats(target_params, cdt))
+
+            def body(carry, xs):
+                p, t, o, pc, tc = carry
+                b_i, i = xs
+                p, t, o, m, (pc, tc) = local_step(
+                    p, t, o, b_i, jax.random.fold_in(rng, i), casts=(pc, tc)
+                )
+                return (p, t, o, pc, tc), m
+
+            (params, target_params, opt_state, _, _), ms = jax.lax.scan(
+                body, (params, target_params, opt_state) + casts0,
+                (batches, jnp.arange(scan_steps)),
+            )
+            return params, target_params, opt_state, ms
+
         def body(carry, xs):
             p, t, o = carry
             b_i, i = xs
@@ -516,14 +573,20 @@ def make_grounding_train_step(
     (see make_tan_train_step).
     """
     cdt = jnp.dtype(compute_dtype)
+    fused_opt = _is_fused_optimizer(optimizer)
+    # see make_tan_train_step: scan + fused + bf16 carries the compute-dtype
+    # param cast across iterations, emitted by the optimizer kernel
+    carry_cast = (fused_opt and cdt != jnp.float32 and scan_steps is not None
+                  and CARRY_CAST)
 
-    def local_step(params, opt_state, batch, rng):
+    def local_step(params, opt_state, batch, rng, p_cast=None):
         rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         batch_c = _cast_floats(batch, cdt)
+        p_in = _cast_floats(params, cdt) if p_cast is None else p_cast
 
-        def loss_fn(p):
+        def loss_fn(p_c):
             out = model.apply(
-                {"params": _cast_floats(p, cdt)},
+                {"params": p_c},
                 batch_c["video_features"], batch_c["narration_features"],
                 batch["video_padding_mask"], batch["narration_padding_mask"],
                 audio_embed=batch_c.get("audio_features"),
@@ -539,10 +602,16 @@ def make_grounding_train_step(
                 loss = loss + out["distill_infonce_loss"]
             return loss, _scalars(ld)
 
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(p_in)
+        grads = _f32(grads)  # before pmean; == the cast-inside-loss_fn grads
         grads = jax.lax.pmean(grads, DATA_AXIS)
         metrics = jax.lax.pmean(metrics, DATA_AXIS)
-        if _is_fused_optimizer(optimizer):
+        if carry_cast and p_cast is not None:
+            params, opt_state, _, (p_c2, _) = optimizer.step(
+                params, opt_state, grads, cast_dtype=cdt
+            )
+            return params, opt_state, metrics, p_c2
+        if fused_opt:
             params, opt_state, _ = optimizer.step(params, opt_state, grads)
         else:
             updates, opt_state = optimizer.update(grads, opt_state, params)
@@ -560,6 +629,20 @@ def make_grounding_train_step(
         return jax.jit(step, donate_argnums=(0, 1))
 
     def local_scan(params, opt_state, batches, rng):
+        if carry_cast:
+            def body(carry, xs):
+                p, o, pc = carry
+                b_i, i = xs
+                p, o, m, pc = local_step(
+                    p, o, b_i, jax.random.fold_in(rng, i), p_cast=pc
+                )
+                return (p, o, pc), m
+            (params, opt_state, _), ms = jax.lax.scan(
+                body, (params, opt_state, _cast_floats(params, cdt)),
+                (batches, jnp.arange(scan_steps)),
+            )
+            return params, opt_state, ms
+
         def body(carry, xs):
             p, o = carry
             b_i, i = xs

@@ -178,9 +178,17 @@ class FusedAdamWEMA:
         )
 
     def step(self, params, state: FusedAdamWState, grads, target=None,
-             ema_momentum: Optional[float] = None):
+             ema_momentum: Optional[float] = None, cast_dtype=None):
         """One fused optimizer (+EMA) step. ``target``/``ema_momentum`` are
-        optional; when either is None the target passes through unchanged."""
+        optional; when either is None the target passes through unchanged.
+
+        ``cast_dtype`` (e.g. bfloat16): additionally emit the compute-dtype
+        casts of the new params (and EMA target when updating one) from the
+        SAME kernel and return them as a trailing ``(p_cast, t_cast)`` pair —
+        for multi-step scan loops where the next iteration's forward would
+        otherwise re-read every f32 parameter just to cast it
+        (parallel/train_step.py local_scan). Grads may arrive in the compute
+        dtype; the update math always runs f32."""
         lr = self.schedule(state.count)  # optax scale_by_schedule: pre-increment
         count = state.count + 1
         bc1 = 1.0 - self.b1 ** count.astype(jnp.float32)
@@ -202,29 +210,31 @@ class FusedAdamWEMA:
                 p_new = p
             else:
                 p_new = (p.astype(jnp.float32) - lr * lr_scale * upd).astype(p.dtype)
-            outs = [p_new, m_new.astype(self.moment_dtype), v_new.astype(self.moment_dtype)]
             if do_ema:
                 t_new = (mom * t.astype(jnp.float32)
                          + (1.0 - mom) * p_new.astype(jnp.float32)).astype(t.dtype)
-                outs.append(t_new)
             else:
-                outs.append(t)
+                t_new = t
+            outs = [p_new, m_new.astype(self.moment_dtype),
+                    v_new.astype(self.moment_dtype), t_new]
+            if cast_dtype is not None:
+                outs.append(p_new.astype(cast_dtype))
+                outs.append(t_new.astype(cast_dtype) if do_ema else t_new)
             return tuple(outs)
 
         fused = jax.tree_util.tree_map(
             leaf, params, grads, state.mu, state.nu,
             target if do_ema else params,  # placeholder leaves, passed through
             self._wd_mask, self._train_mask, self._lr_scale,
-            is_leaf=lambda x: isinstance(x, bool),  # masks hold python bools
         )
-        params = jax.tree_util.tree_map(lambda o: o[0], fused, is_leaf=lambda x: isinstance(x, tuple))
-        mu = jax.tree_util.tree_map(lambda o: o[1], fused, is_leaf=lambda x: isinstance(x, tuple))
-        nu = jax.tree_util.tree_map(lambda o: o[2], fused, is_leaf=lambda x: isinstance(x, tuple))
-        new_target = (
-            jax.tree_util.tree_map(lambda o: o[3], fused, is_leaf=lambda x: isinstance(x, tuple))
-            if do_ema else target
-        )
-        return params, FusedAdamWState(count=count, mu=mu, nu=nu), new_target
+        is_tup = lambda x: isinstance(x, tuple)
+        pick = lambda i: jax.tree_util.tree_map(lambda o: o[i], fused, is_leaf=is_tup)
+        params = pick(0)
+        new_state = FusedAdamWState(count=count, mu=pick(1), nu=pick(2))
+        new_target = pick(3) if do_ema else target
+        if cast_dtype is not None:
+            return params, new_state, new_target, (pick(4), pick(5))
+        return params, new_state, new_target
 
 
 def make_fused_optimizer(

@@ -254,3 +254,159 @@ class TestFusedInTrainStep:
         _assert_trees_close(results["optax"][0], results["fused"][0], rtol=1e-5, atol=1e-6)
         _assert_trees_close(results["optax"][1], results["fused"][1], rtol=1e-5, atol=1e-6)
         assert abs(results["optax"][2] - results["fused"][2]) < 1e-5
+
+    @pytest.mark.parametrize("ema_momentum", [0.99, None])
+    def test_scan_carry_cast_matches_per_step(self, ema_momentum):
+        """scan_steps + FusedAdamWEMA + bf16 takes the carried-cast path
+        (train_step.py: the optimizer kernel emits next iteration's bf16
+        param/teacher casts instead of re-casting the f32 masters) — it must
+        reproduce the per-step fused bf16 calls exactly. ema_momentum=None
+        exercises the frozen-teacher branch (carried cast is reused).
+        CARRY_CAST defaults off (measured regression on the session chip,
+        train_step.py) — forced on here so the path stays correct."""
+        from exoground_tpu.losses.milnce import TANLossConfig
+        from exoground_tpu.models import TemporalAligner, ema_init
+        from exoground_tpu.parallel import (
+            make_mesh, make_tan_train_step, replicate, shard_batch,
+        )
+
+        mesh = make_mesh(1)
+        b, t, n, d = 4, 16, 4, 32
+        model = TemporalAligner(
+            num_encoder_layers=2, num_joint_layers=2, width=64, heads=4,
+            max_pos=32, attn_impl="xla",
+        )
+        rng = np.random.RandomState(3)
+
+        def _mk_batch(seed):
+            r = np.random.RandomState(seed)
+            start = jnp.asarray(r.randint(0, t - 4, (b, n)), jnp.float32)
+            return {
+                "video": jnp.asarray(r.randn(b, t, d), jnp.float32),
+                "text": jnp.asarray(r.randn(b, n, d), jnp.float32),
+                "video_padding_mask": jnp.zeros((b, t), bool),
+                "text_padding_mask": jnp.zeros((b, n), bool),
+                "start": start, "end": start + 3.0,
+            }
+
+        b1, b2 = _mk_batch(31), _mk_batch(32)
+        params = jax.device_get(model.init(
+            {"params": jax.random.PRNGKey(0), "pos": jax.random.PRNGKey(1)},
+            b1["video"], b1["text"], b1["video_padding_mask"],
+            b1["text_padding_mask"], deterministic=False,
+        )["params"])
+        cfg = TANLossConfig(model="cotrain")
+        opt_kw = dict(lr=1e-3, weight_decay=1e-2, total_iterations=100,
+                      warmup_iterations=1)
+        key = jax.random.PRNGKey(5)
+
+        # per-step path (casts recomputed from f32 masters each call)
+        tx = make_fused_optimizer(params, **opt_kw)
+        single = make_tan_train_step(
+            model, cfg, tx, mesh, ema_momentum=ema_momentum,
+            compute_dtype="bfloat16",
+        )
+        p = replicate(params, mesh)
+        tg = replicate(ema_init(params), mesh)
+        o = replicate(tx.init(params), mesh)
+        losses = []
+        for i, bt in enumerate((b1, b2)):
+            p, tg, o, m = single(p, tg, o, shard_batch(bt, mesh),
+                                 jax.random.fold_in(key, i))
+            losses.append(float(m["loss"]))
+        p_seq, t_seq = jax.device_get((p, tg))
+
+        # scan path (casts carried through the scan, emitted by the optimizer)
+        from exoground_tpu.parallel import train_step as ts_mod
+
+        ts_mod.CARRY_CAST = True
+        try:
+            scan = make_tan_train_step(
+                model, cfg, tx, mesh, ema_momentum=ema_momentum,
+                compute_dtype="bfloat16", scan_steps=2,
+            )
+        finally:
+            ts_mod.CARRY_CAST = False
+        stacked = jax.tree_util.tree_map(lambda x, y: jnp.stack([x, y]), b1, b2)
+        p = replicate(params, mesh)
+        tg = replicate(ema_init(params), mesh)
+        o = replicate(tx.init(params), mesh)
+        p2, tg2, _, ms = scan(p, tg, o, shard_batch(stacked, mesh, dim=1), key)
+        np.testing.assert_allclose(
+            np.asarray(ms["loss"]), np.asarray(losses), rtol=1e-5
+        )
+        _assert_trees_close(p_seq, jax.device_get(p2), rtol=1e-5, atol=1e-6)
+        _assert_trees_close(t_seq, jax.device_get(tg2), rtol=1e-5, atol=1e-6)
+
+    def test_grounding_scan_carry_cast_matches_per_step(self):
+        """Same carried-cast contract for make_grounding_train_step (no EMA
+        target: only the bf16 param cast rides the scan carry)."""
+        from exoground_tpu.losses.grounding import GroundingLossConfig
+        from exoground_tpu.models.grounding import ExoGroundingTransformer
+        from exoground_tpu.parallel import (
+            make_grounding_train_step, make_mesh, replicate, shard_batch,
+        )
+
+        b, t, n, c = 4, 12, 3, 24
+        model = ExoGroundingTransformer(
+            num_encoder_layers=1, num_decoder_layers=1, video_embed_dim=c,
+            text_embed_dim=c, feature_dim=32, attn_impl="xla",
+        )
+
+        def _mk_batch(seed):
+            r = np.random.RandomState(seed)
+            starts = r.rand(b, n).astype(np.float32) * 0.5
+            return {
+                "video_features": r.randn(b, t, c).astype(np.float32),
+                "narration_features": r.randn(b, n, c).astype(np.float32),
+                "video_padding_mask": np.zeros((b, t), bool),
+                "narration_padding_mask": np.zeros((b, n), bool),
+                "starts": starts, "ends": starts + 0.3,
+                "mean": starts + 0.15,
+                "duration": np.full((b, n), 0.3, np.float32),
+            }
+
+        b1, b2 = _mk_batch(41), _mk_batch(42)
+        params = jax.device_get(model.init(
+            {"params": jax.random.PRNGKey(0), "pos": jax.random.PRNGKey(1)},
+            b1["video_features"], b1["narration_features"],
+            b1["video_padding_mask"], b1["narration_padding_mask"],
+            deterministic=False,
+        )["params"])
+        cfg = GroundingLossConfig(model="grounding")
+        tx = make_fused_optimizer(params, lr=1e-3, total_iterations=100,
+                                  warmup_iterations=1)
+        mesh = make_mesh(1)
+        key = jax.random.PRNGKey(7)
+
+        single = make_grounding_train_step(
+            model, cfg, tx, mesh, compute_dtype="bfloat16"
+        )
+        p = replicate(params, mesh)
+        o = replicate(tx.init(params), mesh)
+        losses = []
+        for i, bt in enumerate((b1, b2)):
+            p, o, m = single(p, o, shard_batch(bt, mesh),
+                             jax.random.fold_in(key, i))
+            losses.append(float(m["loss"]))
+        p_seq = jax.device_get(p)
+
+        from exoground_tpu.parallel import train_step as ts_mod
+
+        ts_mod.CARRY_CAST = True
+        try:
+            scan = make_grounding_train_step(
+                model, cfg, tx, mesh, compute_dtype="bfloat16", scan_steps=2
+            )
+        finally:
+            ts_mod.CARRY_CAST = False
+        stacked = jax.tree_util.tree_map(
+            lambda x, y: np.stack([x, y]), b1, b2
+        )
+        p = replicate(params, mesh)
+        o = replicate(tx.init(params), mesh)
+        p2, _, ms = scan(p, o, shard_batch(stacked, mesh, dim=1), key)
+        np.testing.assert_allclose(
+            np.asarray(ms["loss"]), np.asarray(losses), rtol=1e-5
+        )
+        _assert_trees_close(p_seq, jax.device_get(p2), rtol=1e-5, atol=1e-6)
