@@ -100,7 +100,7 @@ def _load_measured_baseline():
     return None
 
 
-def bench_inference(jax, jnp):
+def bench_inference(jax, jnp, pet=lambda stage: None):
     from exoground_tpu.evals import AlignEvalConfig, FusedAlignEvaluator
     from exoground_tpu.evals.bench_items import make_bench_items
     from exoground_tpu.models import TemporalAligner
@@ -125,6 +125,7 @@ def bench_inference(jax, jnp):
     evaluator = FusedAlignEvaluator(model, params, cfg)
 
     # warmup: compile all (Vmax, Wmax, Npad, Ntot) buckets
+    pet("inference: fp16 warmup/compile")
     evaluator(items)
 
     # The device tunnel needs several reps to reach steady state (connection
@@ -134,6 +135,7 @@ def bench_inference(jax, jnp):
     # window was observed) or the budget runs out, then report the median of
     # the 5 fastest — the steady-state throughput of the chip, not of the
     # tunnel's worst moment.
+    pet("inference: streamed fp16 reps")
     times = []
     deadline = time.monotonic() + 150.0
     for i in range(40):
@@ -158,6 +160,7 @@ def bench_inference(jax, jnp):
 
     fps_q = {}
     for mode in ("int8", "int4"):
+        pet(f"inference: {mode} transfer")
         evq = FusedAlignEvaluator(
             model, params, _dc.replace(cfg, transfer_dtype=mode)
         )
@@ -172,6 +175,7 @@ def bench_inference(jax, jnp):
     # device-resident row: features preloaded to HBM once (the serving
     # shape where the extractor runs on-chip, or one corpus is swept by
     # many checkpoints); repeated sweeps run at chip rate, not link rate.
+    pet("inference: HBM-resident sweeps")
     pre = evaluator.preload(items)
     evaluator.run_preloaded(pre)
     tr = []
@@ -321,26 +325,44 @@ def _scan_timed(jax, make_step, carry, n_long: int = 48, n_short: int = 8,
     per-iteration time is the DIFFERENCE of the long and short scans divided
     by the iteration delta — cancelling the dispatch round trip and the
     scalar-fetch latency exactly, which on the tunnel-attached chip are tens
-    of ms and otherwise swamp ms-scale kernels."""
+    of ms and otherwise swamp ms-scale kernels.
 
-    def run_n(n):
+    The long and short reps are INTERLEAVED (long, short, long, short, ...)
+    so a tunnel-regime shift mid-measurement degrades both equally; if the
+    difference still comes out non-positive (drift larger than the signal),
+    this RAISES instead of publishing an absurd ratio — callers surface the
+    error field rather than a fake measurement."""
+
+    def compile_n(n):
         @jax.jit
         def run(c):
             c, _ = jax.lax.scan(lambda c, _: (make_step(c), None), c, None, length=n)
             return c
-        out = run(carry)  # compile
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        float(leaf[(0,) * leaf.ndim])
-        best = float("inf")
-        for _ in range(reps):
+
+        def timed():
             t0 = time.perf_counter()
             out = run(carry)
             leaf = jax.tree_util.tree_leaves(out)[0]
             float(leaf[(0,) * leaf.ndim])
-            best = min(best, time.perf_counter() - t0)
-        return best
+            return time.perf_counter() - t0
 
-    return max(run_n(n_long) - run_n(n_short), 1e-9) / (n_long - n_short)
+        timed()  # compile + warm
+        return timed
+
+    t_long, t_short = compile_n(n_long), compile_n(n_short)
+    best_l = best_s = float("inf")
+    for _ in range(reps):
+        best_l = min(best_l, t_long())
+        best_s = min(best_s, t_short())
+    diff = best_l - best_s
+    if diff <= 0:
+        raise RuntimeError(
+            f"scan-differenced timing inverted (long {best_l*1e3:.1f} ms <= "
+            f"short {best_s*1e3:.1f} ms at lengths {n_long}/{n_short}): "
+            "tunnel regime drift exceeded the kernel signal; rerun in a "
+            "stable window"
+        )
+    return diff / (n_long - n_short)
 
 
 def bench_flash_attention_op(jax, jnp, s: int = 4096, heads: int = HEADS,
@@ -418,34 +440,56 @@ def bench_flash_global(jax, jnp, s_video: int = 2048, k_texts: int = 48):
     return times["xla"] / times["flash"], times["flash"] * 1e3, times["xla"] * 1e3
 
 
-def _start_watchdog(timeout_s: float = 1200.0):
-    """The device tunnel has a rare fully-stalled regime (PERF.md) where any
-    device call hangs for hours. If the bench makes no progress for
-    ``timeout_s``, emit an explanatory JSON record (value 0 = failed run,
-    never a fake measurement) and exit so the driver records *something*."""
-    import threading
+class _Watchdog:
+    """Per-stage progress watchdog. The device tunnel has a rare
+    fully-stalled regime (PERF.md) where any device call hangs for hours;
+    it also has a compile-stall regime where only NEW program loads hang —
+    which can hit a late optional stage after the headline was already
+    measured. ``pet(stage)`` resets the clock at each stage boundary (each
+    stage gets its own ``timeout_s``, so adding stages never shrinks the
+    budget of earlier ones), and on expiry the watchdog emits everything
+    measured SO FAR from ``partial`` — value 0 only if the headline itself
+    never landed — plus an error naming the stuck stage, then exits."""
 
-    def fire():
-        print(
-            json.dumps({
-                "metric": "htm_align_overlap_seq_throughput",
-                "value": 0,
-                "unit": "frames_aligned_per_sec_per_chip",
-                "vs_baseline": 0,
-                "error": (
-                    "device unresponsive for "
-                    f"{int(timeout_s)}s (stalled tunnel regime; see PERF.md "
-                    "for measured clear-window numbers)"
-                ),
-            }),
-            flush=True,
-        )
-        os._exit(3)
+    def __init__(self, partial: dict, timeout_s: float = 1200.0):
+        import threading
 
-    t = threading.Timer(timeout_s, fire)
-    t.daemon = True
-    t.start()
-    return t
+        self.partial = partial
+        self.timeout_s = timeout_s
+        self.stage = "startup"
+        self._last = time.monotonic()
+        self._cancelled = False
+        t = threading.Thread(target=self._run, daemon=True)
+        t.start()
+
+    def pet(self, stage: str):
+        self.stage = stage
+        self._last = time.monotonic()
+
+    def cancel(self):
+        self._cancelled = True
+
+    def _run(self):
+        while not self._cancelled:
+            time.sleep(5.0)
+            if self._cancelled:
+                return
+            if time.monotonic() - self._last > self.timeout_s:
+                rec = {
+                    "metric": "htm_align_overlap_seq_throughput",
+                    "value": 0,
+                    "unit": "frames_aligned_per_sec_per_chip",
+                    "vs_baseline": 0,
+                    **self.partial,  # everything already measured survives
+                    "error": (
+                        f"no progress for {int(self.timeout_s)}s during "
+                        f"stage '{self.stage}' (stalled/compile-stall tunnel "
+                        "regime; see PERF.md); fields present were measured "
+                        "before the stall"
+                    ),
+                }
+                print(json.dumps(rec), flush=True)
+                os._exit(3)
 
 
 def main():
@@ -455,83 +499,99 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
-    watchdog = _start_watchdog()
-    fps, fps_int8, fps_int4, fps_resident, fps_resident_pipe = bench_inference(jax, jnp)
+    # `partial` accumulates final-format fields as each stage lands; the
+    # watchdog emits it on a stall so a late stage hanging never discards
+    # measurements already made (each pet() grants the NEXT stage its own
+    # timeout budget).
+    measured = _load_measured_baseline()
+    if measured:
+        baseline_fps = measured["reference_a100_fps_derived"]
+        partial = {
+            "baseline_mode": "measured",
+            "reference_a100_fps": baseline_fps,
+            "reference_torch_cpu_fps": measured["reference_torch_cpu_fps"],
+            "ours_jax_cpu_fps": measured["ours_jax_cpu_fps"],
+        }
+    else:
+        baseline_fps = REFERENCE_A100_FPS_ESTIMATE
+        partial = {"baseline_mode": "estimate", "reference_a100_fps": baseline_fps}
+    watchdog = _Watchdog(partial)
+
+    watchdog.pet("inference (streamed + resident + pipelined)")
+    fps, fps_int8, fps_int4, fps_resident, fps_resident_pipe = bench_inference(
+        jax, jnp, pet=watchdog.pet
+    )
+    partial.update({
+        # HEADLINE = chip-rate serving throughput (features HBM-resident,
+        # sweeps pipelined). Rationale: the A100-derived anchor's feature
+        # upload is negligible-by-construction (PCIe >10 GB/s, ~1 ms per
+        # 600-frame video), so the apples-to-apples ratio compares chip
+        # compute to chip compute. This session's chip sits behind a network
+        # tunnel whose ~40-60 MB/s H2D link is a deployment artifact, not a
+        # TPU property; the streamed_* rows publish that link-bound
+        # end-to-end number + the link decomposition so nothing is hidden.
+        "value": round(fps_resident_pipe, 1),
+        "vs_baseline": round(fps_resident_pipe / baseline_fps, 2),
+        "bench_dims": f"video {VIDEO_DIM}-d / text {TEXT_DIM}-d (parity, tan_model.py:42-43)",
+        "headline_transfer": "HBM-resident, pipelined sweeps (H2D paid once)",
+        "device_resident_sequential_fps": round(fps_resident, 1),
+        "streamed_fp16_e2e_fps": round(fps, 1),
+        "streamed_vs_baseline": round(fps / baseline_fps, 2),
+        "streamed_int8_fps": round(fps_int8, 1),
+        "streamed_int4_fps_lossy": round(fps_int4, 1),
+    })
+
+    watchdog.pet("link bandwidth")
     link_mbps = measure_link_bandwidth(jax, jnp)
+    partial.update({
+        "tunnel_h2d_mbps": round(link_mbps, 1),
+        "link_ceiling_fps_fp16": round(link_mbps * 1e6 / (2 * VIDEO_DIM), 1),
+    })
+
+    watchdog.pet("cotrain train step")
     train_sps, step_ms, train_tflops = bench_train(jax, jnp)
-    flash_fields = {}
+    partial.update({
+        "train_cotrain_samples_per_sec_per_chip": round(train_sps, 1),
+        "train_cotrain_step_ms": round(step_ms, 2),
+        "train_compute_dtype": "bfloat16",
+        "train_achieved_tflops_per_s": round(train_tflops, 2),
+        "train_flops_accounting": "analytic matmul count (bench.tan_cotrain_step_flops)",
+    })
+    train_anchor = (measured or {}).get("reference_a100_train_sps_derived")
+    if train_anchor:
+        partial["reference_a100_train_sps"] = train_anchor
+        partial["train_vs_baseline"] = round(train_sps / train_anchor, 2)
+
+    watchdog.pet("flash attention op bench")
     try:
         op_speedup, op_flash_ms, op_xla_ms = bench_flash_attention_op(jax, jnp)
-        flash_fields.update({
+        partial.update({
             "flash_attention_op_speedup": round(op_speedup, 2),
             "flash_attention_op_flash_ms": round(op_flash_ms, 2),
             "flash_attention_op_xla_ms": round(op_xla_ms, 2),
             "flash_attention_op_shapes": "B1 H8 S4096 Dh64 bf16 (RTT-amortized)",
         })
     except Exception as e:  # never lose the headline to the extra row
-        flash_fields["flash_attention_op_error"] = str(e)[:200]
+        partial["flash_attention_op_error"] = str(e)[:200]
+    watchdog.pet("flash attention global-mode bench")
     try:
         flash_speedup, flash_ms, xla_ms = bench_flash_global(jax, jnp)
-        flash_fields.update({
+        partial.update({
             "global_mode_flash_speedup": round(flash_speedup, 2),
             "global_mode_flash_ms": round(flash_ms, 2),
             "global_mode_xla_ms": round(xla_ms, 2),
             "global_mode_shapes": "1x2048-frame video, 48 texts, E6D6 w512 bf16 (RTT-amortized)",
         })
     except Exception as e:
-        flash_fields["global_mode_flash_error"] = str(e)[:200]
+        partial["global_mode_flash_error"] = str(e)[:200]
     watchdog.cancel()
-
-    measured = _load_measured_baseline()
-    if measured:
-        baseline_fps = measured["reference_a100_fps_derived"]
-        extra = {
-            "baseline_mode": "measured",
-            "reference_a100_fps": baseline_fps,
-            "reference_torch_cpu_fps": measured["reference_torch_cpu_fps"],
-            "ours_jax_cpu_fps": measured["ours_jax_cpu_fps"],
-        }
-        train_anchor = measured.get("reference_a100_train_sps_derived")
-        if train_anchor:
-            extra["reference_a100_train_sps"] = train_anchor
-            extra["train_vs_baseline"] = round(train_sps / train_anchor, 2)
-    else:
-        baseline_fps = REFERENCE_A100_FPS_ESTIMATE
-        extra = {"baseline_mode": "estimate", "reference_a100_fps": baseline_fps}
 
     print(
         json.dumps(
             {
                 "metric": "htm_align_overlap_seq_throughput",
-                # HEADLINE = chip-rate serving throughput (features HBM-
-                # resident, sweeps pipelined). Rationale: the A100-derived
-                # anchor's feature upload is negligible-by-construction
-                # (PCIe >10 GB/s, ~1 ms per 600-frame video), so the
-                # apples-to-apples ratio compares chip compute to chip
-                # compute. This session's chip sits behind a network tunnel
-                # whose ~40-60 MB/s H2D link is a deployment artifact, not a
-                # TPU property; the streamed_* rows below publish that
-                # link-bound end-to-end number + the link decomposition so
-                # nothing is hidden.
-                "value": round(fps_resident_pipe, 1),
                 "unit": "frames_aligned_per_sec_per_chip",
-                "vs_baseline": round(fps_resident_pipe / baseline_fps, 2),
-                "bench_dims": f"video {VIDEO_DIM}-d / text {TEXT_DIM}-d (parity, tan_model.py:42-43)",
-                "headline_transfer": "HBM-resident, pipelined sweeps (H2D paid once)",
-                "device_resident_sequential_fps": round(fps_resident, 1),
-                "streamed_fp16_e2e_fps": round(fps, 1),
-                "streamed_vs_baseline": round(fps / baseline_fps, 2),
-                "tunnel_h2d_mbps": round(link_mbps, 1),
-                "link_ceiling_fps_fp16": round(link_mbps * 1e6 / (2 * VIDEO_DIM), 1),
-                "streamed_int8_fps": round(fps_int8, 1),
-                "streamed_int4_fps_lossy": round(fps_int4, 1),
-                "train_cotrain_samples_per_sec_per_chip": round(train_sps, 1),
-                "train_cotrain_step_ms": round(step_ms, 2),
-                "train_compute_dtype": "bfloat16",
-                "train_achieved_tflops_per_s": round(train_tflops, 2),
-                "train_flops_accounting": "analytic matmul count (bench.tan_cotrain_step_flops)",
-                **flash_fields,
-                **extra,
+                **partial,
             }
         )
     )

@@ -317,8 +317,15 @@ def make_s3d_nce_step(
         def loss_fn(p):
             video = batch["video"].astype(cdt)
             b, n = video.shape[:2]
+            # batch_stats stay f32 when they UPDATE (train_bn): flax's
+            # momentum-0.9 running average must accumulate at full precision
+            # or small per-step increments vanish in bf16 rounding — torch
+            # AMP likewise keeps BN in f32. Frozen stats (the reference's
+            # FrozenBN default) are constants; casting them keeps the whole
+            # normalize in the compute dtype.
             variables = {"params": _cast_floats(p["s3d"], cdt),
-                         "batch_stats": _cast_floats(batch_stats, cdt)}
+                         "batch_stats": (batch_stats if train_bn
+                                         else _cast_floats(batch_stats, cdt))}
             flat = video.reshape((b * n,) + video.shape[2:])
             if train_bn:
                 v, mutated = model.apply(

@@ -20,6 +20,9 @@ from dataclasses import dataclass
 from datetime import datetime
 from typing import List, Optional, Tuple
 
+# per-dataset annotation/decode frame rates (see ExperimentConfig.fps)
+_DEFAULT_FPS = {"lemma": 24, "htm-aa": 5}
+
 
 @dataclass
 class ExperimentConfig:
@@ -168,6 +171,15 @@ class ExperimentConfig:
     exp_path: str = ""
     iteration: int = 0
 
+    def __post_init__(self):
+        # per-dataset fps default (loader_lemma.py 24; end2end/config.py:13
+        # clip decode 5; egoexo4d 30) resolved at construction so programmatic
+        # users (ExperimentConfig(...) without parse_args) never see None.
+        # parse_args re-resolves after its dataset override; an explicit fps
+        # always wins.
+        if self.fps is None:
+            self.fps = _DEFAULT_FPS.get(self.dataset, 30)
+
     def validate(self):
         """Mutual-exclusion checks (main_egoexo4d_distributed.py:580-611)."""
         assert self.model in (
@@ -198,7 +210,11 @@ def parse_args(argv: Optional[List[str]] = None, dataset: Optional[str] = None) 
         if f.name in ("launch_timestamp", "log_path", "model_path", "exp_path",
                       "iteration"):
             continue
-        default = getattr(defaults, f.name)
+        # the FIELD default, not the instance attribute: __post_init__
+        # resolves fps=None to a concrete rate, which would make the CLI
+        # default non-None and defeat the "explicit --fps wins" sentinel
+        default = (f.default if f.default is not dataclasses.MISSING
+                   else getattr(defaults, f.name))
         if f.type in ("bool", bool) or isinstance(default, bool):
             # BooleanOptionalAction keeps the reference's bare --flag form and
             # adds --no-<flag>, so True-default flags (use_decoder,
@@ -225,8 +241,8 @@ def parse_args(argv: Optional[List[str]] = None, dataset: Optional[str] = None) 
         cfg.dataset = dataset
     if cfg.dataset == "htm-aa" and cfg.model == defaults.model:
         cfg.model = "s3d"  # the e2e pipeline's only model (end2end/config.py:9)
-    if cfg.fps is None:  # per-dataset default; explicit --fps always wins
-        cfg.fps = {"lemma": 24, "htm-aa": 5}.get(cfg.dataset, 30)
+    if kw["fps"] is None:  # explicit --fps always wins; else re-resolve for
+        cfg.fps = _DEFAULT_FPS.get(cfg.dataset, 30)  # the overridden dataset
     return cfg.validate()
 
 

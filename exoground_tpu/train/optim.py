@@ -269,6 +269,56 @@ def make_fused_optimizer(
     )
 
 
+def adapt_optimizer_state(template, blob):
+    """Restore a serialized optimizer state across optimizer implementations.
+
+    ``template``: a freshly-initialized state for the CURRENT optimizer
+    (``FusedAdamWState`` or the optax chain's state tuple). ``blob``: the
+    checkpoint's serialized optimizer state (flax to_state_dict layout),
+    possibly written by the OTHER implementation — e.g. a pre-fused-default
+    checkpoint resumed under ``--fused_optimizer`` or vice versa. Both store
+    the same Adam state (count / mu / nu; the schedule count equals the Adam
+    count because both tick once per update), so the state is carried over
+    instead of silently warm-starting with zeroed moments and a restarted
+    warmup (the failure mode: LR re-enters warmup from 0 mid-run).
+
+    Returns the filled state, or None when no Adam state exists in ``blob``
+    or the param-tree structures don't match.
+    """
+    from flax import serialization
+
+    def find_adam(node):
+        if isinstance(node, dict):
+            if {"count", "mu", "nu"} <= set(node.keys()):
+                return node
+            for v in node.values():
+                hit = find_adam(v)
+                if hit is not None:
+                    return hit
+        return None
+
+    src = find_adam(blob)
+    if src is None:
+        return None
+
+    def patch(node):
+        if isinstance(node, dict):
+            keys = set(node.keys())
+            if {"count", "mu", "nu"} <= keys:
+                return {**node, "count": src["count"], "mu": src["mu"],
+                        "nu": src["nu"]}
+            if keys == {"count"}:  # scale_by_schedule step counter
+                return {"count": src["count"]}
+            return {k: patch(v) for k, v in node.items()}
+        return node
+
+    try:
+        tpl_sd = serialization.to_state_dict(template)
+        return serialization.from_state_dict(template, patch(tpl_sd))
+    except Exception:
+        return None
+
+
 def make_optimizer(
     params,
     lr: float = 1e-4,

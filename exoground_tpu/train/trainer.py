@@ -150,7 +150,10 @@ class BaseTrainer:
             self._last_runtime_save = self.iteration
             self._last_log = self.iteration - 5
             self.start_epoch = int(blob.get("epoch", 0)) + 1
-            self.best_acc = float(blob.get("best_acc", -1e5))
+            # default to the trainer's OWN sentinel: S3DTrainer tracks best as
+            # lowest loss (+1e5), the others as highest acc (-1e5) — a blob
+            # missing the key must not flip the polarity
+            self.best_acc = float(blob.get("best_acc", self.best_acc))
             if "optimizer" in blob:
                 from flax import serialization
 
@@ -158,8 +161,24 @@ class BaseTrainer:
                     self.opt_state = serialization.from_state_dict(
                         jax.device_get(self.opt_state), blob["optimizer"]
                     )
-                except Exception as e:  # optimizer layout changed: warm-start only
-                    print(f"[checkpoint] optimizer state not restored: {e}")
+                except Exception as e:
+                    # layout mismatch — usually a checkpoint written under the
+                    # other optimizer implementation (optax chain vs fused;
+                    # --fused_optimizer default flipped between versions).
+                    # Both store the same Adam state (count/mu/nu), so adapt
+                    # it across formats instead of silently warm-starting
+                    # with zeroed moments and a restarted LR schedule.
+                    from exoground_tpu.train.optim import adapt_optimizer_state
+
+                    adapted = adapt_optimizer_state(
+                        jax.device_get(self.opt_state), blob["optimizer"]
+                    )
+                    if adapted is not None:
+                        self.opt_state = adapted
+                        print("[checkpoint] optimizer state adapted across "
+                              "optimizer formats (count/mu/nu carried over)")
+                    else:  # genuinely incompatible: warm-start only
+                        print(f"[checkpoint] optimizer state not restored: {e}")
         if getattr(self, "target_params", None) is not None:
             src = blob.get("target_state_dict", blob["state_dict"])
             self.target_params = restore_into(

@@ -199,6 +199,70 @@ class TestFusedExtras:
         assert np.isfinite(float(jnp.sum(p["proj"]["kernel"])))
 
 
+class TestAdaptOptimizerState:
+    """Cross-implementation checkpoint resume: a state saved under the optax
+    chain must restore into FusedAdamWEMA (the --fused_optimizer default
+    flip) and vice versa, carrying count/mu/nu so the LR schedule does not
+    restart from warmup-0 with zeroed moments."""
+
+    def _step_counts(self, n=3):
+        params = _params()
+        opt_kw = dict(lr=1e-3, weight_decay=1e-2, total_iterations=50,
+                      warmup_iterations=2)
+        tx = make_optimizer(params, **opt_kw)
+        p, o = params, tx.init(params)
+        for i in range(n):
+            upd, o = tx.update(_grads(params, i), o, p)
+            p = optax.apply_updates(p, upd)
+        fused = make_fused_optimizer(params, **opt_kw)
+        pf, of = params, fused.init(params)
+        for i in range(n):
+            pf, of, _ = fused.step(pf, of, _grads(params, i))
+        return params, opt_kw, (p, o, tx), (pf, of, fused)
+
+    def test_optax_to_fused(self):
+        from flax import serialization
+
+        from exoground_tpu.train.optim import adapt_optimizer_state
+
+        params, opt_kw, (p, o, tx), (pf, of, fused) = self._step_counts()
+        blob = serialization.to_state_dict(jax.device_get(o))
+        template = fused.init(params)
+        adapted = adapt_optimizer_state(template, blob)
+        assert adapted is not None
+        assert int(adapted.count) == 3
+        _assert_trees_close(adapted.mu, of.mu, rtol=2e-6, atol=1e-7)
+        _assert_trees_close(adapted.nu, of.nu, rtol=2e-6, atol=1e-7)
+        # continuing under fused from the adapted state == native fused
+        p1, _, _ = fused.step(p, adapted, _grads(params, 10))
+        p2, _, _ = fused.step(pf, of, _grads(params, 10))
+        _assert_trees_close(p1, p2, rtol=1e-5, atol=1e-6)
+
+    def test_fused_to_optax(self):
+        from flax import serialization
+
+        from exoground_tpu.train.optim import adapt_optimizer_state
+
+        params, opt_kw, (p, o, tx), (pf, of, fused) = self._step_counts()
+        blob = serialization.to_state_dict(jax.device_get(of))
+        template = tx.init(params)
+        adapted = adapt_optimizer_state(template, blob)
+        assert adapted is not None
+        # continuing under optax from the adapted state == native optax
+        upd, _ = tx.update(_grads(params, 10), adapted, pf)
+        p1 = optax.apply_updates(pf, upd)
+        upd, _ = tx.update(_grads(params, 10), o, p)
+        p2 = optax.apply_updates(p, upd)
+        _assert_trees_close(p1, p2, rtol=1e-5, atol=1e-6)
+
+    def test_no_adam_state_returns_none(self):
+        from exoground_tpu.train.optim import adapt_optimizer_state
+
+        params = _params()
+        fused = make_fused_optimizer(params, lr=1e-3, total_iterations=10)
+        assert adapt_optimizer_state(fused.init(params), {"foo": 1}) is None
+
+
 class TestFusedInTrainStep:
     def test_tan_step_fused_equals_optax(self):
         """make_tan_train_step with FusedAdamWEMA == with the optax chain."""

@@ -190,6 +190,52 @@ def test_s3d_nce_step_8dev():
     assert np.isfinite(np.asarray(ms["loss"])).all()
 
 
+def test_s3d_train_bn_stats_stay_f32_under_amp():
+    """train_bn + bf16 compute must accumulate BN running stats at f32:
+    casting the stored stats to bf16 each step quantizes away sub-0.4%
+    increments (torch AMP keeps BN in f32). With all-zero inputs every batch
+    moment is exactly 0, so new = 0.9 * old exactly; old = 1 + 1/512 is NOT
+    bf16-representable (rounds to 1.0), making the two behaviours cleanly
+    distinguishable: f32 accumulation -> 0.9017578, bf16 round-trip -> 0.9."""
+    import optax
+
+    from exoground_tpu.parallel import make_mesh, replicate, shard_batch
+    from exoground_tpu.parallel.train_step import make_s3d_nce_step
+
+    rng = np.random.RandomState(0)
+    b, n, t, hw = 8, 1, 8, 32
+    model = S3D(num_classes=16)
+    video = np.zeros((b, n, t, hw, hw, 3), np.float32)
+    token = rng.randint(1, 50, (b, 6)).astype(np.int32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(video[0]))
+    text_params = {
+        "word_embd": rng.randn(50, 12).astype(np.float32),
+        "fc1": {"kernel": rng.randn(12, 20).astype(np.float32),
+                "bias": np.zeros(20, np.float32)},
+        "fc2": {"kernel": rng.randn(20, 16).astype(np.float32),
+                "bias": np.zeros(16, np.float32)},
+    }
+    params = {"s3d": variables["params"], "text": text_params}
+    old = np.float32(1.0 + 1.0 / 512.0)  # rounds to 1.0 in bf16
+    stats = jax.tree_util.tree_map(
+        lambda x: jnp.full_like(x, old), variables["batch_stats"]
+    )
+    tx = optax.adamw(1e-4)
+    mesh = make_mesh(8)
+    step = make_s3d_nce_step(model, tx, mesh, freeze_early=False,
+                             compute_dtype="bfloat16", train_bn=True)
+    p = replicate(params, mesh)
+    bs = replicate(stats, mesh)
+    o = replicate(tx.init(params), mesh)
+    batch = shard_batch({"video": video, "token": token}, mesh)
+    _, bs2, _, metrics = step(p, bs, o, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    expect = 0.9 * float(old)  # 0.9017578125
+    for leaf in jax.tree_util.tree_leaves(jax.device_get(bs2)):
+        assert leaf.dtype == np.float32
+        np.testing.assert_allclose(leaf, expect, rtol=0, atol=1e-6)
+
+
 def test_htm_clip_dataset_grey_fallback():
     from exoground_tpu.data.video_clips import ClipConfig, HTMClipDataset
 

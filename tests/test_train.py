@@ -52,6 +52,20 @@ def test_config_validation():
         ).validate()
 
 
+def test_config_fps_resolution():
+    """fps=None resolves per dataset at CONSTRUCTION (programmatic users
+    never see None); explicit fps wins everywhere, including through
+    parse_args' dataset override."""
+    from exoground_tpu.train.config import parse_args
+
+    assert ExperimentConfig().fps == 30
+    assert ExperimentConfig(dataset="lemma").fps == 24
+    assert ExperimentConfig(dataset="htm-aa", model="s3d").fps == 5
+    assert ExperimentConfig(dataset="lemma", fps=30).fps == 30  # explicit wins
+    assert parse_args([], dataset="lemma").fps == 24  # override re-resolves
+    assert parse_args(["--fps", "30"], dataset="lemma").fps == 30
+
+
 def test_set_path_registry(tmp_path):
     cfg = ExperimentConfig(model="grounding", dataset="egoexo4d")
     set_path(cfg, root=str(tmp_path))
@@ -183,6 +197,66 @@ def test_tan_trainer_end_to_end(tmp_path):
     for a, b in zip(leaves1, leaves2):
         np.testing.assert_allclose(a, b, rtol=1e-6)
     trainer.close(), trainer2.close()
+
+
+def test_trainer_resume_across_optimizer_formats(tmp_path):
+    """A checkpoint written under the optax chain resumes into the fused
+    optimizer (and back) with Adam count/mu/nu carried over — NOT a silent
+    warm-start with a restarted LR warmup (the --fused_optimizer default
+    flipped between versions)."""
+    batches = _tan_batches()
+    model = TemporalAligner(
+        num_encoder_layers=2, num_joint_layers=2, width=32, heads=4,
+        max_pos=32, attn_impl="xla",
+    )
+
+    def _mk(fused, path):
+        cfg = ExperimentConfig(
+            model="init", epochs=1, lr=1e-3, batch_size=8, seed=0,
+            dp_devices=8, fused_optimizer=fused,
+        )
+        cfg.model_path = str(path)
+        os.makedirs(cfg.model_path, exist_ok=True)
+        return TANTrainer(model, cfg, batches[0], iters_per_epoch=3)
+
+    t1 = _mk(False, tmp_path / "optax")
+    t1.train_epoch(batches, epoch=0)
+    t1.save_epoch(0)
+    ck = os.path.join(t1.cfg.model_path, "epoch0.pth.tar")
+
+    t2 = _mk(True, tmp_path / "fused")
+    from exoground_tpu.train.optim import FusedAdamWState
+
+    assert isinstance(jax.device_get(t2.opt_state), FusedAdamWState)
+    t2.load_checkpoint(ck, mode="resume")
+    st = jax.device_get(t2.opt_state)
+    assert int(st.count) == 3  # schedule position carried, not restarted
+    assert any(  # moments carried, not zeroed
+        float(np.abs(np.asarray(l)).max()) > 0
+        for l in jax.tree_util.tree_leaves(st.mu)
+    )
+
+    # and the reverse direction: fused checkpoint into the optax chain
+    t2.iteration = 3
+    t2.save_epoch(1)
+    ck2 = os.path.join(t2.cfg.model_path, "epoch1.pth.tar")
+    t3 = _mk(False, tmp_path / "optax2")
+    t3.load_checkpoint(ck2, mode="resume")
+    from flax import serialization
+
+    def find_adam(node):
+        if isinstance(node, dict):
+            if {"count", "mu", "nu"} <= set(node.keys()):
+                return node
+            for v in node.values():
+                hit = find_adam(v)
+                if hit is not None:
+                    return hit
+        return None
+
+    adam = find_adam(serialization.to_state_dict(jax.device_get(t3.opt_state)))
+    assert adam is not None and int(np.asarray(adam["count"])) == 3
+    t1.close(), t2.close(), t3.close()
 
 
 def test_tan_trainer_fused_steps(tmp_path):
