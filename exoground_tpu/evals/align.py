@@ -168,9 +168,15 @@ def make_tan_sim_fn(model, params) -> Callable:
         }
         if "alignability-dual" in out:
             res["alignability-dual"] = np.asarray(out["alignability-dual"][..., 0])
+            aj = out["alignability-joint"]
+            # overlap-seq protocol reads joint-head stage 2 ("3rd layer works
+            # the best", eval_zeroshot_align.py:186); global mode reads the
+            # LAST stage (:213) — expose both so each consumer matches its
+            # reference line
             res["alignability-joint"] = np.asarray(
-                out["alignability-joint"][:, min(2, out["alignability-joint"].shape[1] - 1), :, 0]
+                aj[:, min(2, aj.shape[1] - 1), :, 0]
             )
+            res["alignability-joint-last"] = np.asarray(aj[:, -1, :, 0])
         return res
 
     return sim_fn
@@ -243,7 +249,6 @@ def test_alignment_htm(
             sim_canvas = np.zeros((num_text, vlen), dtype=np.float64)
             dual_canvas = np.zeros((num_text, vlen), dtype=np.float64)
             counter = np.zeros((num_text, vlen), dtype=np.float64)
-            a_dual = np.zeros(num_text, dtype=np.float64)
             a_joint = np.zeros(num_text, dtype=np.float64)
             t_counter = np.zeros(num_text, dtype=np.float64)
 
@@ -282,19 +287,17 @@ def test_alignment_htm(
                         sim_canvas[idxs, step:hi] += sim[i, :k, :ln]
                         dual_canvas[idxs, step:hi] += dual[i, :k, :ln]
                         counter[idxs, step:hi] += 1
+                        # the reference also accumulates a per-text dual score
+                        # and (in non-head mode) window-max sims here
+                        # (:183-194) but never reads them for Recall/AUC —
+                        # that dead work is skipped
                         if cfg.use_alignability_head:
-                            a_dual[idxs] += out["alignability-dual"][i, :k]
                             a_joint[idxs] += out["alignability-joint"][i, :k]
-                        else:
-                            # per-text max over the window's REAL frames (:191-192)
-                            a_dual[idxs] += dual[i, :k, :ln].max(axis=1)
-                            a_joint[idxs] += sim[i, :k, :ln].max(axis=1)
-                        t_counter[idxs] += 1
+                            t_counter[idxs] += 1
 
             eps = 1e-5
             sim_canvas /= np.maximum(counter, eps)
             dual_canvas /= np.maximum(counter, eps)
-            a_dual /= np.maximum(t_counter, eps)
             a_joint /= np.maximum(t_counter, eps)
             sim = (sim_canvas + dual_canvas) / 2.0
 
@@ -311,10 +314,10 @@ def test_alignment_htm(
             sim = out["sim"][0, :, :vlen] * cfg.sim_scale
             dual = out["dual-sim"][0, :, :vlen] * cfg.sim_scale
             if cfg.use_alignability_head:
-                a_dual = out["alignability-dual"][0]
-                a_joint = out["alignability-joint"][0]
+                # global mode scores with the LAST joint stage
+                # (eval_zeroshot_align.py:213), not overlap-seq's stage 2
+                a_joint = out["alignability-joint-last"][0]
             else:
-                a_dual = dual.max(axis=1)
                 a_joint = sim.max(axis=1)
         else:
             raise ValueError(cfg.method)

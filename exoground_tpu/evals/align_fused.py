@@ -580,9 +580,20 @@ def _reduce_metrics(pending, cfg: AlignEvalConfig) -> Dict[str, float]:
     fetched: Dict[int, tuple] = {}
     for start, end, aligned, num_text, t0, v0, out in _prefetch(pending):
         if out is None:
+            # video with zero active windows: the host path's canvas is all
+            # NEG_FILL -> uniform softmax -> argmax frame 0, so an aligned
+            # text starting in [0,1) still counts as a hit
+            # (eval_zeroshot_align.py:222-241); scores match the host path
+            # (head mode: a_joint stays 0; else the NEG_FILL row max)
             all_tgts.append(aligned.astype(np.int32))
-            all_scores.append(np.full(num_text, NEG_FILL))
-            recalls.extend([False] * int(aligned.sum()))
+            all_scores.append(
+                np.zeros(num_text) if cfg.use_alignability_head
+                else np.full(num_text, NEG_FILL)
+            )
+            for ti in np.nonzero(aligned)[0]:
+                recalls.append(
+                    math.floor(start[ti]) <= 0 <= math.ceil(end[ti])
+                )
             continue
         key = id(out)
         if key not in fetched:
@@ -597,12 +608,18 @@ def _reduce_metrics(pending, cfg: AlignEvalConfig) -> Dict[str, float]:
         all_scores.append(a_joint_np if cfg.use_alignability_head else scores)
         # argmax indexes the concatenated timeline; make it video-relative.
         # padded canvas cells hold NEG_FILL so cross-video argmax cannot win
-        # inside a real video's rows; uncovered (all-pad) rows may argmax to
-        # 0 globally -> clamp into range, stays a miss like the reference's.
+        # inside a real video's rows. An UNCOVERED text's whole row is
+        # NEG_FILL (score sentinel below): the host path argmaxes that
+        # uniform row to relative frame 0, so map it to 0 here too instead
+        # of letting the global argmax land before v0 (a forced miss for
+        # every video but the group's first).
         for ti in np.nonzero(aligned)[0]:
             s = math.floor(start[ti])
             e = math.ceil(end[ti])
-            recalls.append(s <= int(argmax_t[ti]) - v0 <= e)
+            rel = int(argmax_t[ti]) - v0
+            if scores[ti] <= NEG_FILL * 0.5:  # uncovered row sentinel
+                rel = 0
+            recalls.append(s <= rel <= e)
 
     return {
         "Recall": float(np.mean(recalls)),

@@ -56,7 +56,10 @@ def test_retrieval_yc2(
         start_idx = np.asarray(item["start_idx"]).astype(int)
         end_idx = np.asarray(item["end_idx"]).astype(int)
         interp = seq_len if clips.shape[1] >= seq_len else None
-        feats = np.asarray(visual_feature_fn(clips, interp))  # (C, L, F) last stage
+        # all-real windows: the reference passes a zeros key-padding mask
+        # (eval_zeroshot_retrieval.py:181-185)
+        mask = np.zeros(clips.shape[:2], dtype=bool)
+        feats = np.asarray(visual_feature_fn(clips, mask, interp))  # (C, L, F) last stage
         if feats.ndim == 4:
             feats = feats[:, -1]
 

@@ -15,6 +15,7 @@ from typing import Dict, Optional, Tuple
 import jax.numpy as jnp
 
 from exoground_tpu.losses.infonce import cross_view_info_nce, l1_cosine_metrics
+from exoground_tpu.ops.masks import masked_mean as _masked_mean
 
 
 @dataclasses.dataclass(frozen=True)
@@ -24,6 +25,11 @@ class GroundingLossConfig:
     iou_thresholds: Tuple[float, ...] = (0.1, 0.3, 0.5, 0.7)
     model: str = "grounding"  # 'grounding' | 'view_invariant' | 'joint'
     use_distill_nce_loss: bool = False
+    # INFORMATIONAL mirrors of the train-config flags: the loss keys off the
+    # BATCH — same-view negatives apply iff 'same_view_neg_feats' is present
+    # (the data layer/trainer populate it from the real flag, trainer.py).
+    # Matches the reference, whose loss also silently no-ops these when the
+    # loader provides no same-view features (loss_egoexo4d.py:165-199).
     same_view_negative: bool = False
     only_same_view_negative: bool = False
     # zero-shot baseline: evaluate the RAW input video features through the
@@ -31,10 +37,6 @@ class GroundingLossConfig:
     # loss_egoexo4d.py:152, --test_egovlp; test-only,
     # main_egoexo4d_distributed.py:606-607)
     test_egovlp: bool = False
-
-
-def _masked_mean(x, mask):
-    return jnp.sum(x * mask) / jnp.clip(jnp.sum(mask), 1e-6)
 
 
 def grounding_loss(

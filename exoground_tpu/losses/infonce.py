@@ -130,6 +130,9 @@ def symmetric_info_nce(video_embed, text_embed, temperature: float = 0.07):
     Returns (loss, per-direction dict) so callers can report both terms."""
     sim = jnp.einsum("bc,kc->bk", video_embed, text_embed) / temperature
     labels = jnp.arange(sim.shape[0])
-    loss_v = -jnp.take_along_axis(jax.nn.log_softmax(sim, axis=1), labels[:, None], 1).mean()
-    loss_t = -jnp.take_along_axis(jax.nn.log_softmax(sim, axis=0), labels[None, :], 0).mean()
+    # key naming follows the reference exactly (main_nce.py:37-45): sim rows
+    # are videos, so the softmax-over-TEXTS direction is 'loss-per-text'
+    # (cross_entropy(sim, target)) and softmax-over-videos is 'loss-per-video'
+    loss_t = -jnp.take_along_axis(jax.nn.log_softmax(sim, axis=1), labels[:, None], 1).mean()
+    loss_v = -jnp.take_along_axis(jax.nn.log_softmax(sim, axis=0), labels[None, :], 0).mean()
     return loss_v + loss_t, {"loss-per-video": loss_v, "loss-per-text": loss_t, "sim": sim}

@@ -34,7 +34,10 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from exoground_tpu.ops.masks import mask_from_time, masked_quantile, window_scan_kernel
+from exoground_tpu.ops.masks import (
+    mask_from_time, masked_mean as _masked_mean, masked_quantile,
+    window_scan_kernel,
+)
 
 NEG_FILL = -6e4
 TEMP = 0.07  # contrastive temperature (loss.py:67-72)
@@ -58,10 +61,6 @@ def _diag_batch(x: jnp.ndarray, col_offset=0) -> jnp.ndarray:
     br = x.shape[0]
     rows = jnp.arange(br)
     return x[rows, :, :, rows + col_offset, :]
-
-
-def _masked_mean(x, mask):
-    return jnp.sum(x * mask) / jnp.clip(jnp.sum(mask), 1e-6)
 
 
 def _masked_std(x, mask, axis=0):

@@ -64,6 +64,12 @@ def window_scan_kernel(durations: jnp.ndarray, num_timestamps: int) -> jnp.ndarr
     return w / denom
 
 
+def masked_mean(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean of ``x`` over entries where ``mask`` is truthy (weights allowed);
+    safe on an empty mask. Shared by the TAN and grounding losses."""
+    return jnp.sum(x * mask) / jnp.clip(jnp.sum(mask), 1e-6)
+
+
 def masked_quantile(x: jnp.ndarray, valid: jnp.ndarray, q: float) -> jnp.ndarray:
     """q-th quantile of ``x[valid]`` with linear interpolation (torch default).
 

@@ -46,6 +46,54 @@ class TestRetrievalMetrics:
         m = compute_retrieval_metrics(sim)
         assert m["R1"] == 0.0
 
+    def test_yc2_protocol_with_real_tower(self):
+        """End-to-end test_retrieval_yc2 with the documented feature-fn
+        contracts: visual_feature_fn(clips, mask, interp) wired to the real
+        TemporalAligner towers (the 3-arg shape the reference closure has,
+        eval_zeroshot_retrieval.py:181-185)."""
+        from exoground_tpu.evals import test_retrieval_yc2
+
+        d, f = 24, 32
+        model = TemporalAligner(
+            num_encoder_layers=1, num_joint_layers=1, width=f, heads=4,
+            max_pos=16, random_pos_start=0, attn_impl="xla",
+        )
+        rng = np.random.RandomState(0)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "pos": jax.random.PRNGKey(1)},
+            jnp.zeros((1, 8, d)), jnp.zeros((1, 2, d)),
+            jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
+        )
+
+        def visual_fn(clips, mask, interp):
+            assert mask.dtype == np.bool_ and mask.shape == clips.shape[:2]
+            kw = {} if interp is None else {"interpolate_from": interp}
+            return model.apply(
+                params, jnp.asarray(clips), jnp.asarray(mask),
+                method=type(model).get_visual_feature, **kw,
+            )
+
+        def text_fn(lang):
+            return model.apply(
+                params, jnp.asarray(lang),
+                method=type(model).get_textual_feature,
+            )
+
+        items = []
+        for i in range(6):
+            ln = 12 if i < 3 else 16  # second half exercises the interp path
+            clips = rng.randn(3, ln, d).astype(np.float32)
+            items.append({
+                "video": clips,
+                "start_idx": np.array([2, 1, 0]),
+                "end_idx": np.array([10, 9, 8]),
+                "text_embed": rng.randn(d).astype(np.float32),
+            })
+        m = test_retrieval_yc2(items, visual_fn, text_fn, seq_len=16)
+        for k in ("R1", "R5", "R10", "MR", "C-R1", "S-R1"):
+            assert k in m and np.isfinite(m[k]), (k, m)
+        assert 1.0 <= m["MR"] <= 6.0
+
 
 def _synthetic_video_item(seed, vlen=180, num_text=14, dim=32):
     rng = np.random.RandomState(seed)
@@ -273,6 +321,111 @@ def test_fused_grouping_invariance():
     for r in results[1:]:
         np.testing.assert_allclose(r["Recall"], results[0]["Recall"], atol=1e-9)
         np.testing.assert_allclose(r["AUC"], results[0]["AUC"], atol=1e-6)
+
+
+def test_sim_fn_alignability_stages_match_reference_protocol():
+    """Overlap-seq reads joint-head stage 2 ('3rd layer works the best',
+    eval_zeroshot_align.py:186); global mode reads the LAST stage (:213).
+    make_tan_sim_fn must expose both, sliced from the model's per-stage head
+    outputs."""
+    model = TemporalAligner(
+        num_encoder_layers=1, num_joint_layers=4, width=32, heads=4,
+        max_pos=64, use_alignability_head=1, random_pos_start=0,
+        attn_impl="xla",
+    )
+    rng = np.random.RandomState(3)
+    video = rng.randn(1, 16, 24).astype(np.float32)
+    text = rng.randn(1, 5, 24).astype(np.float32)
+    vmask = np.zeros((1, 16), bool)
+    tmask = np.zeros((1, 5), bool)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(video), jnp.asarray(text),
+        jnp.asarray(vmask), jnp.asarray(tmask),
+    )
+    out = model.apply(
+        params, jnp.asarray(video), jnp.asarray(text),
+        video_padding_mask=jnp.asarray(vmask), lang_padding_mask=jnp.asarray(tmask),
+        method=type(model).text_visual_sim,
+    )
+    res = make_tan_sim_fn(model, params)(video, vmask, text, tmask)
+    aj = np.asarray(out["alignability-joint"])  # (B, Stage, N, 1)
+    assert aj.shape[1] == 4
+    np.testing.assert_allclose(res["alignability-joint"], aj[:, 2, :, 0], rtol=1e-6)
+    np.testing.assert_allclose(res["alignability-joint-last"], aj[:, -1, :, 0], rtol=1e-6)
+    assert not np.allclose(aj[:, 2, :, 0], aj[:, -1, :, 0])  # distinct stages
+
+    # and the global-mode runner consumes the LAST stage: a head-mode global
+    # eval must produce AUC scores equal to the last-stage head outputs
+    item = {
+        "video": video[0], "start": np.array([1.0, 4.0, 8.0, 11.0, 14.0]),
+        "end": np.array([3.0, 7.0, 10.0, 13.0, 16.0]),
+        "aligned": np.array([1, 0, 1, 0, 1]),
+        "text_embed": text[0],
+    }
+    cfg = AlignEvalConfig(method="global", use_alignability_head=True,
+                          seq_len=16, global_len_bucket=16)
+    host = run_alignment_htm([item], make_tan_sim_fn(model, params), cfg)
+    assert np.isfinite(host["AUC"])
+
+
+def test_fused_matches_host_on_zero_window_and_uncovered_videos():
+    """Degenerate protocol cases must score identically in both evaluators
+    (eval_zeroshot_align.py:222-241: an all-NEG_FILL canvas row softmaxes
+    uniform and argmaxes to frame 0 — a HIT for a text starting in [0,1)):
+    - a video whose texts are ALL aligned (no non-alignable midpoints -> zero
+      active windows -> the fused plan emits a skip entry);
+    - a video whose aligned texts are never covered by any window mask
+      (non-alignable text only at index 0, early midpoints), placed at v0>0
+      inside a fused group so the global argmax would land before the video.
+    """
+    from exoground_tpu.evals import test_alignment_htm_fused
+
+    def normal_item(seed, vlen=60, n=6):
+        r = np.random.RandomState(seed)
+        aligned = np.array([1, 0, 1, 0, 1, 1])
+        centers = np.sort(r.rand(n)) * (vlen - 8) + 4
+        return {
+            "video": r.randn(vlen, 24).astype(np.float32),
+            "start": np.maximum(centers - 3, 0),
+            "end": np.minimum(centers + 3, vlen),
+            "aligned": aligned,
+            "text_embed": r.randn(n, 24).astype(np.float32),
+        }
+
+    r = np.random.RandomState(7)
+    all_aligned = {  # zero non-alignable texts -> zero windows -> skip
+        "video": r.randn(50, 24).astype(np.float32),
+        "start": np.array([0.5, 10.0, 30.0]),
+        "end": np.array([3.0, 14.0, 35.0]),
+        "aligned": np.array([1, 1, 1]),
+        "text_embed": r.randn(3, 24).astype(np.float32),
+    }
+    uncovered = {  # non-alignable only at index 0 with an early midpoint:
+        # every kept window's mask is [0..0], so aligned texts 1..3 have
+        # all-NEG_FILL canvas rows (uncovered). Text 1 starts in [0,1) ->
+        # host counts a hit; texts 2-3 start later -> misses.
+        "video": r.randn(60, 24).astype(np.float32),
+        "start": np.array([1.0, 0.5, 20.0, 40.0]),
+        "end": np.array([3.0, 4.0, 25.0, 44.0]),
+        "aligned": np.array([0, 1, 1, 1]),
+        "text_embed": r.randn(4, 24).astype(np.float32),
+    }
+    items = [normal_item(0), all_aligned, uncovered]
+
+    model = TemporalAligner(
+        num_encoder_layers=1, num_joint_layers=1, width=32, heads=4,
+        max_pos=128, attn_impl="xla",
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 24)), jnp.zeros((1, 2, 24)),
+        jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
+    )
+    cfg = AlignEvalConfig(seq_len=16, global_len_bucket=32, text_bucket=8,
+                          group_videos=4)
+    host = run_alignment_htm(items, make_tan_sim_fn(model, params), cfg)
+    fused = test_alignment_htm_fused(items, model, params, cfg)
+    np.testing.assert_allclose(fused["Recall"], host["Recall"], atol=1e-9)
+    np.testing.assert_allclose(fused["AUC"], host["AUC"], atol=1e-6)
 
 
 def test_fused_alignability_head_matches_host():

@@ -188,9 +188,15 @@ class TestInfoNCE:
         ref = F.cross_entropy(sim, labels) + F.cross_entropy(sim.T, labels)
         ours, parts = symmetric_info_nce(jnp.asarray(v), jnp.asarray(t))
         np.testing.assert_allclose(float(ours), ref.item(), rtol=1e-5)
+        # per-direction keys match the reference's naming (main_nce.py:37-45):
+        # 'loss-per-text' = cross_entropy(sim, .) (softmax over texts)
         np.testing.assert_allclose(
-            float(parts["loss-per-video"] + parts["loss-per-text"]),
-            ref.item(), rtol=1e-5,
+            float(parts["loss-per-text"]),
+            F.cross_entropy(sim, labels).item(), rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            float(parts["loss-per-video"]),
+            F.cross_entropy(sim.T, labels).item(), rtol=1e-5,
         )
 
 
