@@ -371,9 +371,17 @@ class EgoExo4DDataset:
                 return k
         return "unk"
 
-    def _exo_features_and_target(self, take, ego_cam, exo_cam, start, end, rng):
+    def _exo_features_and_target(self, take, ego_cam, exo_cam, start, end, rng,
+                                 read_features: bool = True):
         """Distillation views + per-second best/worst indices
-        (reference :327-393)."""
+        (reference :327-393).
+
+        ``read_features=False`` skips the per-view feature-file reads (up to
+        MAX_DISTILL_VIEWS full (T, 4096) windows) and returns a dummy feats
+        array — for callers that only need the rankings-derived outputs
+        (per_second_views for the rank-binned metrics). The reference reads
+        every view unconditionally (:482) even when the loss discards them.
+        """
         cfg = self.cfg
         uid = next(
             r["take_uid"] for r in self.src.split_rows if r["take_name"] == take
@@ -381,22 +389,38 @@ class EgoExo4DDataset:
         view_names = ["ego"] + [c.split(".")[0] for c in self.src.takes_cams[take]]
         if ego_cam != exo_cam and exo_cam in view_names:
             view_names.remove(exo_cam)
-        feats = [self.src.video_store.read(f"{take}_{ego_cam}", start, end)]
-        for c in view_names[1:]:
-            feats.append(self.src.video_store.read(f"{take}_{c}", start, end))
-        exo_feats = np.stack(feats, 0)  # (V, T, C)
+        if read_features:
+            feats = [self.src.video_store.read(f"{take}_{ego_cam}", start, end)]
+            for c in view_names[1:]:
+                feats.append(self.src.video_store.read(f"{take}_{c}", start, end))
+            exo_feats = np.stack(feats, 0)  # (V, T, C)
+        else:
+            exo_feats = np.zeros(
+                (min(len(view_names), MAX_DISTILL_VIEWS), 0, 0), np.float32
+            )
         v = exo_feats.shape[0]
         if v < MAX_DISTILL_VIEWS:
             exo_feats = np.pad(
                 exo_feats, ((0, MAX_DISTILL_VIEWS - v), (0, 0), (0, 0))
             )
+        elif v > MAX_DISTILL_VIEWS:
+            # the reference only pads UP to 7 (loader_egoexo4d.py:343-348):
+            # a take with more views would make its collate crash on ragged
+            # shapes. Truncate instead (and clamp indices below) so such
+            # takes train on their first 7 views rather than aborting.
+            exo_feats = exo_feats[:MAX_DISTILL_VIEWS]
 
         ranking = self.src.camera_rankings[uid]
         tgt = np.zeros(cfg.duration, np.int64)
         neg = np.zeros(cfg.duration, np.int64)
         per_second_views: List[str] = []
         for t in range(start, end):
-            rank = dict(ranking[str(t)])
+            # a second missing from camera_rankings falls through to the
+            # empty-rank path (ego-view target) like an empty dict does; the
+            # reference asserts-then-KeyErrors on such coverage gaps
+            # (loader_egoexo4d.py:355-356) — same crash class it tolerates
+            # for pose gaps, so robustness here is an intentional fix
+            rank = dict(ranking.get(str(t)) or {})
             if cfg.randomize_ranking:
                 vals = list(rank.values())
                 rng.shuffle(vals)
@@ -437,6 +461,10 @@ class EgoExo4DDataset:
             # an empty per-second ranking leaves tgt/neg at the ego view
             # (index 0) instead of reusing a stale neighbour or crashing
 
+        # clamp into the (possibly truncated) view axis — see MAX_DISTILL_VIEWS
+        # truncation above; indices only exceed it for >7-view takes
+        tgt = np.minimum(tgt, exo_feats.shape[0] - 1)
+        neg = np.minimum(neg, exo_feats.shape[0] - 1)
         valid = np.zeros((exo_feats.shape[0], cfg.duration), bool)
         valid[tgt, np.arange(cfg.duration)] = True  # reference :320-325
         return exo_feats, tgt, neg, valid, per_second_views
@@ -545,7 +573,11 @@ class EgoExo4DDataset:
         if cfg.use_distill_nce_loss or cfg.model in ("view_invariant", "joint"):
             exo_feats, tgt, ntgt, valid, per_second_views = (
                 self._exo_features_and_target(
-                    take, ego_cam, exo_cams[0], start, end, rng
+                    take, ego_cam, exo_cams[0], start, end, rng,
+                    # the distill tensors only reach the output dict under
+                    # use_distill_nce_loss (below); for rankings-only callers
+                    # skip the ~MAX_DISTILL_VIEWS full-window feature reads
+                    read_features=cfg.use_distill_nce_loss,
                 )
             )
         else:

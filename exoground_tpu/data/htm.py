@@ -109,6 +109,7 @@ class HTMFeatureDataset:
         # the store is npy-backed (csrc/exoground_io.cpp)
         self.defer_video_io = defer_video_io
         self.store = store or FeatureStore(cfg.video_feature_root, cfg.feature_suffixes)
+        self._feat_dim: Optional[int] = None  # probed once, constant per store
 
         if asr is None:
             with open(cfg.asr_json) as f:
@@ -201,9 +202,10 @@ class HTMFeatureDataset:
             vids = [it["_video"][0] for it in items]
             starts = [it["_video"][1] for it in items]
             ends = [it["_video"][2] for it in items]
-            dim = self.store.read(vids[0], 0, 1).shape[-1]
+            if self._feat_dim is None:
+                self._feat_dim = int(self.store.read(vids[0], 0, 1).shape[-1])
             video, vmask = self.store.read_windows(
-                vids, starts, ends, cfg.duration, dim
+                vids, starts, ends, cfg.duration, self._feat_dim
             )
             out = {"video": video, "video_padding_mask": vmask}
         else:

@@ -137,9 +137,11 @@ class LemmaDataset:
         video = self.video_store.read(f"{vid}_{exo_cam}", start, end)
 
         # constant 2-view distill target: ego(0) positive, exo(1) negative
-        # (reference :144-160)
-        ego_feats = self.video_store.read(f"{vid}_{ego_cam}", start, end)
-        exo_stack = np.stack([ego_feats, video], 0)
+        # (reference :144-160). The ego-track read only feeds the distill
+        # tensors, so skip it when the loss won't consume them.
+        if cfg.use_distill_nce_loss:
+            ego_feats = self.video_store.read(f"{vid}_{ego_cam}", start, end)
+            exo_stack = np.stack([ego_feats, video], 0)
         tgt = np.zeros(cfg.duration, np.int64)
         ntg = np.ones(cfg.duration, np.int64)
         valid = np.zeros((2, cfg.duration), bool)

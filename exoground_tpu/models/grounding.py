@@ -310,11 +310,19 @@ class GroundingModel(nn.Module):
         if self.vi_encoder_type == "mlp":
             self.vi_encoder = ViewInvariantMLP(video_embed_dim=self.video_embed_dim)
         elif self.vi_encoder_type == "transformer":
+            # forward the shared config the reference trainer passes to its
+            # VI model from the same args namespace as the grounding trunk
+            # (main_egoexo4d_distributed.py:628-644): pos-enc flavor, random
+            # pos start, and the multi-view tiling must match the trunk or
+            # the frozen pre-pass diverges from the checkpoint it restores
             self.vi_encoder = ViewInvariantEncoder(
                 num_encoder_layers=self.num_encoder_layers,
+                pos_enc=self.pos_enc,
+                random_pos_start=self.random_pos_start,
                 video_embed_dim=self.video_embed_dim,
                 feature_dim=self.feature_dim,
                 use_distill_nce_loss=True,
+                num_max_views=self.num_max_views if self.multi_view else 1,
                 attn_impl=self.attn_impl,
             )
         else:

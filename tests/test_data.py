@@ -581,3 +581,145 @@ def test_curriculum_fixed_ramp_uses_end_epoch_frac():
     assert abs(fix.curriculum_progress() - 0.7) < 1e-9
     fix.set_epoch(75)
     assert fix.curriculum_progress() == 1.0
+
+
+def test_egoexo4d_missing_ranking_second():
+    """A second absent from camera_rankings entirely (coverage gap, same
+    class as pose gaps) falls back to the ego-view target instead of
+    KeyError'ing inside the worker."""
+    src = _egoexo_fixture()
+    del src.camera_rankings["uid0"]["3"]
+    cfg = EgoExoConfig(
+        duration=20, hop_length=10, views="exo", feature_dim=24,
+        use_distill_nce_loss=True,
+    )
+    ds = EgoExo4DDataset(cfg, src, split="train")
+    idx = next(
+        i for i, w in enumerate(ds.windows)
+        if w["video_id"] == "take0" and int(w["start_sec"]) == 0
+    )
+    item = ds[idx]
+    assert item["view_rank_label"][3] == 0
+    assert item["view_rank_neg_label"][3] == 0
+
+
+def test_egoexo4d_excess_views_truncated():
+    """Takes with more than MAX_DISTILL_VIEWS cameras truncate to the first 7
+    views (the reference pads up but never truncates, so its collate would
+    crash on ragged shapes); rank labels are clamped into the kept view axis
+    so mixed batches still collate."""
+    src = _egoexo_fixture()
+    rng = np.random.RandomState(7)
+    extra = [f"cam{k:02d}" for k in range(10, 18)]  # 8 extra cams -> 11 views
+    src.takes_cams["take0"] = src.takes_cams["take0"] + [
+        f"{c}.mp4" for c in extra
+    ]
+    for cam in extra:
+        src.video_store.mem[f"take0_{cam}"] = (
+            rng.randn(60, 24).astype(np.float32)
+        )
+    cfg = EgoExoConfig(
+        duration=20, hop_length=10, views="exo", feature_dim=24,
+        use_distill_nce_loss=True,
+    )
+    ds = EgoExo4DDataset(cfg, src, split="train")
+    idx = next(
+        i for i, w in enumerate(ds.windows) if w["video_id"] == "take0"
+    )
+    item = ds[idx]
+    assert item["ego_video_features"].shape == (7, 20, 24)
+    assert item["valid_views_mask"].shape == (7, 20)
+    assert (item["view_rank_label"] < 7).all()
+    assert (item["view_rank_neg_label"] < 7).all()
+    other = next(
+        i for i, w in enumerate(ds.windows) if w["video_id"] == "take1"
+    )
+    batch = ds.collate_fn([ds[idx], ds[other]])
+    assert batch["ego_video_features"].shape == (2, 7, 20, 24)
+
+
+class _CountingStore(FeatureStore):
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.reads = []
+
+    def read(self, vid, start=None, end=None):
+        self.reads.append((vid, start, end))
+        return super().read(vid, start, end)
+
+
+def test_egoexo4d_rankings_only_skips_feature_reads():
+    """model='joint' without use_distill_nce_loss only needs per-second view
+    RANKINGS (string metadata); the per-view feature windows must not be
+    read (the reference reads all ~7 views unconditionally and discards
+    them). The rankings-derived outputs must match the reading path."""
+    src = _egoexo_fixture()
+    counting = _CountingStore(mem=src.video_store.mem)
+    src.video_store = counting
+    cfg = EgoExoConfig(
+        duration=20, hop_length=10, views="exo", feature_dim=24,
+        model="joint", use_distill_nce_loss=False,
+    )
+    ds = EgoExo4DDataset(cfg, src, split="train")
+    counting.reads.clear()
+    item = ds[0]
+    # exactly one read: the exo input track itself
+    assert len(counting.reads) == 1, counting.reads
+    assert "ego_video_features" not in item
+    views_fast = item["metadata"]["per_second_views"]
+
+    cfg2 = EgoExoConfig(
+        duration=20, hop_length=10, views="exo", feature_dim=24,
+        model="joint", use_distill_nce_loss=True,
+    )
+    ds2 = EgoExo4DDataset(cfg2, src, split="train")
+    item2 = ds2[0]
+    assert views_fast == item2["metadata"]["per_second_views"]
+    assert item["metadata"]["narr_ranks"] == item2["metadata"]["narr_ranks"]
+
+
+def test_lemma_skips_ego_read_without_distill():
+    """LEMMA's ego-track read only feeds the distill tensors; without
+    use_distill_nce_loss it must not touch the ego view."""
+    from exoground_tpu.data.lemma import LemmaConfig, LemmaDataset
+
+    rng = np.random.RandomState(3)
+    mem_v = {f"lv_{cam}": rng.randn(32, 24).astype(np.float32)
+             for cam in ("fpv1", "master")}
+    store = _CountingStore(mem=mem_v)
+    ds = LemmaDataset(
+        LemmaConfig(duration=16, hop_length=16, feature_dim=24),
+        split_rows=[{"video_id": "lv", "duration_sec": 32}],
+        annotations=[{"vid_name": "lv", "unique_narration_id": "n0",
+                      "start_frame": 0, "end_frame": 6 * 24,
+                      "narration": "HOI 0"}],
+        hoi_text_map={0: "text 0"},
+        video_store=store,
+        narration_store=FeatureStore(
+            mem={"0": rng.randn(1, 24).astype(np.float32)}
+        ),
+        split="train",
+    )
+    store.reads.clear()
+    item = ds[0]
+    assert len(store.reads) == 1 and not store.reads[0][0].endswith("fpv1")
+    assert "ego_video_features" not in item
+
+
+def test_htm_defer_collate_caches_dim():
+    """Deferred-IO collate probes the feature dim once per dataset, not once
+    per batch."""
+    mem, asr = _htm_fixture(n_vids=3)
+    store = _CountingStore(mem=mem)
+    ds = HTMFeatureDataset(
+        HTMConfig(duration=32, text_bucket=4), DummyTokenizer(),
+        mode="train", asr=asr, store=store, defer_video_io=True,
+    )
+    items = [ds[0], ds[1]]
+    store.reads.clear()
+    ds.collate_fn(items)
+    probes = [r for r in store.reads if r[1:] == (0, 1)]
+    assert len(probes) == 1
+    ds.collate_fn(items)
+    probes = [r for r in store.reads if r[1:] == (0, 1)]
+    assert len(probes) == 1, "dim probe must be cached across batches"

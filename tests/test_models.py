@@ -167,6 +167,34 @@ class TestGroundingModels:
         trunk_grads = jax.tree_util.tree_leaves(g["trunk"])
         assert any(float(jnp.abs(x).max()) > 0.0 for x in trunk_grads)
 
+    def test_grounding_model_vi_config_forwarded(self):
+        """The transformer VI pre-pass inherits the trunk's pos-enc config
+        (reference main_egoexo4d_distributed.py:628-644 passes the same args
+        namespace to both models): with pos_enc='sine' the VI encoder must
+        not create a learned pos table, and multi-view stitched inputs must
+        tile the VI pos table per view like the trunk."""
+        B, T, N, V = 2, 8, 3, 2
+        video = jnp.asarray(_rand(B, V * T, 64, seed=8))
+        text = jnp.asarray(_rand(B, N, 64, seed=9))
+        vmask = jnp.zeros((B, V * T), bool)
+        lmask = jnp.zeros((B, N), bool)
+        m = GroundingModel(
+            vi_encoder_type="transformer", pos_enc="sine", random_pos_start=0,
+            multi_view=True, num_max_views=V, num_encoder_layers=1,
+            num_decoder_layers=1, video_embed_dim=64, text_embed_dim=64,
+            feature_dim=32, attn_impl="xla",
+        )
+        p = m.init(jax.random.PRNGKey(0), video, text, vmask, lmask)
+        flat = {
+            "/".join(str(k.key) for k in path)
+            for path, _ in jax.tree_util.tree_flatten_with_path(p["params"])[0]
+        }
+        assert not any(
+            "vi_encoder" in k and "temporal_pos_embed" in k for k in flat
+        ), "sine pos-enc must not allocate a learned table in the VI encoder"
+        out = m.apply(p, video, text, vmask, lmask)
+        assert out["interval_preds"].shape[0] == B
+
 
 class TestWord2Vec:
     def test_tokenizer_and_model(self):
