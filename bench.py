@@ -492,7 +492,62 @@ class _Watchdog:
                 os._exit(3)
 
 
+def _wait_for_clear_tunnel(budget_s: float = 900.0) -> bool:
+    """Pre-flight: wait (bounded) for a responsive device before benching.
+
+    The tunnel's stalled/wedged regimes (PERF.md "measurement regimes") can
+    last from minutes to hours, and a wedge is often CLEARED by retrying
+    from a fresh process. Probing in subprocesses keeps this process's
+    device client untouched until a probe succeeds, and each probe uses a
+    fresh matmul shape so the persistent compile cache cannot fake a clear
+    signal. On budget exhaustion the bench proceeds anyway — the per-stage
+    watchdog then reports whatever stalls with partial results.
+
+    On CPU-only hosts the first probe succeeds instantly (no-op cost).
+    Budget override: EXOGROUND_BENCH_WAIT_S.
+    """
+    import subprocess
+    import sys
+
+    budget_s = float(os.environ.get("EXOGROUND_BENCH_WAIT_S", budget_s))
+    deadline = time.monotonic() + budget_s
+    attempt = 0
+    while True:
+        attempt += 1
+        dim = 512 + 13 * attempt + int(time.time()) % 7  # defeat compile cache
+        code = (
+            "import jax, jax.numpy as jnp\n"
+            f"x = jnp.ones(({dim}, {dim + 5}))\n"
+            "print(float((x @ x.T).sum()))\n"
+        )
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", code], capture_output=True, timeout=150
+            )
+            if r.returncode == 0:
+                if attempt > 1:
+                    print(
+                        f"# tunnel clear after {attempt} probes", flush=True
+                    )
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() > deadline:
+            print(
+                f"# tunnel still stalled after {attempt} probes / "
+                f"{int(budget_s)}s; benching anyway (watchdog armed)",
+                flush=True,
+            )
+            return False
+        time.sleep(45.0)
+
+
 def main():
+    # probe BEFORE this process touches the device client (backend init on a
+    # fully-stalled tunnel can itself hang); on CPU hosts the first probe
+    # succeeds instantly so this is free
+    _wait_for_clear_tunnel()
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/exoground_jax_cache")

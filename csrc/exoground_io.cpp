@@ -126,6 +126,22 @@ bool npy_open(const char* path, NpyFile* out) {
     ::close(fd);
     return false;
   }
+  // reject headers whose declared payload exceeds the mapped bytes: a file
+  // truncated mid-write keeps a valid header claiming the full shape, and
+  // copy_rows would otherwise memcpy past the mapping (SIGBUS). Division
+  // form avoids rows*cols overflow.
+  const uint64_t item = out->dtype == Dtype::F32 ? 4 : 2;
+  const uint64_t avail =
+      data_offset <= size_t(st.st_size) ? uint64_t(st.st_size) - data_offset : 0;
+  bool bounded = out->rows >= 0 && out->cols > 0 &&
+                 uint64_t(out->cols) <= avail / item &&
+                 (out->rows == 0 ||
+                  uint64_t(out->rows) <= avail / (uint64_t(out->cols) * item));
+  if (!bounded) {
+    ::munmap(map, st.st_size);
+    ::close(fd);
+    return false;
+  }
   out->fd = fd;
   out->map = map;
   out->map_size = st.st_size;

@@ -103,9 +103,11 @@ def make_tan_train_step(
 
     batch: video, text, video_padding_mask, text_padding_mask, start, end
     [, abs_text_pos]; leading dim sharded over the mesh. target_params is the
-    EMA twin (pass params when not cotraining); EMA update runs fused in the
-    same computation every step when ema_momentum is set (the trainer controls
-    cadence by passing ema_momentum=None steps). When ``text_tower_params``
+    EMA twin (pass params when not cotraining); when ``ema_momentum`` is set
+    — a BUILD-time constant baked into the compiled program, not a per-call
+    argument — the EMA update runs fused in the same computation every step.
+    A step built with ``ema_momentum=None`` never touches the twin; per-step
+    cadence would need two compiled steps. When ``text_tower_params``
     (frozen word2vec) is given, batches may carry 'token' (B, N, L) ids
     instead of 'text' features — the tower runs inside the step on device.
 
@@ -195,7 +197,9 @@ def make_tan_train_step(
                 cast_dtype=cdt,
             )
             if ema_momentum is None:
-                t_c2 = t_c  # teacher frozen this step: keep the carried cast
+                # non-cotrain build: the twin never changes, so keep the
+                # carried teacher cast instead of the optimizer's re-emit
+                t_c2 = t_c
             return params, target_params, opt_state, metrics, (p_c2, t_c2)
         if fused_opt:  # single-pass AdamW(+EMA), train/optim.py::FusedAdamWEMA
             params, opt_state, target_params = optimizer.step(
@@ -219,15 +223,20 @@ def make_tan_train_step(
         gathered["logits_dual"] = jnp.einsum(
             "astc,bkc->astbk", out["dual_feature_video"], text_n
         )
-        # joint volume needs joint text features; fall back to local when the
-        # model did not return them (gather then only widens the dual grid)
-        if "joint_feature_text" in out:
-            jt = jax.lax.all_gather(out["joint_feature_text"], DATA_AXIS, tiled=True)
-            gathered["logits_joint"] = jnp.einsum(
-                "astc,bskc->astbk", out["joint_feature_video"], jt
+        # the joint volume needs joint text features gathered too: tan_loss
+        # indexes BOTH grids with the global col_offset, so a local-sized
+        # joint grid would be silently mis-indexed on every shard but 0
+        # (jnp gather clamps out-of-range rows instead of erroring)
+        if "joint_feature_text" not in out:
+            raise ValueError(
+                "gather_negatives=True needs the model to return "
+                "joint_feature_text; a local-batch logits_joint cannot be "
+                "indexed with global column offsets"
             )
-        else:
-            gathered["logits_joint"] = out["logits_joint"]
+        jt = jax.lax.all_gather(out["joint_feature_text"], DATA_AXIS, tiled=True)
+        gathered["logits_joint"] = jnp.einsum(
+            "astc,bskc->astbk", out["joint_feature_video"], jt
+        )
         res = dict(out)
         res.update(gathered)
         return res

@@ -113,6 +113,13 @@ class AlignmentService:
         )
         k = te.shape[0]
         vlen = req.video.shape[0]
+        if (req.start is None) != (req.end is None):
+            raise ValueError(
+                "AlignRequest needs BOTH start and end (coarse per-text "
+                "timestamps) or neither (score all texts in all windows); "
+                f"got start={'set' if req.start is not None else 'None'}, "
+                f"end={'set' if req.end is not None else 'None'}"
+            )
         all_texts = req.start is None
         if all_texts:
             # no coarse timestamps: score every text in every window (the
@@ -200,8 +207,10 @@ class GroundingService:
                 f"video has {t} frames but the grounding model's window is "
                 f"{self.seq_len}; split the video into windows upstream"
             )
+        from exoground_tpu.utils.shapes import round_up
+
         tpad = self.seq_len
-        kpad = -(-k // self.text_bucket) * self.text_bucket
+        kpad = round_up(k, self.text_bucket)
         vb = np.zeros((1, tpad, video.shape[1]), np.float32)
         vb[0, : min(t, tpad)] = video[:tpad]
         nb = np.zeros((1, kpad, narration_embeds.shape[1]), np.float32)

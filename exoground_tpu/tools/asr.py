@@ -54,7 +54,19 @@ class WhisperASR:
             )
 
     def transcribe(self, audio_path: str) -> List[Dict]:
-        out = self._pipe(audio_path)
+        if self.task != "transcribe":
+            # Whisper routes translate-vs-transcribe through generation
+            # kwargs; without this the pipeline silently transcribes in the
+            # source language (reference passes task to whisperx.transcribe,
+            # transcribe_or_translate.py:95-101)
+            try:
+                out = self._pipe(
+                    audio_path, generate_kwargs={"task": self.task}
+                )
+            except TypeError:  # injected pipeline_fn without kwargs support
+                out = self._pipe(audio_path)
+        else:
+            out = self._pipe(audio_path)
         chunks = out.get("chunks") or out.get("segments") or []
         segs = []
         for c in chunks:

@@ -135,20 +135,27 @@ def merge_linebreaks(
         assert len(caps_) == len(starts_) == len(ends_)
         caps_tmp, starts_tmp, ends_tmp = caps_, starts_, ends_
 
-    # overlap -> midpoint (filters/utils.py:118-130)
+    # overlap -> midpoint (filters/utils.py:118-130). Sequential rather than
+    # the reference's vectorized form: each boundary is resolved against the
+    # CURRENT neighbour values, so a caption nested in its predecessor cannot
+    # end up with independently-adjusted boundaries that invert its span
+    # (start > end -> descending token timestamps downstream). Non-nested
+    # overlaps resolve to the same midpoints as the vectorized form.
     if len(caps_tmp) > 1:
         s_arr = np.asarray(starts_tmp, float)
         e_arr = np.asarray(ends_tmp, float)
-        overlap = s_arr[1:] - e_arr[:-1] < 0
-        if overlap.sum() > 0:
-            mid = np.stack([s_arr[1:], e_arr[:-1]]).mean(0)
-            # a caption fully nested in its predecessor would get a midpoint
-            # PAST its own end (inverted span -> descending token timestamps
-            # downstream); cap the boundary at the nested caption's end
-            mid = np.minimum(mid, e_arr[1:])
-            s_arr[1:][overlap] = mid[overlap]
-            e_arr[:-1][overlap] = mid[overlap]
-            assert (s_arr[1:] - e_arr[:-1] < 0).sum() == 0
+        changed = False
+        for i in range(len(s_arr) - 1):
+            if s_arr[i + 1] < e_arr[i]:
+                b = min((s_arr[i + 1] + e_arr[i]) / 2, e_arr[i + 1])
+                b = max(b, s_arr[i])  # keep caption i non-inverted
+                e_arr[i] = b
+                s_arr[i + 1] = b
+                if e_arr[i + 1] < s_arr[i + 1]:  # fully nested: collapse
+                    e_arr[i + 1] = s_arr[i + 1]
+                changed = True
+        if changed:
+            assert (s_arr[1:] >= e_arr[:-1]).all() and (e_arr >= s_arr).all()
             starts_tmp, ends_tmp = s_arr.tolist(), e_arr.tolist()
     return caps_tmp, starts_tmp, ends_tmp
 

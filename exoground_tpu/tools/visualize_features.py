@@ -69,6 +69,15 @@ def load_feature_dumps(base_dir: str) -> List[Dict]:
     return records
 
 
+def gather_positive_view(
+    target: np.ndarray,  # (V, T, C) multi-view bank
+    positive_idxs: np.ndarray,  # (T,) positive view index per timestep
+) -> np.ndarray:
+    """(T, C) per-timestep positive-view features (indices clipped into V)."""
+    t = target.shape[1]
+    return target[np.clip(positive_idxs, 0, target.shape[0] - 1), np.arange(t)]
+
+
 def cosine_similarity_heatmap(
     output: np.ndarray,  # (T, C)
     target: np.ndarray,  # (V, T, C) multi-view bank
@@ -76,8 +85,7 @@ def cosine_similarity_heatmap(
 ) -> np.ndarray:
     """(T, T) cosine similarity between output features and the positive
     view's target features (notebook compute_similarity_heatmap)."""
-    t = output.shape[0]
-    pos = target[np.clip(positive_idxs, 0, target.shape[0] - 1), np.arange(t)]
+    pos = gather_positive_view(target, positive_idxs)
     a = output / np.maximum(np.linalg.norm(output, axis=-1, keepdims=True), 1e-8)
     b = pos / np.maximum(np.linalg.norm(pos, axis=-1, keepdims=True), 1e-8)
     return a @ b.T
@@ -182,12 +190,7 @@ def visualize_dump_dir(
             groups.append(tgt.reshape(-1, tgt.shape[-1]))
             labels.append("all views")
             if "positive_idxs" in rec:
-                t = rec["output_features"].shape[0]
-                pos = tgt[
-                    np.clip(rec["positive_idxs"], 0, tgt.shape[0] - 1),
-                    np.arange(t),
-                ]
-                groups.append(pos)
+                groups.append(gather_positive_view(tgt, rec["positive_idxs"]))
                 labels.append("positive view")
                 written.append(plot_heatmap(
                     cosine_similarity_heatmap(

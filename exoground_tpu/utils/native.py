@@ -91,7 +91,7 @@ def npy_shape(path: str) -> Optional[Tuple[int, int]]:
             arr = np.load(path, mmap_mode="r")
         except (OSError, ValueError):
             return None
-        if arr.ndim > 2:  # native parser rejects N-D files; same contract
+        if arr.ndim > 2 or arr.ndim < 1:  # native parser: 1-D/2-D only
             return None
         return int(arr.shape[0]), int(arr.shape[1]) if arr.ndim > 1 else 1
     r, c = ctypes.c_int64(), ctypes.c_int64()
@@ -149,6 +149,8 @@ def gather_windows(
     for i, p in enumerate(paths):
         try:
             arr = np.load(p, mmap_mode="r")
+            if arr.ndim == 1:  # native parser reads (T,) as (T, 1)
+                arr = arr.reshape(-1, 1)
             if arr.ndim != 2 or arr.shape[1] != dim:
                 raise ValueError(
                     f"{p}: shape {arr.shape} incompatible with dim={dim}"

@@ -723,3 +723,58 @@ def test_htm_defer_collate_caches_dim():
     ds.collate_fn(items)
     probes = [r for r in store.reads if r[1:] == (0, 1)]
     assert len(probes) == 1, "dim probe must be cached across batches"
+
+
+def test_native_truncated_npy_rejected(tmp_path):
+    """A file truncated mid-write keeps a valid header claiming the full
+    shape; both the native parser (bounds check vs the mapped bytes) and the
+    numpy fallback must treat it as unreadable instead of reading past the
+    mapping (SIGBUS) or returning garbage."""
+    from exoground_tpu.utils import native as native_mod
+
+    p = str(tmp_path / "trunc.npy")
+    np.save(p, np.random.RandomState(0).randn(100, 16).astype(np.float32))
+    import os as _os
+    with open(p, "r+b") as f:
+        f.truncate(_os.path.getsize(p) - 2000)
+
+    assert native_mod.npy_shape(p) is None
+    v, m = native_mod.gather_windows(
+        [p], np.asarray([0]), np.asarray([50]), 50, 16, on_error="pad"
+    )
+    assert m[0].all() and (v[0] == 0).all()
+    with pytest.raises((IOError, ValueError)):
+        native_mod.gather_windows([p], np.asarray([0]), np.asarray([50]), 50, 16)
+
+
+def test_native_scalar_and_1d_npy_contract(tmp_path):
+    """0-d files probe to None on both paths; 1-D files read as (T, 1) on
+    both the native parser and the numpy fallback."""
+    from exoground_tpu.utils import native as native_mod
+
+    p0 = str(tmp_path / "scalar.npy")
+    np.save(p0, np.float32(3.0))
+    assert native_mod.npy_shape(p0) is None
+
+    p1 = str(tmp_path / "one_d.npy")
+    np.save(p1, np.arange(7, dtype=np.float32))
+    assert native_mod.npy_shape(p1) == (7, 1)
+    v, m = native_mod.gather_windows(
+        [p1], np.asarray([0]), np.asarray([7]), 8, 1
+    )
+    assert v[0, :7, 0].tolist() == list(range(7))
+    assert m[0, 7] and not m[0, :7].any()
+
+    # force the numpy fallback (monkeypatch get_lib) and re-check parity
+    real = native_mod.get_lib
+    try:
+        native_mod.get_lib = lambda: None
+        assert native_mod.npy_shape(p0) is None
+        assert native_mod.npy_shape(p1) == (7, 1)
+        v2, m2 = native_mod.gather_windows(
+            [p1], np.asarray([0]), np.asarray([7]), 8, 1
+        )
+        np.testing.assert_array_equal(v, v2)
+        np.testing.assert_array_equal(m, m2)
+    finally:
+        native_mod.get_lib = real

@@ -175,3 +175,18 @@ def test_grounding_service_rejects_long_video_and_handles_stage_preds():
     with pytest.raises(ValueError, match="window"):
         svc.ground(rng.randn(40, c).astype(np.float32),
                    rng.randn(3, c).astype(np.float32))
+
+
+def test_alignment_service_rejects_half_specified_window():
+    """start without end (or vice versa) is a protocol error with a clear
+    message, not an opaque np.asarray(None) TypeError deep in align()."""
+    model, params = _tan()
+    svc = AlignmentService(model, params, seq_len=16, transfer_dtype="float32")
+    rng = np.random.RandomState(0)
+    req = AlignRequest(
+        video=rng.randn(40, 24).astype(np.float32),
+        text_embeds=rng.randn(3, 16).astype(np.float32),
+        start=np.asarray([0.0, 5.0, 10.0]),
+    )
+    with pytest.raises(ValueError, match="BOTH start and end"):
+        svc.align(req)

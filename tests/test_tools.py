@@ -506,3 +506,40 @@ def test_asr_align_sentencify_chain():
     assert segs2[0]["text"] == "HI THERE CHEF"
     assert "words" not in segs2[0] and "words_native" in segs2[0]
     assert segs2[0]["text_native"] == "hi there chef"
+
+
+def test_merge_linebreaks_nested_caption_no_inversion():
+    """A caption fully nested in its predecessor, with the NEXT caption also
+    overlapping it, must not come out with start > end (descending token
+    timestamps downstream): spans stay monotone and non-inverted."""
+    c, s, e = merge_linebreaks(
+        ["span a", "span b", "span c"], [0.0, 10.0, 15.0], [100.0, 20.0, 200.0]
+    )
+    assert len(c) == 3
+    for ss, ee in zip(s, e):
+        assert ee >= ss
+    for i in range(len(s) - 1):
+        assert s[i + 1] >= e[i]
+
+
+def test_whisper_asr_forwards_translate_task():
+    """task='translate' must reach the pipeline's generate kwargs (otherwise
+    Whisper silently transcribes in the source language)."""
+    from exoground_tpu.tools.asr import WhisperASR
+
+    seen = {}
+
+    def pipe(path, **kw):
+        seen.update(kw)
+        return {"chunks": [{"timestamp": (0.0, 1.0), "text": "hola"}]}
+
+    asr = WhisperASR(pipeline_fn=pipe, task="translate")
+    segs = asr.transcribe("x.wav")
+    assert seen.get("generate_kwargs") == {"task": "translate"}
+    assert segs[0]["text"] == "hola"
+
+    # default task adds no kwargs (keeps injected simple pipelines working)
+    seen.clear()
+    asr2 = WhisperASR(pipeline_fn=pipe)
+    asr2.transcribe("x.wav")
+    assert "generate_kwargs" not in seen
