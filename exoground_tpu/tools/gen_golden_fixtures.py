@@ -226,12 +226,46 @@ def gen_grounding_loss():
     print("grounding_loss.npz:", len(out), "entries")
 
 
+def gen_vi_forward():
+    """Transformer ViewInvariantEncoder forward (vi_encoder.py:8-163),
+    multi-view config (num_max_views=2 pos tiling)."""
+    import torch
+
+    sys.path.insert(0, "/root/reference/model")
+    import vi_encoder as ref_vi
+
+    torch.manual_seed(0)
+    model = ref_vi.ViewInvariantEncoder(
+        num_encoder_layers=2, random_pos_start=0, video_embed_dim=48,
+        feature_dim=32, use_distill_nce_loss=True,
+        multi_view=True, num_max_views=2,
+    ).eval()
+    manifest = [(k, tuple(v.shape)) for k, v in model.state_dict().items()]
+    state = G.synth_state(manifest, seed=13)
+    model.load_state_dict(_to_torch_state(state))
+
+    video, ego = G.vi_encoder_inputs()
+    b, t = video.shape[:2]
+    with torch.no_grad():
+        ref = model(
+            torch.from_numpy(video), None,
+            torch.zeros(b, t, dtype=torch.bool), None,
+            egocentric_video_embed=torch.from_numpy(ego),
+        )
+    out = G.manifest_to_npz_fields(manifest)
+    out["out::low_dim_features"] = ref["low_dim_features"].numpy()
+    out["out::high_dim_features"] = ref["high_dim_features"].numpy()
+    np.savez_compressed(os.path.join(G.GOLDEN_DIR, "vi_forward.npz"), **out)
+    print("vi_forward.npz:", out["out::high_dim_features"].shape)
+
+
 def main():
     os.makedirs(G.GOLDEN_DIR, exist_ok=True)
     gen_tan_forward()
     gen_exoground_forward()
     gen_tan_loss()
     gen_grounding_loss()
+    gen_vi_forward()
 
 
 if __name__ == "__main__":

@@ -175,6 +175,28 @@ def convert_exoground_state_dict(state: Dict[str, np.ndarray]) -> Dict:
     return params
 
 
+def convert_vi_encoder_state_dict(state: Dict[str, np.ndarray]) -> Dict:
+    """Transformer ViewInvariantEncoder torch state dict -> flax params
+    (reference model/vi_encoder.py:8-163: pre-proj + pos-embed LNs +
+    TemporalEncoder + optional exo_feature_proj)."""
+    state = strip_prefix(state, "module.")
+    n_enc = _count_layers(state, "video_unimodal_encoder")
+    params = {
+        "video_unimodal_encoder": _encoder_stack(
+            state, "video_unimodal_encoder", n_enc
+        ),
+        "video_pre_proj": _dense(state, "video_pre_proj", bias=False),
+        "ln_video_init": _ln(state, "ln_video_init"),
+        "ln_position_init": _ln(state, "ln_position_init"),
+        "ln_video_post_enc": _ln(state, "ln_video_post_enc"),
+    }
+    if "temporal_pos_embed" in state:  # learned param or sine buffer
+        params["temporal_pos_embed"] = state["temporal_pos_embed"]
+    if "exo_feature_proj.weight" in state:
+        params["exo_feature_proj"] = _dense(state, "exo_feature_proj")
+    return params
+
+
 def convert_vi_mlp_state_dict(state: Dict[str, np.ndarray]) -> Dict:
     """ViewInvariantMLP torch state dict -> flax params
     (reference model/vi_encoder.py:166-256: pre_proj + LN + 2-layer MLP)."""
@@ -299,5 +321,13 @@ def convert_grounding_state_dict(
     }
     out = {"trunk": convert_exoground_state_dict(trunk_state)}
     if vi_state:
-        out["vi_encoder"] = convert_vi_mlp_state_dict(vi_state)
+        # MLP vs transformer VI checkpoints are distinguished by their keys
+        # (vi_encoder.py:166-256 vs :8-163)
+        is_tfm = any(
+            k.startswith("video_unimodal_encoder.") for k in vi_state
+        )
+        out["vi_encoder"] = (
+            convert_vi_encoder_state_dict(vi_state)
+            if is_tfm else convert_vi_mlp_state_dict(vi_state)
+        )
     return out

@@ -85,6 +85,16 @@ def exoground_inputs():
     return video, lang, vmask, lmask
 
 
+def vi_encoder_inputs():
+    """Mirror of tests/test_oracle_vi.py::test_vi_transformer_encoder_parity:
+    2-view stitched video for the multi-view pos-tiling path."""
+    b, t, c = 2, 20, 48
+    rng = np.random.RandomState(0)
+    video = rng.randn(b, t, c).astype(np.float32)
+    ego = rng.randn(b, t, c).astype(np.float32)
+    return video, ego
+
+
 def tan_loss_inputs(seed=0, b=3, s=2, t=24, n=5):
     """Mirror of tests/test_oracle_loss.py::_random_inputs."""
     rng = np.random.RandomState(seed)

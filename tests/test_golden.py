@@ -199,3 +199,31 @@ def test_golden_vi_infonce(same_view):
     np.testing.assert_allclose(np.asarray(l1), z["vi::l1"], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(pc), z["vi::pos_cos"], rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(nc), z["vi::neg_cos"], rtol=1e-4, atol=1e-5)
+
+
+def test_golden_vi_encoder_forward():
+    """Transformer ViewInvariantEncoder (multi-view pos tiling) against the
+    committed reference outputs — covers convert_vi_encoder_state_dict,
+    the seq_len = T//num_max_views pos slice, and the stage-mean protocol."""
+    import jax.numpy as jnp
+
+    from exoground_tpu.models.vi_encoder import ViewInvariantEncoder
+    from exoground_tpu.utils.convert import convert_vi_encoder_state_dict
+
+    z = np.load(os.path.join(G.GOLDEN_DIR, "vi_forward.npz"))
+    state = G.synth_state(G.manifest_from_npz(z), seed=13)
+    params = convert_vi_encoder_state_dict(state)
+    model = ViewInvariantEncoder(
+        num_encoder_layers=2, random_pos_start=0, video_embed_dim=48,
+        feature_dim=32, use_distill_nce_loss=True, num_max_views=2,
+        attn_impl="xla",
+    )
+    video, ego = G.vi_encoder_inputs()
+    b, t = video.shape[:2]
+    out = model.apply(
+        {"params": params}, jnp.asarray(video), None,
+        jnp.zeros((b, t), bool), None,
+        egocentric_video_embed=jnp.asarray(ego), deterministic=True,
+    )
+    for key in ("low_dim_features", "high_dim_features"):
+        assert _rel(out[key], z[f"out::{key}"]) < 2e-5, key

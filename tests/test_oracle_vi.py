@@ -109,3 +109,56 @@ def test_keystep_grounding_model_parity():
     d_ours = float(out["distill_infonce_loss"])
     d_ref = float(ref["distill_infonce_loss"])
     assert abs(d_ours - d_ref) / (abs(d_ref) + 1e-6) < 2e-4, (d_ours, d_ref)
+
+
+def test_vi_transformer_encoder_parity():
+    """Transformer ViewInvariantEncoder (reference vi_encoder.py:8-163) vs
+    ours through convert_vi_encoder_state_dict, incl. the multi-view pos
+    tiling (seq_len = T // num_max_views, repeated per view)."""
+    import torch
+
+    sys.path.insert(0, REF)
+    import vi_encoder as ref_vi
+
+    import jax.numpy as jnp
+
+    from exoground_tpu.models.vi_encoder import ViewInvariantEncoder
+    from exoground_tpu.utils.convert import convert_vi_encoder_state_dict
+
+    torch.manual_seed(0)
+    c, w, views = 48, 32, 2
+    tmodel = ref_vi.ViewInvariantEncoder(
+        num_encoder_layers=2, random_pos_start=0, video_embed_dim=c,
+        feature_dim=w, use_distill_nce_loss=True,
+        multi_view=True, num_max_views=views,
+    ).eval()
+
+    b, t = 2, 10 * views
+    rng = np.random.RandomState(0)
+    video = rng.randn(b, t, c).astype(np.float32)
+    ego = rng.randn(b, t, c).astype(np.float32)
+
+    with torch.no_grad():
+        ref = tmodel(
+            torch.from_numpy(video), None,
+            torch.zeros(b, t, dtype=torch.bool), None,
+            egocentric_video_embed=torch.from_numpy(ego),
+        )
+
+    state = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params = convert_vi_encoder_state_dict(state)
+    model = ViewInvariantEncoder(
+        num_encoder_layers=2, random_pos_start=0, video_embed_dim=c,
+        feature_dim=w, use_distill_nce_loss=True, num_max_views=views,
+        attn_impl="xla",
+    )
+    out = model.apply(
+        {"params": params}, jnp.asarray(video), None,
+        jnp.zeros((b, t), bool), None,
+        egocentric_video_embed=jnp.asarray(ego), deterministic=True,
+    )
+    for key in ("low_dim_features", "high_dim_features"):
+        a = np.asarray(out[key])
+        r = ref[key].numpy()
+        rel = np.abs(a - r).max() / (np.abs(r).max() + 1e-8)
+        assert rel < 2e-5, (key, rel)
