@@ -543,3 +543,58 @@ def test_whisper_asr_forwards_translate_task():
     asr2 = WhisperASR(pipeline_fn=pipe)
     asr2.transcribe("x.wav")
     assert "generate_kwargs" not in seen
+
+
+def test_gsam_correlation_end_to_end(tmp_path):
+    """gSAM_vis.ipynb counterpart: join + match + trendline + scenario stats
+    over a synthetic trainer dump where loss correlates with the SAM score."""
+    import json as _json
+
+    from exoground_tpu.tools import gsam_correlation as GS
+
+    rng = np.random.RandomState(0)
+    takes = [("uni_cooking_001", "cam01"), ("uni_covid_002", "cam02"),
+             ("uni_basketball_003", "gp03")]
+    gsam_map, csv_rows, results = {}, [], []
+    clip = 0
+    for vid, cam in takes:
+        real_id = f"{vid}_{cam}"
+        narrs, row = [], []
+        for j in range(4):
+            narr = f"{vid} step {j}"
+            sam = float(j) / 3.0
+            gsam_map[str(clip)] = sam
+            csv_rows.append({"clip_id": str(clip), "narration": narr,
+                             "video_id": real_id})
+            narrs.append(narr)
+            # loss increases with sam + noise -> positive slope
+            row.append(0.1 + 0.5 * sam + float(rng.rand()) * 0.01)
+            clip += 1
+        row.append(0.0)  # padded slot beyond the narration list
+        results.append({
+            "loss_dict": [row],
+            "metadata": {"video_id": [vid], "cam_id": [cam],
+                         "narration": [narrs]},
+        })
+
+    map_p = str(tmp_path / "map.json")
+    with open(map_p, "w") as f:
+        _json.dump(gsam_map, f)
+    csv_p = str(tmp_path / "keysteps.csv")
+    import csv as _csv
+    with open(csv_p, "w", newline="") as f:
+        w = _csv.DictWriter(f, fieldnames=["clip_id", "narration", "video_id"])
+        w.writeheader()
+        w.writerows(csv_rows)
+    res_p = str(tmp_path / "test_results_epoch_1.json")
+    with open(res_p, "w") as f:
+        _json.dump(results, f)
+
+    out = GS.main([res_p, "--gsam_map", map_p, "--keystep_csv", csv_p,
+                   "--out_dir", str(tmp_path / "viz")])
+    assert out["n_matched"] == 12
+    assert out["slope"] > 0.3  # planted correlation recovered
+    # scenario normalization: cooking/covid keep their words, numeric skipped
+    assert set(out["scenarios"]) == {"cooking", "covid", "basketball"}
+    assert (tmp_path / "viz" / "gsam_scatter.png").exists()
+    assert (tmp_path / "viz" / "scenario_bars.png").exists()
