@@ -119,6 +119,45 @@ class TestDataParallelStep:
         _, _, _, metrics = step(p, t, o, bs, jax.random.PRNGKey(1))
         assert np.isfinite(float(metrics["loss"]))
 
+    def test_gather_negatives_requires_joint_text_features(self):
+        """A model emitting only local joint logits (no joint_feature_text)
+        must be rejected at build/trace time: tan_loss indexes the joint grid
+        with GLOBAL column offsets, and jnp's clamping gather would make a
+        local-sized grid silently wrong on every shard but 0."""
+        import flax.linen as fnn
+
+        class DualOnly(fnn.Module):
+            @fnn.compact
+            def __call__(self, video, text, vmask, lmask, deterministic=True):
+                feat_v = fnn.Dense(8)(video)[:, None]          # (B, 1, T, C)
+                feat_t = fnn.Dense(8)(text)                    # (B, N, C)
+                dual = jnp.einsum("astc,bkc->astbk", feat_v, feat_t)
+                return {
+                    "dual_feature_video": feat_v,
+                    "dual_feature_text": feat_t,
+                    "logits_dual": dual,
+                    "logits_joint": dual,  # local-only joint grid
+                }
+
+        model = DualOnly()
+        batch = _batch(16, 12, 3, 24, seed=6)
+        params = model.init(
+            jax.random.PRNGKey(0), batch["video"], batch["text"],
+            batch["video_padding_mask"], batch["text_padding_mask"],
+        )["params"]
+        tx = make_optimizer(params, lr=1e-3, total_iterations=10)
+        mesh = make_mesh(8)
+        step = make_tan_train_step(
+            model, TANLossConfig(), tx, mesh, ema_momentum=None,
+            gather_negatives=True,
+        )
+        with pytest.raises(ValueError, match="joint_feature_text"):
+            step(
+                replicate(params, mesh), replicate(ema_init(params), mesh),
+                replicate(tx.init(params), mesh), shard_batch(batch, mesh),
+                jax.random.PRNGKey(1),
+            )
+
 
 class TestMixedPrecision:
     """bf16 model compute (the reference's AMP autocast equivalent,
