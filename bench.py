@@ -530,6 +530,17 @@ def _wait_for_clear_tunnel(budget_s: float = 900.0) -> bool:
                         f"# tunnel clear after {attempt} probes", flush=True
                     )
                 return True
+            # a FAST non-zero exit is responsive-but-broken (bad install,
+            # device held elsewhere) — not the hang-shaped stall this loop
+            # guards against; surface it and proceed so the bench's own
+            # error reporting names the real cause instead of burning the
+            # budget on a deterministic failure
+            print(
+                "# device probe failed (not a stall): "
+                + r.stderr.decode(errors="replace")[-300:].strip(),
+                flush=True,
+            )
+            return False
         except subprocess.TimeoutExpired:
             pass
         if time.monotonic() > deadline:

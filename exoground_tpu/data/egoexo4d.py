@@ -461,10 +461,14 @@ class EgoExo4DDataset:
             # an empty per-second ranking leaves tgt/neg at the ego view
             # (index 0) instead of reusing a stale neighbour or crashing
 
-        # clamp into the (possibly truncated) view axis — see MAX_DISTILL_VIEWS
-        # truncation above; indices only exceed it for >7-view takes
-        tgt = np.minimum(tgt, exo_feats.shape[0] - 1)
-        neg = np.minimum(neg, exo_feats.shape[0] - 1)
+        # indices pointing at views truncated away (>7-view takes, see
+        # MAX_DISTILL_VIEWS above) fall back to the ego view (0) — the same
+        # convention as empty rankings and missing negatives — instead of
+        # clamping: clamping both best and worst onto view 6 would make the
+        # distill loss pull toward and push away from the SAME view
+        kept = exo_feats.shape[0]
+        tgt = np.where(tgt < kept, tgt, 0)
+        neg = np.where(neg < kept, neg, 0)
         valid = np.zeros((exo_feats.shape[0], cfg.duration), bool)
         valid[tgt, np.arange(cfg.duration)] = True  # reference :320-325
         return exo_feats, tgt, neg, valid, per_second_views

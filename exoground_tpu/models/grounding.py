@@ -322,7 +322,12 @@ class GroundingModel(nn.Module):
                 video_embed_dim=self.video_embed_dim,
                 feature_dim=self.feature_dim,
                 use_distill_nce_loss=True,
-                num_max_views=self.num_max_views if self.multi_view else 1,
+                # unconditional, matching the trunk's forwarding above: a
+                # half-gated value would give the two submodules different
+                # pos-table tilings for the same stitched input (the
+                # reference normalizes num_max_views once at the args level,
+                # main_egoexo4d_distributed.py:609)
+                num_max_views=self.num_max_views,
                 attn_impl=self.attn_impl,
             )
         else:

@@ -58,13 +58,28 @@ class WhisperASR:
             # Whisper routes translate-vs-transcribe through generation
             # kwargs; without this the pipeline silently transcribes in the
             # source language (reference passes task to whisperx.transcribe,
-            # transcribe_or_translate.py:95-101)
+            # transcribe_or_translate.py:95-101). Capability is decided by
+            # SIGNATURE, not by catching TypeError around the call — that
+            # would both mask genuine pipeline TypeErrors and silently
+            # downgrade translate to transcribe on a retry.
+            import inspect
+
             try:
-                out = self._pipe(
-                    audio_path, generate_kwargs={"task": self.task}
+                sig = inspect.signature(self._pipe)
+                can_kw = any(
+                    p.kind is inspect.Parameter.VAR_KEYWORD
+                    or p.name == "generate_kwargs"
+                    for p in sig.parameters.values()
                 )
-            except TypeError:  # injected pipeline_fn without kwargs support
-                out = self._pipe(audio_path)
+            except (TypeError, ValueError):
+                can_kw = True  # uninspectable callables (HF pipelines): pass
+            if not can_kw:
+                raise RuntimeError(
+                    f"task={self.task!r} requires a pipeline accepting "
+                    "generate_kwargs; the injected pipeline_fn cannot "
+                    "express it"
+                )
+            out = self._pipe(audio_path, generate_kwargs={"task": self.task})
         else:
             out = self._pipe(audio_path)
         chunks = out.get("chunks") or out.get("segments") or []

@@ -71,27 +71,23 @@ def collect_loss_sam(
 
     Returns (loss, sam) tuples for matched narrations plus the
     scenario -> losses dict (scenario = second '_' token of
-    f"{video_id}_{cam_id}", i.e. the take name's scenario word)."""
+    f"{video_id}_{cam_id}", i.e. the take name's scenario word). Per-
+    narration flattening rides stratify_results.flatten_results — the same
+    dump traversal (and its ragged-row robustness) the other notebook
+    counterpart uses."""
+    from exoground_tpu.tools.stratify_results import flatten_results
+
     tuples: List[Tuple[float, float]] = []
     scenario: Dict[str, List[float]] = {}
-    for entry in results:
-        meta = entry["metadata"]
-        loss_rows = entry["loss_dict"]
-        for i, (vid, cam, narrs) in enumerate(
-            zip(meta["video_id"], meta["cam_id"], meta["narration"])
-        ):
-            real_id = f"{vid}_{cam}"
-            parts = real_id.split("_")
-            scen = parts[1] if len(parts) > 1 else parts[0]
-            bucket = scenario.setdefault(scen, [])
-            row = loss_rows[i]
-            for j, narr in enumerate(narrs):
-                if j >= len(row):
-                    break
-                sam = table.get((narr, real_id))
-                if sam is not None:
-                    tuples.append((float(row[j]), sam))
-                    bucket.append(float(row[j]))
+    for rec in flatten_results(results):
+        real_id = f"{rec['take']}_{rec['cam']}"
+        parts = real_id.split("_")
+        scen = parts[1] if len(parts) > 1 else parts[0]
+        bucket = scenario.setdefault(scen, [])
+        sam = table.get((rec["narration"], real_id))
+        if sam is not None:
+            tuples.append((rec["iou"], sam))
+            bucket.append(rec["iou"])
     return tuples, scenario
 
 
@@ -138,6 +134,12 @@ def scenario_stats(
     }
 
 
+def notebook_yerr(std: float, n: int) -> float:
+    """The notebook's error-bar quantity is std/len (cell 5) — neither std
+    nor the standard error (std/sqrt(n)); kept verbatim for figure parity."""
+    return std / max(n, 1)
+
+
 def plot_correlation(x, y, slope, intercept, out_png: str) -> str:
     import matplotlib
 
@@ -166,9 +168,9 @@ def plot_scenario_bars(stats, out_png: str) -> str:
 
     names = list(stats)
     means = [stats[k][0] for k in names]
-    stds = [stats[k][1] for k in names]
+    yerrs = [notebook_yerr(stats[k][1], stats[k][2]) for k in names]
     fig, ax = plt.subplots(figsize=(max(6, len(names)), 5))
-    ax.bar(range(len(names)), means, yerr=stds, capsize=3)
+    ax.bar(range(len(names)), means, yerr=yerrs, capsize=3)
     ax.set_xticks(range(len(names)))
     ax.set_xticklabels(names, rotation=45, ha="right")
     ax.set_ylabel("mean IoU / loss")

@@ -322,7 +322,9 @@ def convert_grounding_state_dict(
     out = {"trunk": convert_exoground_state_dict(trunk_state)}
     if vi_state:
         # MLP vs transformer VI checkpoints are distinguished by their keys
-        # (vi_encoder.py:166-256 vs :8-163)
+        # (vi_encoder.py:166-256 vs :8-163); strip the DDP prefix FIRST so
+        # 'module.'-saved external vi_state dicts route correctly
+        vi_state = strip_prefix(vi_state, "module.")
         is_tfm = any(
             k.startswith("video_unimodal_encoder.") for k in vi_state
         )

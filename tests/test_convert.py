@@ -358,3 +358,39 @@ class TestRealCheckpointFileIngestion:
             text_embeds=rng.randn(4, 4096).astype(np.float32),
         ))
         assert all(np.isfinite(resp_h["align_score"]))
+
+
+def test_grounding_vi_detection_strips_ddp_prefix():
+    """A DDP-saved ('module.'-prefixed) transformer VI sub-checkpoint must
+    route to the transformer converter, not KeyError in the MLP one."""
+    from exoground_tpu.utils.convert import convert_grounding_state_dict
+
+    c, dv = 16, 24
+    rng = np.random.RandomState(5)
+    # minimal trunk state (encoder-only, no decoder)
+    trunk = {}
+    for enc in ("multi_modal_encoder", "video_unimodal_encoder",
+                "text_unimodal_encoder"):
+        trunk.update(_torch_encoder_keys(rng, enc, 1, c))
+    trunk["grounding_head.weight"] = _rng_tensor(rng, 2, c)
+    trunk["grounding_head.bias"] = _rng_tensor(rng, 2)
+    trunk["video_pre_proj.weight"] = _rng_tensor(rng, c, dv)
+    trunk["text_pre_proj.weight"] = _rng_tensor(rng, c, dv)
+    for name in ("ln_text_init", "ln_video_init", "ln_position_init",
+                 "ln_joint_post_enc", "ln_video_post_enc", "ln_text_post_enc"):
+        trunk.update(_ln_keys(rng, name, c))
+    trunk["temporal_pos_embed"] = _rng_tensor(rng, 32, c)
+    trunk["text_temporal_pos_embed"] = _rng_tensor(rng, dv, c)
+
+    vi = _torch_encoder_keys(rng, "video_unimodal_encoder", 1, c)
+    vi["video_pre_proj.weight"] = _rng_tensor(rng, c, dv)
+    for name in ("ln_video_init", "ln_position_init", "ln_video_post_enc"):
+        vi.update(_ln_keys(rng, name, c))
+    vi["temporal_pos_embed"] = _rng_tensor(rng, 32, c)
+    vi["exo_feature_proj.weight"] = _rng_tensor(rng, dv, c)
+    vi["exo_feature_proj.bias"] = _rng_tensor(rng, dv)
+    vi_ddp = {f"module.{k}": v for k, v in vi.items()}
+
+    params = convert_grounding_state_dict(trunk, vi_state=vi_ddp)
+    assert "video_unimodal_encoder" in params["vi_encoder"]
+    assert "mlp_fc1" not in params["vi_encoder"]

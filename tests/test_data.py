@@ -778,3 +778,17 @@ def test_native_scalar_and_1d_npy_contract(tmp_path):
         np.testing.assert_array_equal(m, m2)
     finally:
         native_mod.get_lib = real
+
+
+def test_native_empty_2d_npy_accepted(tmp_path):
+    """A legitimate (0, C) file has zero payload bytes; the truncation
+    bounds check must not reject it (parity with the numpy fallback)."""
+    from exoground_tpu.utils import native as native_mod
+
+    p = str(tmp_path / "empty.npy")
+    np.save(p, np.zeros((0, 16), np.float32))
+    assert native_mod.npy_shape(p) == (0, 16)
+    v, m = native_mod.gather_windows(
+        [p], np.asarray([0]), np.asarray([4]), 4, 16
+    )
+    assert m[0].all() and (v[0] == 0).all()

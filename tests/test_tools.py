@@ -598,3 +598,18 @@ def test_gsam_correlation_end_to_end(tmp_path):
     assert set(out["scenarios"]) == {"cooking", "covid", "basketball"}
     assert (tmp_path / "viz" / "gsam_scatter.png").exists()
     assert (tmp_path / "viz" / "scenario_bars.png").exists()
+
+
+def test_whisper_asr_translate_requires_capable_pipeline():
+    """An injected pipeline that cannot accept generate_kwargs fails LOUDLY
+    under task='translate' instead of silently transcribing."""
+    from exoground_tpu.tools.asr import WhisperASR
+
+    import pytest
+
+    def rigid_pipe(path):
+        return {"chunks": []}
+
+    asr = WhisperASR(pipeline_fn=rigid_pipe, task="translate")
+    with pytest.raises(RuntimeError, match="generate_kwargs"):
+        asr.transcribe("x.wav")
