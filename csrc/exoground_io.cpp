@@ -133,10 +133,11 @@ bool npy_open(const char* path, NpyFile* out) {
   const uint64_t item = out->dtype == Dtype::F32 ? 4 : 2;
   const uint64_t avail =
       data_offset <= size_t(st.st_size) ? uint64_t(st.st_size) - data_offset : 0;
-  // rows == 0 is a legitimate empty (0, C) file with zero payload bytes —
-  // only files claiming rows must fit their declared payload in the mapping
-  bool bounded = out->rows >= 0 && out->cols > 0 &&
-                 (out->rows == 0 ||
+  // rows == 0 or cols == 0 is a legitimate empty (0, C)/(R, 0) file with
+  // zero payload bytes (np.load accepts both) — only files claiming elements
+  // must fit their declared payload in the mapping
+  bool bounded = out->rows >= 0 && out->cols >= 0 &&
+                 (out->rows == 0 || out->cols == 0 ||
                   (uint64_t(out->cols) <= avail / item &&
                    uint64_t(out->rows) <= avail / (uint64_t(out->cols) * item)));
   if (!bounded) {

@@ -229,21 +229,15 @@ class FusedAlignEvaluator:
         re-uploads features every sweep (eval_zeroshot_align.py:137-152
         .cuda() per video per eval)."""
         cfg = self._cfg_for(all_texts_active)
-        n_eval_dev = _n_eval_devices(cfg)
-        devices = jax.devices()[:n_eval_dev]
         entries = []
-        g_count = 0
-        for entry in _plan(dataset, cfg):
+        for entry in _placed_plan(dataset, cfg):
             if entry[0] == "skip":
                 entries.append(entry)
                 continue
-            _, dims, host_args, offsets = entry
-            dev_idx = g_count % n_eval_dev
-            target = devices[dev_idx] if n_eval_dev > 1 else None
+            _, dims, host_args, offsets, dev_idx, target = entry
             entries.append(
                 ("group", dims, tuple(_upload(host_args, target)), offsets, dev_idx)
             )
-            g_count += 1
         return PreloadedEval(tuple(entries), cfg)
 
     def dispatch_preloaded(self, pre: "PreloadedEval") -> List:
@@ -472,6 +466,29 @@ def _upload(host_args, target):
     return [jax.device_put(x, target) for x in host_args]
 
 
+def _placed_plan(dataset, cfg: AlignEvalConfig):
+    """_plan + round-robin device placement — the ONE place group→device
+    assignment lives, shared by the streaming (_dispatch) and HBM-resident
+    (FusedAlignEvaluator.preload) paths so both land identical groups on
+    identical chips.
+
+    Yields ("skip", start, end, aligned, num_text) passthroughs and
+    ("group", dims, host_args, offsets, dev_idx, target) entries, where
+    ``target`` is the jax device to upload to (None on single-device)."""
+    n_eval_dev = _n_eval_devices(cfg)
+    devices = jax.devices()[:n_eval_dev]
+    g_count = 0
+    for entry in _plan(dataset, cfg):
+        if entry[0] == "skip":
+            yield entry
+            continue
+        _, dims, host_args, offsets = entry
+        dev_idx = g_count % n_eval_dev
+        target = devices[dev_idx] if n_eval_dev > 1 else None
+        yield ("group", dims, host_args, offsets, dev_idx, target)
+        g_count += 1
+
+
 def _dispatch(dataset, process, cfg: AlignEvalConfig):
     """Upload + dispatch every planned group asynchronously (JAX dispatch
     returns immediately) so H2D uploads pipeline with device compute; with
@@ -483,19 +500,13 @@ def _dispatch(dataset, process, cfg: AlignEvalConfig):
     the video had no active windows).
     """
     pending = []
-    n_eval_dev = _n_eval_devices(cfg)
-    devices = jax.devices()[:n_eval_dev]
-    g_count = 0
-    for entry in _plan(dataset, cfg):
+    for entry in _placed_plan(dataset, cfg):
         if entry[0] == "skip":
             _, start, end, aligned, num_text = entry
             pending.append((start, end, aligned, num_text, 0, 0, None))
             continue
-        _, dims, host_args, offsets = entry
-        dev_idx = g_count % n_eval_dev
-        target = devices[dev_idx] if n_eval_dev > 1 else None
+        _, dims, host_args, offsets, dev_idx, target = entry
         out = process(dims, *_upload(host_args, target), device_index=dev_idx)
-        g_count += 1
         for start, end, aligned, num_text, t0, v0 in offsets:
             pending.append((start, end, aligned, num_text, t0, v0, out))
     return pending

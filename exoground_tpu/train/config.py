@@ -16,6 +16,7 @@ import argparse
 import dataclasses
 import json
 import os
+import sys
 from dataclasses import dataclass
 from datetime import datetime
 from typing import List, Optional, Tuple
@@ -187,6 +188,10 @@ class ExperimentConfig:
         )
         if self.dataset == "htm-aa":
             assert self.model == "s3d", "--dataset htm-aa trains the S3D backbone"
+        if self.model == "s3d":
+            assert self.dataset == "htm-aa", (
+                "--model s3d is the end2end HTM-AA pipeline (end2end/main_nce.py)"
+            )
         assert not (self.views == "ego" and self.use_distill_nce_loss)
         if self.curriculum_train:
             assert self.exos == "all"
@@ -239,8 +244,15 @@ def parse_args(argv: Optional[List[str]] = None, dataset: Optional[str] = None) 
     cfg = ExperimentConfig(**kw)
     if dataset:
         cfg.dataset = dataset
-    if cfg.dataset == "htm-aa" and cfg.model == defaults.model:
-        cfg.model = "s3d"  # the e2e pipeline's only model (end2end/config.py:9)
+    # the e2e pipeline's only model (end2end/config.py:9): default --model to
+    # s3d ONLY when the user did not pass --model at all — an explicit
+    # `--model joint` must reach validate() and raise, not be rewritten
+    raw_argv = sys.argv[1:] if argv is None else argv
+    model_given = any(
+        a == "--model" or a.startswith("--model=") for a in raw_argv
+    )
+    if cfg.dataset == "htm-aa" and not model_given:
+        cfg.model = "s3d"
     if kw["fps"] is None:  # explicit --fps always wins; else re-resolve for
         cfg.fps = _DEFAULT_FPS.get(cfg.dataset, 30)  # the overridden dataset
     return cfg.validate()

@@ -117,6 +117,11 @@ class BaseTrainer:
         }
         if getattr(self, "is_cotrain", False):
             state["target_state_dict"] = jax.device_get(self.target_params)
+        if getattr(self, "batch_stats", None) is not None:
+            # S3D BN running stats are learned state when train_bn (reference
+            # main_nce.py trains BN unless --freezeBN); losing them across a
+            # resume would re-normalize with init-time statistics
+            state["batch_stats"] = jax.device_get(self.batch_stats)
         return state
 
     def save_epoch(self, epoch: int, is_best: bool = False, keep_all: bool = False):
@@ -184,6 +189,10 @@ class BaseTrainer:
             self.target_params = restore_into(
                 jax.device_get(self.target_params), src
             )
+        if getattr(self, "batch_stats", None) is not None and "batch_stats" in blob:
+            self.batch_stats = restore_into(
+                jax.device_get(self.batch_stats), blob["batch_stats"]
+            )
         self._replicate()
 
     def _replicate(self):
@@ -191,6 +200,8 @@ class BaseTrainer:
         self.opt_state = replicate(self.opt_state, self.mesh)
         if getattr(self, "target_params", None) is not None:
             self.target_params = replicate(self.target_params, self.mesh)
+        if getattr(self, "batch_stats", None) is not None:
+            self.batch_stats = replicate(self.batch_stats, self.mesh)
 
     def _prefetched(self, loader, depth: int = 2):
         """prepare_batch + device placement ``depth`` batches ahead: H2D DMA
@@ -799,7 +810,9 @@ class S3DTrainer(BaseTrainer):
     60-137, 275-403): symmetric InfoNCE between S3D video embeddings and the
     MIL-NCE sentence embedding, frozen BN, frozen early blocks.
 
-    params = {'s3d': ..., 'text': ...}; batch_stats stay frozen (FrozenBN).
+    params = {'s3d': ..., 'text': ...}. BN running stats (batch_stats) are
+    trained by default (reference default) and checkpointed; --freezeBN
+    freezes them (end2end/freeze_bn.py FrozenBN semantics).
     """
 
     def __init__(
@@ -832,8 +845,7 @@ class S3DTrainer(BaseTrainer):
             backbone_lr=lr_backbone or None, backbone_keys=("s3d",),
         )
         self.opt_state = self.tx.init(self.params)
-        self._replicate()
-        self.batch_stats = replicate(self.batch_stats, self.mesh)
+        self._replicate()  # params + opt_state + batch_stats
         # --freezeBN keeps BN buffers frozen (end2end/freeze_bn.py); the
         # reference's default mode trains the running stats
         self.train_bn = not getattr(cfg, "freezeBN", True)
@@ -852,7 +864,7 @@ class S3DTrainer(BaseTrainer):
                                 s3d_state["params"]),
             "text": jax.device_get(self.params["text"]),
         }
-        self.batch_stats = replicate(s3d_state["batch_stats"], self.mesh)
+        self.batch_stats = s3d_state["batch_stats"]
         self._replicate()
 
     def train_epoch(self, loader, epoch: int) -> float:

@@ -792,3 +792,12 @@ def test_native_empty_2d_npy_accepted(tmp_path):
         [p], np.asarray([0]), np.asarray([4]), 4, 16
     )
     assert m[0].all() and (v[0] == 0).all()
+
+def test_native_empty_cols_npy_accepted(tmp_path):
+    """A legitimate (R, 0) file also has zero payload bytes; the native
+    parser must match the numpy fallback instead of treating it as corrupt."""
+    from exoground_tpu.utils import native as native_mod
+
+    p = str(tmp_path / "emptycols.npy")
+    np.save(p, np.zeros((5, 0), np.float32))
+    assert native_mod.npy_shape(p) == (5, 0)

@@ -278,3 +278,47 @@ def test_s3d_trainer_loop():
     assert np.isfinite(loss)
     assert trainer.iteration == 2
     trainer.close()
+
+def test_s3d_trainer_checkpoints_batch_stats(tmp_path):
+    """With the default train_bn (no --freezeBN) the BN running stats are
+    learned state: they must survive a save/load round trip, or a resumed
+    run re-normalizes with init-time statistics."""
+    from exoground_tpu.train import ExperimentConfig, S3DTrainer
+
+    rng = np.random.RandomState(1)
+    batch = {
+        "video": rng.rand(8, 1, 8, 32, 32, 3).astype(np.float32),
+        "token": rng.randint(1, 50, (8, 6)).astype(np.int32),
+    }
+    text_params = {
+        "word_embd": rng.randn(50, 12).astype(np.float32),
+        "fc1": {"kernel": rng.randn(12, 20).astype(np.float32),
+                "bias": np.zeros(20, np.float32)},
+        "fc2": {"kernel": rng.randn(20, 16).astype(np.float32),
+                "bias": np.zeros(16, np.float32)},
+    }
+    cfg = ExperimentConfig(model="init", epochs=1, lr=1e-4, dp_devices=2,
+                           model_path=str(tmp_path))
+    trainer = S3DTrainer(S3D(num_classes=16), cfg, batch, text_params,
+                         iters_per_epoch=1)
+    assert trainer.train_bn  # default: reference trains BN stats
+    init_stats = jax.tree_util.tree_leaves(jax.device_get(trainer.batch_stats))
+    trainer.train_epoch([batch], epoch=0)
+    trained_stats = jax.device_get(trainer.batch_stats)
+    # the step actually moved the running stats (otherwise this test is vacuous)
+    moved = any(
+        not np.allclose(a, b)
+        for a, b in zip(init_stats, jax.tree_util.tree_leaves(trained_stats))
+    )
+    assert moved
+    trainer.save_epoch(0)
+    trainer.close()
+
+    fresh = S3DTrainer(S3D(num_classes=16), cfg, batch, text_params,
+                       iters_per_epoch=1)
+    fresh.load_checkpoint(str(tmp_path / "epoch0.pth.tar"), mode="resume")
+    restored = jax.device_get(fresh.batch_stats)
+    for a, b in zip(jax.tree_util.tree_leaves(trained_stats),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    fresh.close()

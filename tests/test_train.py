@@ -52,6 +52,21 @@ def test_config_validation():
         ).validate()
 
 
+def test_config_model_dataset_routing():
+    """--dataset htm-aa defaults the model to s3d only when --model was NOT
+    passed; explicit mismatches raise instead of being silently rewritten,
+    and s3d is rejected outside the e2e pipeline."""
+    from exoground_tpu.train.config import parse_args
+
+    assert parse_args(["--dataset", "htm-aa"]).model == "s3d"
+    with pytest.raises(AssertionError):
+        parse_args(["--dataset", "htm-aa", "--model", "joint"])
+    with pytest.raises(AssertionError):
+        parse_args(["--dataset", "htm-aa", "--model=joint"])
+    with pytest.raises(AssertionError):
+        parse_args(["--dataset", "egoexo4d", "--model", "s3d"])
+
+
 def test_config_fps_resolution():
     """fps=None resolves per dataset at CONSTRUCTION (programmatic users
     never see None); explicit fps wins everywhere, including through
