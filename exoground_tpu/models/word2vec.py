@@ -53,6 +53,14 @@ class Word2VecTokenizer:
         ids.extend([0] * (self.max_words - len(ids)))
         return ids
 
+    def tokenize(self, inputs: Union[str, List[str]]):
+        """sentence -> [word, ...] or [sentence, ...] -> [[word, ...], ...]
+        (reference :52-58). NB unlike the reference, __call__ always returns
+        BATCHED (B, max_words) arrays — a str input is a batch of one."""
+        if isinstance(inputs, str):
+            return self._split(inputs)
+        return [self._split(s) for s in inputs]
+
     def __call__(
         self, inputs: Union[str, List[str]], padding: bool = True, **_
     ) -> Dict[str, np.ndarray]:
