@@ -457,3 +457,71 @@ def test_curriculum_phased_targets_match(ref_cls, world, tmp_path, monkeypatch):
         ref.set_phase(phase)
         ours.set_phase(phase)
         _compare_all_items(ours, ref, f"phased p={phase}", skip=skip)
+
+def _ref_tan_loader(world, tmp_path, **flags):
+    """Reference EgoExo4DDataLoaderTAN via the same __new__ technique
+    (loader_egoexo4d_tan.py:18-118 sets the same attribute surface)."""
+    import pandas as pd
+
+    model_dir = os.path.join(REF_ROOT, "model")
+    if model_dir not in sys.path:  # tan loader imports word2vec_model
+        sys.path.insert(0, model_dir)
+    from data.loader_egoexo4d_tan import EgoExo4DDataLoaderTAN
+
+    obj = EgoExo4DDataLoaderTAN.__new__(EgoExo4DDataLoaderTAN)
+    cfg = dict(_REF_DEFAULTS, **flags)
+    for k, v in cfg.items():
+        setattr(obj, k, v)
+    obj.multi_view = cfg["views"] == "multi"
+    obj.current_phase = 0
+    obj.tokenizer = None
+    obj.camera_rankings = world["rankings"]
+    obj.best_exo_annotations = {}
+    obj.annotations = pd.read_csv(world["annos_csv"])
+    obj.split_data = pd.read_csv(world["split_csv"])
+    obj.video_feature_path = world["vfeat"]
+    obj.narration_feature_path = world["nfeat"]
+    obj.takes_path = world["vids_dir"]
+    obj.windows_path = str(tmp_path)
+    obj.window_csv_path = str(tmp_path / "ref_tan_windows.csv")
+    obj.precompute_windows()
+    return obj
+
+
+def test_tan_variant_items_match(ref_cls, world, tmp_path):
+    """EgoExo4DDataLoaderTAN (loader_egoexo4d_tan.py:270-342): raw video +
+    long-zeros padding mask, clamped unnormalized start/end lists, 4096-d
+    padded narration features."""
+    from exoground_tpu.data.egoexo4d import (
+        EgoExo4DTANDataset, EgoExoConfig, EgoExoSource,
+    )
+
+    ref = _ref_tan_loader(world, tmp_path, split="val", views="exo",
+                          model="joint", use_distill_nce_loss=False)
+    src = EgoExoSource.from_paths(
+        split_csv=world["split_csv"], annotations_csv=world["annos_csv"],
+        camera_rankings_json=world["rankings_json"],
+        takes_json=world["takes_json"], video_feature_root=world["vfeat"],
+        narration_feature_root=world["nfeat"],
+    )
+    ours = EgoExo4DTANDataset(
+        EgoExoConfig(duration=DUR, hop_length=HOP, fps=FPS, feature_dim=NDIM,
+                     views="exo", model="joint"),
+        src, split="val",
+    )
+    assert sorted(_our_window_keys(ours)) == sorted(_ref_window_keys(ref))
+    ref_by_key = {}
+    for pos, (_, r) in enumerate(ref.windows.iterrows()):
+        ref_by_key.setdefault(_window_key(r), []).append(pos)
+    for i, w in enumerate(ours.windows):
+        j = ref_by_key[_window_key(w)].pop(0)
+        o, r = ours[i], ref[j]
+        for k in ("video", "padding_mask", "narration_features",
+                  "narration_padding_mask"):
+            np.testing.assert_allclose(
+                np.asarray(o[k], np.float64),
+                np.asarray(r[k].numpy(), np.float64), atol=1e-6, err_msg=k,
+            )
+        np.testing.assert_allclose(o["start"], r["start"], atol=1e-9)
+        np.testing.assert_allclose(o["end"], r["end"], atol=1e-9)
+        assert o["metadata"]["narrations"] == r["metadata"]["narrations"]
