@@ -44,10 +44,15 @@ class HTMConfig:
     seed: int = 0
 
 
-def _clip_sentences(cap, start_ts, end_ts, duration, tokenizer, token_len):
+def _clip_sentences(cap, start_ts, end_ts, duration, tokenizer, token_len,
+                    break_on_empty_trim=True):
     """Walk sentences from the anchor forward, trimming into the window
     (loader_htm.py:202-227). cap: dict of lists text/start/end(/aligned).
-    Returns lists (texts, tokens, starts, ends[, aligned])."""
+    Returns lists (texts, tokens, starts, ends[, aligned]).
+
+    ``break_on_empty_trim``: loader_htm.py:218-219 stops at a sentence whose
+    trimmed span is empty, but loader_htm_align.py:112-137 has NO such check
+    and appends the zero-width segment — HTMAlignDataset passes False."""
     texts, tokens, starts, ends, aligned = [], [], [], [], []
     has_flag = "aligned" in cap
     n = len(cap["text"])
@@ -66,7 +71,7 @@ def _clip_sentences(cap, start_ts, end_ts, duration, tokenizer, token_len):
         token = np.pad(token, (0, token_len - token.shape[0]))
         trim_s = max(s - start_ts, 0)
         trim_e = min(e - start_ts, duration)
-        if trim_e == trim_s:
+        if break_on_empty_trim and trim_e == trim_s:
             break
         if int(np.sum(token != 0)) == 0:  # all stop words (loader_htm.py:221)
             break
@@ -312,7 +317,8 @@ class HTMAlignDataset:
         end_ts = start_ts + cfg.duration
         cap = {**seg, "_anchor": anchor}
         clipped = _clip_sentences(
-            cap, start_ts, end_ts, cfg.duration, self.tokenizer, cfg.token_len
+            cap, start_ts, end_ts, cfg.duration, self.tokenizer, cfg.token_len,
+            break_on_empty_trim=False,  # loader_htm_align.py has no trim break
         )
         if not clipped["text"]:
             # anchor sentence itself can clip away (sub-second segment or

@@ -26,7 +26,7 @@ def stub_missing_modules():
     """Stub the reference loss modules' heavyweight imports that aren't in
     this environment (ffmpeg-python, moviepy, torchvision). Installed modules
     are never shadowed."""
-    for name in ("ffmpeg", "cv2"):
+    for name in ("ffmpeg", "cv2", "lmdb", "spacy"):
         if _missing(name):
             sys.modules[name] = _make_stub(name)
     if _missing("moviepy"):

@@ -194,3 +194,101 @@ def test_htm_anchor_distribution_matches(ref_mod, world):
                 # broke at it — the loader_htm.py:221 branch, non-vacuously
                 hit_break_after_accumulate = True
     assert hit_break_after_accumulate
+
+# ------------------------------------------------- HTM_Align window protocol
+
+ALIGN_ANNO = {
+    # [aligned, start, end, text]; includes a zero-width-after-trim segment:
+    # anchor at 9.4 -> start_ts = ceil(9.4) = 10; the 8.6-9.8 sentence rounds
+    # to [9, 10] (e-s=1 passes) but trims to [0, 0] — the reference APPENDS
+    # the zero-width segment (loader_htm_align.py:112-137 has no trim break)
+    "avid_norm": [
+        [1, 1.3, 4.9, "add the flour"], [0, 5.2, 9.1, "mix well now"],
+        [1, 9.4, 14.3, "stir and wait"], [0, 15.1, 19.8, "pour water"],
+        [1, 21.0, 25.7, "slice the bread"], [0, 28.2, 33.5, "well done"],
+        [1, 38.5, 39.9, "add water"],
+    ],
+    "avid_edge": [
+        # anchor at 9.4 -> start_ts = ceil(9.4) = 10; (9.4, 9.9) rounds to
+        # [9, 10] (e-s = 1 passes) and trims to [0, 0]: zero-width appended
+        [0, 2.1, 6.0, "mix the water"], [1, 9.4, 9.9, "stir it"],
+        [0, 9.4, 13.2, "pour the water"], [1, 14.8, 18.4, "slice bread"],
+        [0, 20.5, 24.0, "wait now"], [1, 27.0, 32.0, "bread done now"],
+    ],
+}
+
+
+def _ref_align_loader(ref_mod, world_align_root):
+    import word2vec_model as ref_w2v
+    from data import loader_htm_align
+
+    tok = ref_w2v.Word2VecTokenizer.__new__(ref_w2v.Word2VecTokenizer)
+    tok.word_to_token = dict(VOCAB)
+    tok.token_to_word = {v: k for k, v in VOCAB.items()}
+    tok.max_words = 32
+
+    obj = loader_htm_align.HTM_Align.__new__(loader_htm_align.HTM_Align)
+    obj.video_feature_path = world_align_root
+    obj.tokenizer = tok
+    obj.duration = DUR
+    obj.anno = ALIGN_ANNO
+    obj.video_info = sorted(ALIGN_ANNO.keys())
+    return obj
+
+
+def test_htm_align_window_items_match_reference(ref_mod, tmp_path):
+    from exoground_tpu.data.htm import HTMAlignDataset, HTMConfig
+    from exoground_tpu.models.word2vec import Word2VecTokenizer
+
+    r = np.random.RandomState(5)
+    for vid in ALIGN_ANNO:
+        np.save(str(tmp_path / f"{vid}.mp4.npy"),
+                r.randn(42, VDIM).astype(np.float32))
+
+    ref = _ref_align_loader(ref_mod, str(tmp_path))
+    cfg = HTMConfig(video_feature_root=str(tmp_path), duration=DUR,
+                    token_len=32, text_bucket=8)
+    ours = HTMAlignDataset(
+        cfg, Word2VecTokenizer(dict(VOCAB), max_words=32), mode="window",
+        anno=ALIGN_ANNO,
+    )
+    assert ref.video_info == ours.video_info
+
+    saw_zero_width = False
+    for i, vid in enumerate(ref.video_info):
+        for seed in range(30):
+            np.random.seed(seed)
+            rit = ref[i]
+            # pin our per-index RandomState to the same MT19937 stream
+            import exoground_tpu.data.htm as htm_mod
+            orig = np.random.RandomState
+            ours_item = None
+            try:
+                ours.cfg.seed = 0
+                real_rs = np.random.RandomState
+
+                class Pinned(real_rs):
+                    def __init__(self, _ignored=None):
+                        super().__init__(seed)
+
+                htm_mod.np.random.RandomState = Pinned
+                ours_item = ours[i]
+            finally:
+                htm_mod.np.random.RandomState = orig
+            ctx = (vid, seed)
+            assert ours_item["_texts"]["text"] == rit["text"], ctx
+            np.testing.assert_allclose(
+                ours_item["_texts"]["start"], rit["start"], err_msg=str(ctx))
+            np.testing.assert_allclose(
+                ours_item["_texts"]["end"], rit["end"], err_msg=str(ctx))
+            assert ours_item["_texts"]["aligned"] == rit["align"], ctx
+            np.testing.assert_allclose(
+                np.stack(ours_item["_texts"]["token"]),
+                np.stack([t.numpy() for t in rit["token"]]), err_msg=str(ctx))
+            np.testing.assert_allclose(
+                np.asarray(ours_item["_video"], np.float64),
+                np.asarray(rit["video"].numpy(), np.float64),
+                err_msg=str(ctx))
+            if any(s == e for s, e in zip(rit["start"], rit["end"])):
+                saw_zero_width = True
+    assert saw_zero_width  # the loader_htm_align no-trim-break edge occurred
