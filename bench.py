@@ -222,7 +222,7 @@ def measure_link_bandwidth(jax, jnp, mb: int = 24) -> float:
     return arr.nbytes / 1e6 / best
 
 
-def bench_train(jax, jnp):
+def bench_train(jax, jnp, batch_size=None):
     """E6D6 cotrain step at the reference batch size; samples/s/chip.
 
     Runs the bf16-compute step (the reference trains under AMP fp16 autocast,
@@ -240,7 +240,7 @@ def bench_train(jax, jnp):
     from exoground_tpu.train import make_fused_optimizer
 
     mesh = make_mesh(1)
-    b, t, n = TRAIN_BATCH, TRAIN_SEQ, TRAIN_TEXTS
+    b, t, n = batch_size or TRAIN_BATCH, TRAIN_SEQ, TRAIN_TEXTS
     model = TemporalAligner(
         num_encoder_layers=6, num_joint_layers=6, use_alignability_head=1
     )
@@ -627,6 +627,21 @@ def main():
     if train_anchor:
         partial["reference_a100_train_sps"] = train_anchor
         partial["train_vs_baseline"] = round(train_sps / train_anchor, 2)
+
+    # throughput-optimal batch row: the parity row above runs the reference's
+    # per-device batch 16 (train/train_grounding.sh); bigger batches amortize
+    # the step's fixed work — an honest scaling number, reported separately
+    # and never mixed into the parity comparison
+    watchdog.pet("cotrain train step, batch 64")
+    try:
+        sps64, step64_ms, tflops64 = bench_train(jax, jnp, batch_size=64)
+        partial.update({
+            "train_bs64_samples_per_sec_per_chip": round(sps64, 1),
+            "train_bs64_step_ms": round(step64_ms, 2),
+            "train_bs64_achieved_tflops_per_s": round(tflops64, 2),
+        })
+    except Exception as e:  # never lose the parity rows to the extra one
+        partial["train_bs64_error"] = str(e)[:200]
 
     watchdog.pet("flash attention op bench")
     try:

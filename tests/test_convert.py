@@ -8,6 +8,7 @@ model.init outputs, and transposes must round-trip values correctly.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from exoground_tpu.models import (
     ExoGroundingTransformer,
@@ -243,6 +244,7 @@ class TestVIMLPAndWord2Vec:
         np.testing.assert_allclose(np.asarray(out["pooler_output"])[0], pooled, rtol=1e-5)
 
 
+@pytest.mark.slow  # compile-heavy: integration tier (fast gate stays <3 min)
 class TestRealCheckpointFileIngestion:
     """VERDICT r1 #2: the published cotrain checkpoint
     (cotrain_word2vec_htm-370k_len64_e6d6.pth.tar, reference readme.md:44-45)

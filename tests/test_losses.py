@@ -83,6 +83,7 @@ class TestTANMilNCE:
         np.testing.assert_allclose(float(out["loss-joint"]), ref_joint.item(), rtol=1e-5)
         np.testing.assert_allclose(float(out["loss"]), ref_loss.item(), rtol=1e-5)
 
+    @pytest.mark.slow  # compile-heavy: integration tier (fast gate stays <3 min)
     def test_agreement_dedup_semantics(self):
         """Agreement targets: at most one labelled text per timestep (except
         text 0 which keeps original values); texts losing all steps fall back."""

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from exoground_tpu.models import (
     ExoGroundingTransformer,
@@ -78,6 +79,7 @@ class TestTemporalAligner:
                      deterministic=False, rngs={"pos": jax.random.PRNGKey(8)})
         assert not np.allclose(np.asarray(r1["logits_dual"]), np.asarray(r2["logits_dual"]))
 
+    @pytest.mark.slow  # compile-heavy: integration tier (fast gate stays <3 min)
     def test_interpolate_from_global_mode(self):
         """Longer-than-train video via pos-emb interpolation (tan_model.py:151-154)."""
         m = _tiny_aligner()
@@ -111,6 +113,7 @@ class TestTemporalAligner:
 
 
 class TestGroundingModels:
+    @pytest.mark.slow  # compile-heavy: integration tier (fast gate stays <3 min)
     def test_exo_grounding_shapes_with_audio(self):
         B, T, N = 2, 10, 3
         video = jnp.asarray(_rand(B, T, 64, seed=1))
@@ -129,6 +132,7 @@ class TestGroundingModels:
         assert out["interval_preds"].shape == (B, N, 2)
         assert out["low_dim_features"].shape == (B, T, 32)
 
+    @pytest.mark.slow  # compile-heavy: integration tier (fast gate stays <3 min)
     def test_no_decoder_path(self):
         B, T, N = 2, 8, 3
         video = jnp.asarray(_rand(B, T, 64, seed=4))
@@ -144,6 +148,7 @@ class TestGroundingModels:
         # encoder-head path emits per-stage predictions (B, Stage, N, 2)
         assert out["interval_preds"].shape == (B, 2, N, 2)
 
+    @pytest.mark.slow  # compile-heavy: integration tier (fast gate stays <3 min)
     def test_grounding_model_vi_frozen(self):
         """VI encoder output is stop_gradient'ed: grads wrt vi params are zero."""
         B, T, N = 2, 8, 3

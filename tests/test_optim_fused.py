@@ -263,6 +263,7 @@ class TestAdaptOptimizerState:
         assert adapt_optimizer_state(fused.init(params), {"foo": 1}) is None
 
 
+@pytest.mark.slow  # compile-heavy: integration tier (fast gate stays <3 min)
 class TestFusedInTrainStep:
     def test_tan_step_fused_equals_optax(self):
         """make_tan_train_step with FusedAdamWEMA == with the optax chain."""
