@@ -120,7 +120,10 @@ def bench_inference(jax, jnp, pet=lambda stage: None):
     # fp16 transfer matches on-disk feature precision exactly (lossless).
     cfg = AlignEvalConfig(
         global_len_bucket=256, text_bucket=32, transfer_dtype="float16",
-        compute_dtype="bfloat16", group_videos=4,
+        # group_videos=8: measured sweep on-chip (2026-08-18, PERF.md) —
+        # 169.8k/170.8k/178.9k f/s pipelined at 2/4/8; bigger groups batch
+        # more windows per dispatch onto the MXU
+        compute_dtype="bfloat16", group_videos=8,
     )
     evaluator = FusedAlignEvaluator(model, params, cfg)
 
