@@ -88,6 +88,35 @@ def tan_cotrain_step_flops(
     return 2.0 * (3.0 * fwd_macs + 1.0 * fwd_macs)
 
 
+def eval_sweep_flops(items, cfg, enc_layers: int = 6, joint_layers: int = 6) -> float:
+    """Analytic FLOPs of ONE fused overlap-seq eval sweep over ``items``.
+
+    Counts what the compiled _process programs actually execute (padded
+    window/text-slot shapes from the group plan — padding is <6% here): per
+    window, video/text pre-projections, the dual encoder over L tokens, the
+    joint encoder over L+npad tokens, and the per-stage sim matmuls. Used
+    for the driver-visible eval TFLOPS row; the 2026-08-18 decomposition
+    (PERF.md) measured the model forward at ~19.3 ms of the 21 ms on-device
+    sweep, i.e. the fused evaluator runs near the chip's bf16 compute bound."""
+    from exoground_tpu.evals.align_fused import _placed_plan
+
+    total_macs = 0.0
+    for e in _placed_plan(items, cfg):
+        if e[0] != "group":
+            continue
+        _, dims, host_args, _offsets, _dev, _tgt = e
+        _vmax, seq_len = dims
+        w, npad = host_args[6].shape  # text_idx
+        total_macs += w * (
+            seq_len * VIDEO_DIM * WIDTH
+            + npad * TEXT_DIM * WIDTH
+            + _encoder_macs(seq_len, enc_layers)
+            + _encoder_macs(seq_len + npad, joint_layers)
+            + (enc_layers + joint_layers) * seq_len * npad * WIDTH
+        )
+    return 2.0 * total_macs
+
+
 def _load_measured_baseline():
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
     try:
@@ -192,7 +221,10 @@ def bench_inference(jax, jnp, pet=lambda stage: None):
     # before reducing any (dispatch_preloaded), so the per-sweep tunnel
     # round trip overlaps the next sweep's compute and the chip never
     # idles — the continuous-load serving shape.
-    n_sweeps = 6
+    # depth 16 measured best on-chip (2026-08-18 sweep: 6 -> 30.7 ms/sweep,
+    # 16 -> 25.9, 32 -> 26.7): deep enough to hide the per-sweep tunnel RTT,
+    # shallow enough that the host-side dispatch queue stays warm
+    n_sweeps = 16
     best_pipe = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
@@ -202,8 +234,9 @@ def bench_inference(jax, jnp, pet=lambda stage: None):
         best_pipe = min(best_pipe, (time.perf_counter() - t0) / n_sweeps)
     fps_resident_pipe = total_frames / best_pipe
 
+    sweep_flops = eval_sweep_flops(items, cfg)
     return (total_frames / dt, fps_q["int8"], fps_q["int4"],
-            fps_resident, fps_resident_pipe)
+            fps_resident, fps_resident_pipe, sweep_flops / total_frames)
 
 
 def measure_link_bandwidth(jax, jnp, mb: int = 24) -> float:
@@ -587,9 +620,8 @@ def main():
     watchdog = _Watchdog(partial)
 
     watchdog.pet("inference (streamed + resident + pipelined)")
-    fps, fps_int8, fps_int4, fps_resident, fps_resident_pipe = bench_inference(
-        jax, jnp, pet=watchdog.pet
-    )
+    (fps, fps_int8, fps_int4, fps_resident, fps_resident_pipe,
+     flops_per_frame) = bench_inference(jax, jnp, pet=watchdog.pet)
     partial.update({
         # HEADLINE = chip-rate serving throughput (features HBM-resident,
         # sweeps pipelined). Rationale: the A100-derived anchor's feature
@@ -608,6 +640,12 @@ def main():
         "streamed_vs_baseline": round(fps / baseline_fps, 2),
         "streamed_int8_fps": round(fps_int8, 1),
         "streamed_int4_fps_lossy": round(fps_int4, 1),
+        # analytic model-compute rate implied by the headline (see
+        # eval_sweep_flops): frames/s x FLOPs/frame. The on-device sweep is
+        # ~92% model forward (PERF.md decomposition), so this is the eval
+        # MFU story in one number.
+        "eval_achieved_tflops_per_s": round(fps_resident_pipe * flops_per_frame / 1e12, 2),
+        "eval_flops_accounting": "analytic matmul count (bench.eval_sweep_flops)",
     })
 
     watchdog.pet("link bandwidth")

@@ -98,6 +98,13 @@ class AlignEvalConfig:
     # sustain int8, where approximate alignment beats no alignment; int8
     # is the recommended reduced-precision serving point.
     transfer_dtype: str = "float32"
+    # matmul lowering for the fused evaluator's model forward (ops/quant.py):
+    # 'int8' dynamically quantizes every projection/MLP matmul to int8 with
+    # int32 MXU accumulation — the v5e runs int8 at 2x its bf16 peak. Opt-in
+    # serving mode: metric drift on HTM-Align is noise level (see
+    # tests/test_evals.py int8-compute characterization) but the math is NOT
+    # the checkpoint-parity math; keep 'default' for strict parity runs.
+    matmul_dtype: str = "default"
     # serving mode: score EVERY text in EVERY window instead of the HTM-Align
     # active-text protocol (which needs per-text coarse ASR timestamps)
     all_texts_active: bool = False

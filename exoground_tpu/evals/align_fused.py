@@ -38,6 +38,7 @@ from exoground_tpu.evals.align import (
     _round_up,
     roc_auc,
 )
+from exoground_tpu.ops import quant
 
 
 def _dequant_int4(packed, scales):
@@ -57,6 +58,13 @@ def _dequant_int4(packed, scales):
     return vals.reshape(vals.shape[:-2] + (d,))
 
 
+# A/B switches for the two hot lowerings in _process (flipped in perf probes;
+# the defaults are the measured winners — see PERF.md "fused-eval in-graph
+# overhead"). Read at trace time: changing them needs a fresh processor.
+BLOCK_GATHER = False  # window gather via stride-blocks instead of per-frame rows
+MATMUL_FOLD = False  # canvas time-fold via one-hot matmul instead of scatter-add
+
+
 def _make_video_processor(model, cfg: AlignEvalConfig):
     """jit-per-bucket processor over (Vmax, Wmax, Npad, Ntot) shapes.
 
@@ -64,9 +72,8 @@ def _make_video_processor(model, cfg: AlignEvalConfig):
     snapshot) reuse the compiled programs — no retrace per eval sweep."""
     dtype = jnp.dtype(cfg.compute_dtype)
 
-    @functools.partial(jax.jit, static_argnums=(0,))
-    def _process(dims, params, video, vscale, text_embed, tscale,
-                 win_start, win_len, text_idx, text_valid):
+    def _process_body(dims, params, video, vscale, text_embed, tscale,
+                      win_start, win_len, text_idx, text_valid):
         if dtype != jnp.float32:
             params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
         vmax, seq_len = dims
@@ -74,12 +81,36 @@ def _make_video_processor(model, cfg: AlignEvalConfig):
         ntot = text_embed.shape[0]
 
         l_idx = jnp.arange(seq_len)
-        gidx = jnp.clip(win_start[:, None] + l_idx[None, :], 0, vmax - 1)  # (W, L)
-        vb = video[gidx]  # (W, L, Dv) — packed D/2 bytes per row for int4
-        if video.dtype == jnp.int8:  # dequantize (per-row absmax scales)
-            vb = vb.astype(jnp.float32) * vscale[gidx][:, :, None]
-        elif video.dtype == jnp.uint8:  # int4: nibble unpack + group scales
-            vb = _dequant_int4(vb, vscale[gidx])
+        if BLOCK_GATHER:
+            # window starts are stride-aligned by construction (_plan pads
+            # each video to a stride multiple), so a (W, L) frame gather is
+            # equivalently 4 stride-wide BLOCK rows from a (Vmax/stride,
+            # stride, D) view — 16x fewer gather indices with 16x-larger
+            # contiguous reads
+            stride_g = seq_len // 4
+            nblk = vmax // stride_g
+            bidx = jnp.clip(
+                win_start[:, None] // stride_g + jnp.arange(4)[None, :],
+                0, nblk - 1,
+            )  # (W, 4)
+            vb = video.reshape(nblk, stride_g, -1)[bidx].reshape(
+                w, seq_len, video.shape[-1]
+            )
+            if video.dtype == jnp.int8:
+                vs = vscale.reshape(nblk, stride_g)[bidx].reshape(w, seq_len)
+                vb = vb.astype(jnp.float32) * vs[:, :, None]
+            elif video.dtype == jnp.uint8:
+                vs = vscale.reshape(nblk, stride_g, -1)[bidx].reshape(
+                    w, seq_len, vscale.shape[-1]
+                )
+                vb = _dequant_int4(vb, vs)
+        else:
+            gidx = jnp.clip(win_start[:, None] + l_idx[None, :], 0, vmax - 1)  # (W, L)
+            vb = video[gidx]  # (W, L, Dv) — packed D/2 bytes per row for int4
+            if video.dtype == jnp.int8:  # dequantize (per-row absmax scales)
+                vb = vb.astype(jnp.float32) * vscale[gidx][:, :, None]
+            elif video.dtype == jnp.uint8:  # int4: nibble unpack + group scales
+                vb = _dequant_int4(vb, vscale[gidx])
         vb = vb.astype(dtype)
         vmask = l_idx[None, :] >= win_len[:, None]  # (W, L) True=PAD
         tb = text_embed[text_idx]  # (W, Npad, Dt)
@@ -90,11 +121,17 @@ def _make_video_processor(model, cfg: AlignEvalConfig):
         tb = tb.astype(dtype)
         tmask = ~text_valid
 
-        out = model.apply(
-            params, vb, tb,
-            video_padding_mask=vmask, lang_padding_mask=tmask,
-            method=type(model).text_visual_sim,
-        )
+        # matmul_impl is consulted at TRACE time (this body runs under jit
+        # tracing), so the int8 serving mode rewrites the compiled program
+        # without touching any call site outside this block
+        with quant.matmul_impl(
+            "int8" if cfg.matmul_dtype == "int8" else "default"
+        ):
+            out = model.apply(
+                params, vb, tb,
+                video_padding_mask=vmask, lang_padding_mask=tmask,
+                method=type(model).text_visual_sim,
+            )
         out = {k: v.astype(jnp.float32) for k, v in out.items()}
         sim = jnp.transpose(out["sim"][:, -1], (0, 2, 1)) * cfg.sim_scale  # (W,K,L)
         dual = jnp.transpose(out["dual-sim"][:, -1], (0, 2, 1)) * cfg.sim_scale
@@ -120,9 +157,21 @@ def _make_video_processor(model, cfg: AlignEvalConfig):
         s16 = vmax // stride
         slot = win_start // stride  # (W,) exact: starts are stride multiples
         f4 = folded.reshape(w, 3, ntot, 4, stride)
-        z = jnp.zeros((s16 + 4, 3, ntot, stride), jnp.float32)
-        for c in range(4):
-            z = z.at[slot + c].add(f4[:, :, :, c])
+        if MATMUL_FOLD:
+            # scatter-add over rows XLA cannot prove unique (all padded
+            # windows park at slot 0) serializes per update on TPU; the same
+            # fold as a one-hot contraction over (window, phase) is one MXU
+            # matmul. Padded windows contribute exact zeros either way
+            # (win_len == 0 zeroes their packed rows).
+            slot_oh = jax.nn.one_hot(
+                slot[:, None] + jnp.arange(4)[None, :], s16 + 4,
+                dtype=jnp.float32,
+            )  # (W, 4, S+4)
+            z = jnp.einsum("wcs,wancr->sanr", slot_oh, f4)
+        else:
+            z = jnp.zeros((s16 + 4, 3, ntot, stride), jnp.float32)
+            for c in range(4):
+                z = z.at[slot + c].add(f4[:, :, :, c])
         canvas = (
             z[:s16].transpose(1, 2, 0, 3).reshape(3, ntot, vmax)
         )
@@ -161,6 +210,23 @@ def _make_video_processor(model, cfg: AlignEvalConfig):
         # latency, so four small fetches cost 4x one (argmax exact in f32)
         return jnp.stack([argmax_t.astype(jnp.float32), scores, a_dual, a_joint])
 
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _process(dims, params, *args):
+        return _process_body(dims, params, *args)
+
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _process_many(dims, params_stack, *args):
+        """lax.scan of the SAME body over a leading checkpoint axis: one
+        device dispatch scores every stacked params set against the resident
+        group buffers (the many-checkpoints serving shape — per-sweep
+        dispatch overhead is paid once for k checkpoints)."""
+        def step(_, p):
+            return None, _process_body(dims, p, *args)
+
+        _, outs = jax.lax.scan(step, None, params_stack)
+        return outs  # (k, 4, Ntot)
+
+    _process.many = _process_many
     return _process
 
 
@@ -267,6 +333,54 @@ class FusedAlignEvaluator:
     def run_preloaded(self, pre: "PreloadedEval") -> Dict[str, float]:
         """One metric sweep over HBM-resident features (see ``preload``)."""
         return _reduce_metrics(self.dispatch_preloaded(pre), pre.cfg)
+
+    def run_many(self, pre: "PreloadedEval", params_list) -> List[Dict[str, float]]:
+        """Score MANY checkpoints against one HBM-resident corpus, one device
+        dispatch per group for ALL of them (lax.scan over a stacked params
+        axis). The many-checkpoints serving shape — e.g. ranking trainer
+        snapshots (train/checkpoint.py keeps best-2 by this metric) or a
+        hyperparameter sweep — pays the per-sweep dispatch/tunnel overhead
+        once for k checkpoints instead of k times. Each entry of the result
+        equals ``update_params(p); run_preloaded(pre)`` exactly (parity test
+        in tests/test_evals.py).
+
+        All params must share one tree structure (same model config); the
+        evaluator's own params are not consulted."""
+        if not params_list:
+            return []
+        treedefs = {jax.tree_util.tree_structure(p) for p in params_list}
+        if len(treedefs) != 1:
+            raise ValueError("run_many needs params with identical tree "
+                             "structure (one model config)")
+        stack = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *params_list
+        )
+        k = len(params_list)
+        stacks_dev: Dict[int, object] = {}
+        pendings: List[List] = [[] for _ in range(k)]
+        for entry in pre.entries:
+            if entry[0] == "skip":
+                _, start, end, aligned, num_text = entry
+                for p in pendings:
+                    p.append((start, end, aligned, num_text, 0, 0, None))
+                continue
+            _, dims, dev_args, offsets, dev_idx = entry
+            if len(self._devices) > 1:
+                if dev_idx not in stacks_dev:
+                    stacks_dev[dev_idx] = jax.device_put(
+                        stack, self._devices[dev_idx]
+                    )
+                s = stacks_dev[dev_idx]
+            else:
+                s = stack
+            outs = self._raw.many(dims, s, *dev_args)  # (k, 4, Ntot)
+            for i in range(k):
+                out_i = outs[i]
+                for start, end, aligned, num_text, t0, v0 in offsets:
+                    pendings[i].append(
+                        (start, end, aligned, num_text, t0, v0, out_i)
+                    )
+        return [_reduce_metrics(p, pre.cfg) for p in pendings]
 
     def predict(
         self, dataset: Iterable[Dict], all_texts_active: Optional[bool] = None

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from exoground_tpu.ops.blocks import LN_EPS, TemporalEncoder
+from exoground_tpu.ops.quant import dense_dot_general as _quant_dot_general
 from exoground_tpu.ops.pos_embed import (
     get_position_embedding_sine,
     random_pos_start,
@@ -63,8 +64,14 @@ class TemporalAligner(nn.Module):
         self.video_temporal_encoder = TemporalEncoder(w, self.num_encoder_layers, self.heads)
         self.joint_temporal_encoder = TemporalEncoder(w, self.num_joint_layers, self.heads)
         dense_init = nn.initializers.normal(0.01)
-        self.video_pre_proj = nn.Dense(w, use_bias=False, kernel_init=dense_init)
-        self.text_pre_proj = nn.Dense(w, use_bias=False, kernel_init=dense_init)
+        self.video_pre_proj = nn.Dense(
+            w, use_bias=False, kernel_init=dense_init,
+            dot_general=_quant_dot_general,
+        )
+        self.text_pre_proj = nn.Dense(
+            w, use_bias=False, kernel_init=dense_init,
+            dot_general=_quant_dot_general,
+        )
         self.ln_text_init = nn.LayerNorm(epsilon=LN_EPS)
         self.ln_video_init = nn.LayerNorm(epsilon=LN_EPS)
         self.ln_position_init = nn.LayerNorm(epsilon=LN_EPS)

@@ -36,6 +36,8 @@ from flax import linen as nn
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from exoground_tpu.ops import quant
+
 NEG_INF = -1e30  # finite "minus infinity": avoids NaN on fully-masked rows
 
 _DEFAULT_IMPL = "auto"  # 'auto' | 'xla' | 'flash'
@@ -462,9 +464,10 @@ class MultiHeadAttention(nn.Module):
 
         wq, wk, wv = jnp.split(in_kernel, 3, axis=1)
         bq, bk, bv = jnp.split(in_bias, 3)
-        q = query @ wq + bq
-        k = key @ wk + bk
-        v = value @ wv + bv
+        # quant.matmul == `@` unless an int8 serving context is active
+        q = quant.matmul(query, wq) + bq
+        k = quant.matmul(key, wk) + bk
+        v = quant.matmul(value, wv) + bv
 
         def split_heads(x):
             b, s, _ = x.shape
@@ -475,4 +478,4 @@ class MultiHeadAttention(nn.Module):
         )
         b, _, sq, _ = o.shape
         o = o.transpose(0, 2, 1, 3).reshape(b, sq, c)
-        return o @ out_kernel + out_bias
+        return quant.matmul(o, out_kernel) + out_bias

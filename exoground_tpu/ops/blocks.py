@@ -28,6 +28,7 @@ from flax import linen as nn
 
 from exoground_tpu.ops.activations import quick_gelu
 from exoground_tpu.ops.attention import MultiHeadAttention
+from exoground_tpu.ops.quant import dense_dot_general
 
 LN_EPS = 1e-5  # torch LayerNorm default
 
@@ -68,11 +69,13 @@ class MLP(nn.Module):
         x = nn.Dense(
             4 * self.width, kernel_init=self.fc_init,
             bias_init=torch_linear_bias_init(self.width), name="c_fc",
+            dot_general=dense_dot_general,
         )(x)
         x = quick_gelu(x)
         x = nn.Dense(
             self.width, kernel_init=self.proj_init,
             bias_init=torch_linear_bias_init(4 * self.width), name="c_proj",
+            dot_general=dense_dot_general,
         )(x)
         return x
 

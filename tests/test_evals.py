@@ -642,3 +642,139 @@ def test_int4_quantize_roundtrip_accuracy():
         jnp.full((2, 4), 0x88, jnp.uint8), jnp.ones((2, 1), jnp.float16)
     ))
     assert np.all(z == 0.0)
+
+
+def test_fused_lowering_switches_match_default():
+    """BLOCK_GATHER / MATMUL_FOLD are pure lowering changes: identical
+    metrics for every transfer dtype (incl. the reshaped dequant-scale
+    gathers) on every switch combination."""
+    from exoground_tpu.evals import align_fused
+    from exoground_tpu.evals import AlignEvalConfig, FusedAlignEvaluator
+    from exoground_tpu.models import TemporalAligner
+
+    def item(seed, vlen):
+        r = np.random.RandomState(seed)
+        n = 6
+        aligned = np.array([1, 0, 1, 0, 1, 1])
+        centers = np.sort(r.rand(n)) * (vlen - 8) + 4
+        return {
+            "video": r.randn(vlen, 32).astype(np.float32),
+            "start": np.maximum(centers - 3, 0),
+            "end": np.minimum(centers + 3, vlen),
+            "aligned": aligned,
+            "text_embed": r.randn(n, 32).astype(np.float32),
+        }
+
+    items = [item(s, v) for s, v in enumerate([70, 90, 50, 77])]
+    model = TemporalAligner(
+        num_encoder_layers=1, num_joint_layers=1, width=32, heads=4,
+        max_pos=128, attn_impl="xla",
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 32)), jnp.zeros((1, 2, 32)),
+        jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
+    )
+    orig = (align_fused.BLOCK_GATHER, align_fused.MATMUL_FOLD)
+    try:
+        results = {}
+        for bg in (False, True):
+            for mf in (False, True):
+                align_fused.BLOCK_GATHER, align_fused.MATMUL_FOLD = bg, mf
+                for dt in ("float32", "float16", "int8", "int4"):
+                    cfg = AlignEvalConfig(
+                        seq_len=16, global_len_bucket=32, text_bucket=8,
+                        group_videos=4, transfer_dtype=dt,
+                    )
+                    res = FusedAlignEvaluator(model, params, cfg)(items)
+                    if (dt) not in results:
+                        results[dt] = res
+                    else:
+                        base = results[dt]
+                        np.testing.assert_allclose(
+                            res["Recall"], base["Recall"], atol=1e-9,
+                            err_msg=f"{bg=} {mf=} {dt=}")
+                        np.testing.assert_allclose(
+                            res["AUC"], base["AUC"], atol=1e-5,
+                            err_msg=f"{bg=} {mf=} {dt=}")
+    finally:
+        align_fused.BLOCK_GATHER, align_fused.MATMUL_FOLD = orig
+
+
+def test_run_many_matches_sequential_update_params():
+    """run_many (one scanned dispatch per group for k checkpoints) ==
+    update_params + run_preloaded per checkpoint, including skip entries
+    (zero-window videos) and multi-group plans."""
+    from exoground_tpu.evals import AlignEvalConfig, FusedAlignEvaluator
+    from exoground_tpu.models import TemporalAligner
+
+    def item(seed, vlen):
+        r = np.random.RandomState(seed)
+        n = 5
+        aligned = np.array([1, 0, 1, 1, 0])
+        centers = np.sort(r.rand(n)) * max(vlen - 6, 1) + 2
+        return {
+            "video": r.randn(vlen, 24).astype(np.float32),
+            "start": np.maximum(centers - 2, 0),
+            "end": np.minimum(centers + 2, vlen),
+            "aligned": aligned,
+            "text_embed": r.randn(n, 24).astype(np.float32),
+        }
+
+    # vlen=6 (< seq_len//2=8): exercises the one-window fallback; 3 groups
+    items = [item(s, v) for s, v in enumerate([60, 6, 72, 48, 90])]
+    model = TemporalAligner(
+        num_encoder_layers=1, num_joint_layers=1, width=32, heads=4,
+        max_pos=128, attn_impl="xla",
+    )
+    init_args = (jax.random.PRNGKey(0), jnp.zeros((1, 8, 24)),
+                 jnp.zeros((1, 2, 24)), jnp.zeros((1, 8), bool),
+                 jnp.zeros((1, 2), bool))
+    params_list = [model.init(jax.random.PRNGKey(s), *init_args[1:])
+                   for s in (0, 1, 2)]
+    cfg = AlignEvalConfig(seq_len=16, global_len_bucket=32, text_bucket=8,
+                          group_videos=2)
+    ev = FusedAlignEvaluator(model, params_list[0], cfg)
+    pre = ev.preload(items)
+    many = ev.run_many(pre, params_list)
+    assert len(many) == 3
+    for p, got in zip(params_list, many):
+        ev.update_params(p)
+        ref = ev.run_preloaded(pre)
+        assert got == ref, (got, ref)
+    # distinct checkpoints actually produce distinct metrics
+    assert len({(m["Recall"], m["AUC"]) for m in many}) > 1
+    assert ev.run_many(pre, []) == []
+    with np.testing.assert_raises(ValueError):
+        bad = dict(params_list[0]); bad = {"params": {}}
+        ev.run_many(pre, [params_list[0], bad])
+
+
+def test_fused_eval_int8_compute_matches_f32():
+    """matmul_dtype='int8' (dynamic int8 projections/MLPs, ops/quant.py) is
+    the opt-in MXU-rate serving mode: R@1 must match and AUC stay within
+    noise (2%) of the unquantized run; the default-context programs stay
+    bit-identical (checked by comparing a default evaluator built AFTER an
+    int8 one ever traced)."""
+    from exoground_tpu.evals import AlignEvalConfig, FusedAlignEvaluator
+    from exoground_tpu.models import TemporalAligner
+
+    model = TemporalAligner(
+        num_encoder_layers=2, num_joint_layers=2, width=32, heads=4,
+        max_pos=128, attn_impl="xla",
+    )
+    items = [_synthetic_video_item(s, vlen=120 + 11 * s, dim=24) for s in range(4)]
+    params = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8, 24)), jnp.zeros((1, 2, 24)),
+        jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
+    )
+    base = AlignEvalConfig(group_videos=2)
+    ref = FusedAlignEvaluator(model, params, base)(items)
+    q = FusedAlignEvaluator(
+        model, params, dataclasses.replace(base, matmul_dtype="int8")
+    )(items)
+    assert q["Recall"] == ref["Recall"], (q, ref)
+    assert abs(q["AUC"] - ref["AUC"]) < 0.02, (q, ref)
+    assert q["AUC"] != ref["AUC"]  # the math really is quantized
+    # tracing the int8 program must not leak into later default evaluators
+    ref2 = FusedAlignEvaluator(model, params, base)(items)
+    assert ref2 == ref, (ref2, ref)

@@ -1,0 +1,83 @@
+"""ops/quant.py: opt-in int8 MXU matmul lowering (serving mode).
+
+Default-context calls must be EXACTLY the unquantized ops (the training and
+parity paths never enter the context); the int8 context must bound its
+quantization error. Characterization of the end-to-end eval metrics lives in
+tests/test_evals.py::test_fused_eval_int8_compute_matches_f32."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from exoground_tpu.ops import quant
+
+
+def test_default_matmul_is_exact():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(6, 32), jnp.float32)
+    w = jnp.asarray(rng.randn(32, 16), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(quant.matmul(x, w)),
+                                  np.asarray(x @ w))
+    dn = (((1,), (0,)), ((), ()))
+    np.testing.assert_array_equal(
+        np.asarray(quant.dense_dot_general(x, w, dn)),
+        np.asarray(jax.lax.dot_general(x, w, dn)),
+    )
+
+
+def test_int8_matmul_error_bound():
+    rng = np.random.RandomState(1)
+    # scale rows/cols unevenly: per-row/per-channel scales must absorb it
+    x = rng.randn(8, 64) * np.exp(rng.randn(8, 1))
+    w = rng.randn(64, 32) * np.exp(rng.randn(1, 32))
+    xj, wj = jnp.asarray(x, jnp.float32), jnp.asarray(w, jnp.float32)
+    exact = np.asarray(xj @ wj)
+    with quant.matmul_impl("int8"):
+        q = np.asarray(quant.matmul(xj, wj))
+    err = np.abs(q - exact).max() / np.abs(exact).max()
+    assert err < 0.02, err
+    # zero rows quantize to exact zeros (scale-1 guard, no NaN)
+    with quant.matmul_impl("int8"):
+        z = np.asarray(quant.matmul(jnp.zeros((2, 64)), wj))
+    assert np.all(z == 0.0)
+
+
+def test_int8_context_scoping_and_fallbacks():
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(4, 8, 16), jnp.float32)
+    wb = jnp.asarray(rng.randn(4, 16, 8), jnp.float32)
+    assert quant.current_impl() == "default"
+    with pytest.raises(ValueError):
+        with quant.matmul_impl("fp8"):
+            pass
+    try:
+        with quant.matmul_impl("int8"):
+            assert quant.current_impl() == "int8"
+            # batched (non-Dense) dimension numbers fall through to the
+            # exact lowering
+            dn = (((2,), (1,)), ((0,), (0,)))
+            np.testing.assert_array_equal(
+                np.asarray(quant.dense_dot_general(x, wb, dn)),
+                np.asarray(jax.lax.dot_general(x, wb, dn)),
+            )
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert quant.current_impl() == "default"  # restored on exception
+
+
+def test_int8_under_jit_traces_per_context():
+    """The context is consulted at trace time: a program traced inside the
+    block keeps int8 math when executed outside it."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(8, 64), jnp.float32)
+    w = jnp.asarray(rng.randn(64, 32), jnp.float32)
+    with quant.matmul_impl("int8"):
+        f = jax.jit(lambda a, b: quant.matmul(a, b))
+        inside = np.asarray(f(x, w))  # traced (and run) inside
+    outside = np.asarray(f(x, w))  # same compiled program, outside
+    np.testing.assert_array_equal(inside, outside)
+    exact = np.asarray(x @ w)
+    assert np.abs(inside - exact).max() > 0  # actually quantized math
+    assert np.abs(inside - exact).max() / np.abs(exact).max() < 0.02
