@@ -53,6 +53,7 @@ class AlignmentService:
         text_tower=None,
         seq_len: int = 64,
         transfer_dtype: str = "float16",
+        matmul_dtype: str = "default",
         use_alignability_head: bool = False,
     ):
         from exoground_tpu.evals import AlignEvalConfig, FusedAlignEvaluator
@@ -61,9 +62,13 @@ class AlignmentService:
         self.params = params
         self.tokenizer = tokenizer
         self.text_tower = text_tower
+        # matmul_dtype='int8' = the MXU-rate quantized serving mode
+        # (ops/quant.py): ~2x matmul peak on v5e, noise-level metric drift;
+        # keep 'default' for strict checkpoint-parity serving.
         self.cfg = AlignEvalConfig(
             seq_len=seq_len, transfer_dtype=transfer_dtype, group_videos=8,
             use_alignability_head=use_alignability_head,
+            matmul_dtype=matmul_dtype,
         )
         # ONE evaluator serves both protocols: all_texts_active is a per-call
         # host-side switch, so the compiled shape buckets are shared
@@ -152,6 +157,28 @@ class AlignmentService:
             # use_alignability_head) or joint window-max confidence otherwise
             "align_score": out["align_score"][inv].tolist(),
         }
+
+
+    def score_checkpoints(
+        self, items: Sequence[Dict], params_list: Sequence, resident=None
+    ):
+        """Rank k checkpoints against one labelled corpus in one scanned
+        device dispatch per group (FusedAlignEvaluator.run_many): the
+        snapshot-selection / hyperparameter-sweep serving shape — corpus
+        features are uploaded once and stay HBM-resident across all k.
+
+        ``items`` follow the eval dataset schema (video/start/end/aligned/
+        text_embed; evals/align.py); returns one {'Recall','AUC'} dict per
+        params. Pass ``resident=preload_corpus(items)`` to reuse an upload
+        across calls."""
+        with self._lock:
+            pre = resident or self._evaluator.preload(items)
+            return self._evaluator.run_many(pre, list(params_list))
+
+    def preload_corpus(self, items: Sequence[Dict]):
+        """Upload a scoring corpus to HBM once (see score_checkpoints)."""
+        with self._lock:
+            return self._evaluator.preload(items)
 
 
 class GroundingService:

@@ -190,3 +190,66 @@ def test_alignment_service_rejects_half_specified_window():
     )
     with pytest.raises(ValueError, match="BOTH start and end"):
         svc.align(req)
+
+
+def test_alignment_service_int8_serving_mode():
+    """matmul_dtype='int8' service serves the same argmaxes at these shapes
+    and never mutates the process-global default context."""
+    from exoground_tpu.ops import quant
+
+    model, params = _tan()
+    rng = np.random.RandomState(4)
+    req = AlignRequest(
+        video=rng.randn(60, 24).astype(np.float32),
+        text_embeds=rng.randn(4, 16).astype(np.float32),
+    )
+    ref = AlignmentService(
+        model, params, seq_len=16, transfer_dtype="float32"
+    ).align(req)
+    q = AlignmentService(
+        model, params, seq_len=16, transfer_dtype="float32",
+        matmul_dtype="int8",
+    ).align(req)
+    assert quant.current_impl() == "default"
+    assert len(q["best_second"]) == 4
+    # scores are quantized math (close, not equal); argmax is robust here
+    assert q["best_second"] == ref["best_second"], (q, ref)
+    assert q["score"] != ref["score"]
+    np.testing.assert_allclose(q["score"], ref["score"], rtol=0.1)
+
+
+def test_alignment_service_score_checkpoints():
+    """score_checkpoints == per-checkpoint evaluator metrics; the resident
+    handle is reusable across calls."""
+    from exoground_tpu.evals import AlignEvalConfig, FusedAlignEvaluator
+
+    model, params0 = _tan()
+    params1 = model.init(
+        jax.random.PRNGKey(7), jnp.zeros((1, 8, 24)), jnp.zeros((1, 2, 16)),
+        jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
+    )
+    rng = np.random.RandomState(5)
+
+    def item(seed, vlen):
+        r = np.random.RandomState(seed)
+        n = 5
+        centers = np.sort(r.rand(n)) * (vlen - 6) + 3
+        return {
+            "video": r.randn(vlen, 24).astype(np.float32),
+            "start": np.maximum(centers - 2, 0),
+            "end": np.minimum(centers + 2, vlen),
+            "aligned": np.array([1, 0, 1, 1, 0]),
+            "text_embed": r.randn(n, 16).astype(np.float32),
+        }
+
+    items = [item(s, v) for s, v in enumerate([60, 48, 72])]
+    svc = AlignmentService(model, params0, seq_len=16, transfer_dtype="float32")
+    resident = svc.preload_corpus(items)
+    got = svc.score_checkpoints(items, [params0, params1], resident=resident)
+    got2 = svc.score_checkpoints(items, [params0, params1])  # fresh upload
+    assert got == got2
+
+    ev = FusedAlignEvaluator(model, params0, svc.cfg)
+    for p, g in zip([params0, params1], got):
+        ev.update_params(p)
+        assert ev(items) == g, (p is params0, ev(items), g)
