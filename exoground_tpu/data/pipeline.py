@@ -93,6 +93,14 @@ class ThreadedLoader:
 
     def set_epoch(self, epoch: int):
         self.sampler.set_epoch(epoch)
+        # Datasets draw per-epoch augmentation RNG from their epoch counter
+        # (e.g. HTMClipDataset clip jitter/crop/flip — reference
+        # end2end/video_loader.py redraws clips each epoch via the loader's
+        # worker reseed). Forward so trainers that only see the loader still
+        # refresh the dataset's epoch; assignment is idempotent for trainers
+        # that also call dataset.set_epoch directly.
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self) -> int:
         n = len(self.sampler)

@@ -31,31 +31,37 @@ best); this is a TPU-native serving addition.
 from __future__ import annotations
 
 import contextlib
+import threading
 
 import jax
 import jax.numpy as jnp
 from jax import lax
 
-_IMPL = "default"  # 'default' | 'int8' — read at jit TRACE time
+# Read at jit TRACE time. THREAD-LOCAL: serve.py hosts multiple services in
+# one ThreadingHTTPServer process, and a trace running in another thread must
+# never be compiled under this thread's impl (or restore the wrong previous
+# value on exit).
+_STATE = threading.local()
 
 VALID_IMPLS = ("default", "int8")
 
 
 @contextlib.contextmanager
 def matmul_impl(name: str):
-    """Select the matmul lowering for programs TRACED inside the block."""
-    global _IMPL
+    """Select the matmul lowering for programs TRACED inside the block
+    (current thread only)."""
     if name not in VALID_IMPLS:
         raise ValueError(f"matmul impl must be one of {VALID_IMPLS}, got {name!r}")
-    prev, _IMPL = _IMPL, name
+    prev = current_impl()
+    _STATE.impl = name
     try:
         yield
     finally:
-        _IMPL = prev
+        _STATE.impl = prev
 
 
 def current_impl() -> str:
-    return _IMPL
+    return getattr(_STATE, "impl", "default")
 
 
 def _quant_last_axis(x: jnp.ndarray):
@@ -91,7 +97,7 @@ def _int8_matmul(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 def matmul(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Drop-in for ``x @ w`` (w 2-D) honoring the active matmul impl."""
-    if _IMPL == "int8" and w.ndim == 2 and x.shape[-1] == w.shape[0]:
+    if current_impl() == "int8" and w.ndim == 2 and x.shape[-1] == w.shape[0]:
         return _int8_matmul(x, w)
     return x @ w
 
@@ -106,7 +112,7 @@ def dense_dot_general(lhs, rhs, dimension_numbers, precision=None,
     Anything but the plain Dense contraction (last-dim x first-dim, no batch
     dims) falls through to the exact default lowering."""
     if (
-        _IMPL == "int8"
+        current_impl() == "int8"
         and rhs.ndim == 2
         and dimension_numbers == _DENSE_DN(lhs.ndim)
     ):

@@ -210,7 +210,11 @@ class ExperimentConfig:
 def parse_args(argv: Optional[List[str]] = None, dataset: Optional[str] = None) -> ExperimentConfig:
     """CLI with the reference's flag names (config_egoexo4d.py:6-95)."""
     defaults = ExperimentConfig()
-    parser = argparse.ArgumentParser()
+    # allow_abbrev=False: the explicit---model detection below scans argv for
+    # the literal token, so a prefix abbreviation ('--mode joint') must be an
+    # argparse error rather than silently resolving to --model and then being
+    # rewritten by the htm-aa default
+    parser = argparse.ArgumentParser(allow_abbrev=False)
     for f in dataclasses.fields(ExperimentConfig):
         if f.name in ("launch_timestamp", "log_path", "model_path", "exp_path",
                       "iteration"):

@@ -219,7 +219,11 @@ class FusedAdamWEMA:
                     v_new.astype(self.moment_dtype), t_new]
             if cast_dtype is not None:
                 outs.append(p_new.astype(cast_dtype))
-                outs.append(t_new.astype(cast_dtype) if do_ema else t_new)
+                # ALWAYS cast: without EMA t_new is the placeholder f32
+                # param, and returning it raw breaks the documented
+                # ``(p_cast, t_cast)`` dtype contract (lax.scan carries
+                # fail on the f32-vs-cast mismatch)
+                outs.append(t_new.astype(cast_dtype))
             return tuple(outs)
 
         fused = jax.tree_util.tree_map(

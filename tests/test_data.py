@@ -801,3 +801,28 @@ def test_native_empty_cols_npy_accepted(tmp_path):
     p = str(tmp_path / "emptycols.npy")
     np.save(p, np.zeros((5, 0), np.float32))
     assert native_mod.npy_shape(p) == (5, 0)
+
+
+def test_threaded_loader_forwards_epoch_to_dataset():
+    """set_epoch must reach the dataset (per-epoch augmentation RNG — e.g.
+    HTMClipDataset clip jitter), not just the sampler: S3DTrainer.fit only
+    sees the loader."""
+    class DS:
+        def __init__(self):
+            self.epoch = 0
+
+        def set_epoch(self, epoch):
+            self.epoch = epoch
+
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), self.epoch, np.float32)}
+
+    ds = DS()
+    loader = ThreadedLoader(ds, batch_size=4, num_workers=2, shuffle=False)
+    loader.set_epoch(3)
+    assert ds.epoch == 3
+    batch = next(iter(loader))
+    assert batch["x"][0, 0] == 3.0

@@ -315,3 +315,16 @@ def test_s3d_train_bn_updates_stats(tmp_path):
 
     assert one_step(freeze=True) == 0.0
     assert one_step(freeze=False) > 0.0
+
+
+def test_parse_args_rejects_flag_abbreviations():
+    """Prefix abbreviations would bypass the literal '--model' argv scan
+    (e.g. '--mode joint' resolving to --model and then being silently
+    rewritten to s3d for htm-aa) — they must be argparse errors."""
+    from exoground_tpu.train.config import parse_args
+
+    with pytest.raises(SystemExit):
+        parse_args(["--dataset", "htm-aa", "--mode", "joint"])
+    # the full flag still reaches validate() and raises there
+    with pytest.raises(AssertionError, match="htm-aa trains the S3D"):
+        parse_args(["--dataset", "htm-aa", "--model", "joint"])

@@ -475,3 +475,21 @@ class TestFusedInTrainStep:
             np.asarray(ms["loss"]), np.asarray(losses), rtol=1e-5
         )
         _assert_trees_close(p_seq, jax.device_get(p2), rtol=1e-5, atol=1e-6)
+
+
+def test_cast_pair_dtype_contract_without_ema():
+    """step(..., cast_dtype=bf16) with ema_momentum=None must return a
+    bf16 t_cast (the documented ``(p_cast, t_cast)`` pair), not the raw f32
+    placeholder — lax.scan carries fail on the dtype mismatch otherwise."""
+    params = _params()
+    fused = make_fused_optimizer(params, lr=1e-3, weight_decay=1e-5,
+                                 total_iterations=100, warmup_iterations=0)
+    state = fused.init(params)
+    g = _grads(params, 3)
+    p, state, t, (p_cast, t_cast) = fused.step(
+        params, state, g, None, None, cast_dtype=jnp.bfloat16
+    )
+    for leaf in jax.tree_util.tree_leaves(p_cast):
+        assert leaf.dtype == jnp.bfloat16
+    for leaf in jax.tree_util.tree_leaves(t_cast):
+        assert leaf.dtype == jnp.bfloat16

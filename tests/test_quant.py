@@ -81,3 +81,35 @@ def test_int8_under_jit_traces_per_context():
     exact = np.asarray(x @ w)
     assert np.abs(inside - exact).max() > 0  # actually quantized math
     assert np.abs(inside - exact).max() / np.abs(exact).max() < 0.02
+
+
+def test_matmul_impl_is_thread_local():
+    """serve.py hosts several services in one ThreadingHTTPServer process:
+    a trace in another thread must never observe (or clobber) this thread's
+    impl selection."""
+    import threading
+
+    inside = threading.Event()
+    release = threading.Event()
+    seen = {}
+
+    def other_thread():
+        inside.wait(timeout=10)
+        seen["impl"] = quant.current_impl()
+        # entering/exiting in this thread must not disturb the main thread
+        with quant.matmul_impl("int8"):
+            seen["impl_nested"] = quant.current_impl()
+        seen["impl_after"] = quant.current_impl()
+        release.set()
+
+    t = threading.Thread(target=other_thread)
+    t.start()
+    with quant.matmul_impl("int8"):
+        inside.set()
+        assert release.wait(timeout=10)
+        assert quant.current_impl() == "int8"
+    t.join(timeout=10)
+    assert seen == {
+        "impl": "default", "impl_nested": "int8", "impl_after": "default",
+    }
+    assert quant.current_impl() == "default"
