@@ -42,6 +42,7 @@ from exoground_tpu.ops.pos_embed import (
     random_pos_start,
     slice_or_interpolate_pos_embed,
 )
+from exoground_tpu.ops.quant import dense_dot_general as _quant_dot_general
 
 
 class ExoGroundingTransformer(nn.Module):
@@ -75,9 +76,20 @@ class ExoGroundingTransformer(nn.Module):
         self.text_unimodal_encoder = TemporalEncoder(w, self.num_encoder_layers, self.heads)
 
         init01 = nn.initializers.normal(0.01)
+        # grounding_head stays exact under int8 serving: it's tiny (w -> 2)
+        # and emits the actual regressed intervals
         self.grounding_head = nn.Dense(2, kernel_init=init01, bias_init=nn.initializers.zeros)
-        self.video_pre_proj = nn.Dense(w, use_bias=False, kernel_init=init01)
-        self.text_pre_proj = nn.Dense(w, use_bias=False, kernel_init=init01)
+        # pre-projections route through the quant hook (== exact dot_general
+        # outside an int8 serving context) — the 4096->512 input matmuls are
+        # the model's biggest single dots
+        self.video_pre_proj = nn.Dense(
+            w, use_bias=False, kernel_init=init01,
+            dot_general=_quant_dot_general,
+        )
+        self.text_pre_proj = nn.Dense(
+            w, use_bias=False, kernel_init=init01,
+            dot_general=_quant_dot_general,
+        )
         self.ln_text_init = nn.LayerNorm(epsilon=LN_EPS)
         self.ln_video_init = nn.LayerNorm(epsilon=LN_EPS)
         self.ln_position_init = nn.LayerNorm(epsilon=LN_EPS)
@@ -95,7 +107,10 @@ class ExoGroundingTransformer(nn.Module):
             )
         if self.use_audio:
             self.ln_audio_init = nn.LayerNorm(epsilon=LN_EPS)
-            self.audio_pre_proj = nn.Dense(w, use_bias=False, kernel_init=init01)
+            self.audio_pre_proj = nn.Dense(
+                w, use_bias=False, kernel_init=init01,
+                dot_general=_quant_dot_general,
+            )
 
         if self.pos_enc == "learned":
             self.temporal_pos_embed = self.param(

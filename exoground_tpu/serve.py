@@ -184,13 +184,26 @@ class AlignmentService:
 class GroundingService:
     """ExoGround interval prediction with shape-bucketed compiled programs."""
 
-    def __init__(self, model, params, seq_len: int = 64, text_bucket: int = 64):
+    def __init__(self, model, params, seq_len: int = 64,
+                 text_bucket: int = 64, matmul_dtype: str = "default"):
         import jax
+
+        from exoground_tpu.ops import quant
 
         self.model = model
         self.params = params
         self.seq_len = seq_len
         self.text_bucket = text_bucket
+        # same serving knob as AlignmentService: 'int8' quantizes the
+        # pre-proj / block matmuls (ops/quant.py, thread-local trace-time
+        # switch); the grounding head stays exact either way
+        if matmul_dtype not in quant.VALID_IMPLS:
+            raise ValueError(
+                f"matmul_dtype must be one of {quant.VALID_IMPLS}, "
+                f"got {matmul_dtype!r}"
+            )
+        self.matmul_dtype = matmul_dtype
+        self._quant = quant
 
         @jax.jit
         def _run(params, video, narr, vmask, nmask):
@@ -247,9 +260,12 @@ class GroundingService:
         nmask = np.ones((1, kpad), bool)
         nmask[0, :k] = False
         with self._lock:
-            preds = np.asarray(
-                self._run(self.params, vb, nb, vmask, nmask)
-            )[0, :k]
+            # the impl context is consulted at jit TRACE time (first call of
+            # a shape bucket); cached executions ignore it
+            with self._quant.matmul_impl(self.matmul_dtype):
+                preds = np.asarray(
+                    self._run(self.params, vb, nb, vmask, nmask)
+                )[0, :k]
         if use_center_duration:
             c, d = preds[:, 0], preds[:, 1]
             s, e = c - d / 2, c + d / 2

@@ -253,3 +253,35 @@ def test_alignment_service_score_checkpoints():
     for p, g in zip([params0, params1], got):
         ev.update_params(p)
         assert ev(items) == g, (p is params0, ev(items), g)
+
+
+def test_grounding_service_int8_serving_mode():
+    """matmul_dtype='int8' grounding stays close to exact math (the head is
+    served unquantized) and never leaks the quant context."""
+    from exoground_tpu.models.grounding import ExoGroundingTransformer
+    from exoground_tpu.ops import quant
+
+    model = ExoGroundingTransformer(
+        num_encoder_layers=1, num_decoder_layers=1, feature_dim=32, heads=4,
+        video_embed_dim=24, text_embed_dim=16, max_pos=64, attn_impl="xla",
+        random_pos_start=0,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 24)), jnp.zeros((1, 2, 16)),
+        jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
+    )
+    rng = np.random.RandomState(6)
+    video = rng.randn(12, 24).astype(np.float32)
+    narr = rng.randn(3, 16).astype(np.float32)
+
+    ref = GroundingService(model, params, seq_len=16).ground(video, narr)
+    q = GroundingService(model, params, seq_len=16, matmul_dtype="int8").ground(
+        video, narr
+    )
+    assert quant.current_impl() == "default"
+    assert q != ref  # actually quantized math
+    np.testing.assert_allclose(q["start"], ref["start"], atol=0.06)
+    np.testing.assert_allclose(q["end"], ref["end"], atol=0.06)
+
+    with pytest.raises(ValueError, match="matmul_dtype"):
+        GroundingService(model, params, matmul_dtype="int5")
