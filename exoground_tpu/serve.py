@@ -55,6 +55,7 @@ class AlignmentService:
         transfer_dtype: str = "float16",
         matmul_dtype: str = "default",
         use_alignability_head: bool = False,
+        eval_devices: int = 1,
     ):
         from exoground_tpu.evals import AlignEvalConfig, FusedAlignEvaluator
 
@@ -65,10 +66,13 @@ class AlignmentService:
         # matmul_dtype='int8' = the MXU-rate quantized serving mode
         # (ops/quant.py): ~2x matmul peak on v5e, noise-level metric drift;
         # keep 'default' for strict checkpoint-parity serving.
+        # eval_devices>1 round-robins video groups over that many local
+        # chips (pod serving: corpus scoring scales ~linearly; single
+        # align() requests ride device 0).
         self.cfg = AlignEvalConfig(
             seq_len=seq_len, transfer_dtype=transfer_dtype, group_videos=8,
             use_alignability_head=use_alignability_head,
-            matmul_dtype=matmul_dtype,
+            matmul_dtype=matmul_dtype, eval_devices=eval_devices,
         )
         # ONE evaluator serves both protocols: all_texts_active is a per-call
         # host-side switch, so the compiled shape buckets are shared

@@ -285,3 +285,38 @@ def test_grounding_service_int8_serving_mode():
 
     with pytest.raises(ValueError, match="matmul_dtype"):
         GroundingService(model, params, matmul_dtype="int5")
+
+
+def test_alignment_service_multi_device_parity():
+    """eval_devices>1 round-robins groups over the mesh with identical
+    metrics/predictions to single-device serving."""
+    model, params0 = _tan()
+    rng = np.random.RandomState(8)
+
+    def item(seed, vlen):
+        r = np.random.RandomState(seed)
+        n = 4
+        centers = np.sort(r.rand(n)) * (vlen - 6) + 3
+        return {
+            "video": r.randn(vlen, 24).astype(np.float32),
+            "start": np.maximum(centers - 2, 0),
+            "end": np.minimum(centers + 2, vlen),
+            "aligned": np.array([1, 0, 1, 1]),
+            "text_embed": r.randn(n, 16).astype(np.float32),
+        }
+
+    # >1 group so the round-robin actually spreads (group_videos=8)
+    items = [item(s, v) for s, v in enumerate([40, 56, 48] * 6)]
+    svc1 = AlignmentService(model, params0, seq_len=16, transfer_dtype="float32")
+    svc4 = AlignmentService(model, params0, seq_len=16, transfer_dtype="float32",
+                            eval_devices=4)
+    assert len(svc4._evaluator._devices) == 4  # conftest provides 8 CPU devs
+    got1 = svc1.score_checkpoints(items, [params0])
+    got4 = svc4.score_checkpoints(items, [params0])
+    assert got1 == got4
+
+    req = AlignRequest(
+        video=np.random.RandomState(9).randn(50, 24).astype(np.float32),
+        text_embeds=np.random.RandomState(10).randn(3, 16).astype(np.float32),
+    )
+    assert svc1.align(req) == svc4.align(req)
