@@ -259,6 +259,75 @@ def gen_vi_forward():
     print("vi_forward.npz:", out["out::high_dim_features"].shape)
 
 
+def gen_word2vec():
+    """Frozen word2vec text tower + tokenizer (word2vec_model.py:26-102).
+
+    The reference classes load cluster checkpoints in __init__, so both are
+    instantiated via __new__ + attribute injection (the oracle-test pattern)
+    on a scaled-down {word_embd, fc1, fc2} world from golden_common."""
+    import torch
+
+    sys.path.insert(0, "/root/reference/model")
+    import word2vec_model as ref_w2v
+
+    manifest = G.word2vec_manifest()
+    state = G.synth_state(manifest, seed=17)
+    model = ref_w2v.Word2VecModel.__new__(ref_w2v.Word2VecModel)
+    torch.nn.Module.__init__(model)
+    model.word_embd = torch.nn.Embedding(G.W2V_VOCAB_N, G.W2V_EMB)
+    model.fc1 = torch.nn.Linear(G.W2V_EMB, G.W2V_HID)
+    model.fc2 = torch.nn.Linear(G.W2V_HID, G.W2V_OUT)
+    model.load_state_dict(_to_torch_state(state))
+    model.eval()
+
+    ids, mask = G.word2vec_inputs()
+    with torch.no_grad():
+        ref = model(
+            torch.from_numpy(ids), attention_mask=torch.from_numpy(mask.copy())
+        )
+
+    tok = ref_w2v.Word2VecTokenizer.__new__(ref_w2v.Word2VecTokenizer)
+    tok.word_to_token = dict(G.GOLDEN_VOCAB)
+    tok.token_to_word = {v: k for k, v in G.GOLDEN_VOCAB.items()}
+    tok.max_words = G.GOLDEN_MAX_WORDS
+    enc = tok(list(G.GOLDEN_SENTENCES), return_tensors="pt")
+
+    out = G.manifest_to_npz_fields(manifest)
+    out["out::last_hidden_state"] = ref["last_hidden_state"].numpy()
+    out["out::pooler_output"] = ref["pooler_output"].numpy()
+    out["out::tok_input_ids"] = enc["input_ids"].numpy()
+    out["out::tok_attention_mask"] = enc["attention_mask"].numpy()
+    np.savez_compressed(os.path.join(G.GOLDEN_DIR, "word2vec.npz"), **out)
+    print("word2vec.npz:", out["out::pooler_output"].shape,
+          out["out::tok_input_ids"].shape)
+
+
+def gen_s3d():
+    """S3D-G trunk forward (s3d_milnce/s3dg.py:250-348): space-to-depth,
+    SAME-padded pools, SelfGating, frozen-BN inference math, mean-pool.
+    Weights come from synth_state_bn (BatchNorm running_var must stay
+    positive); the same seed regenerates them on the test side."""
+    import torch
+
+    sys.path.insert(0, "/root/reference/model/s3d_milnce")
+    from s3dg import S3D as TorchS3D
+
+    torch.manual_seed(0)
+    model = TorchS3D(dict_path=None, num_classes=24).eval()
+    manifest = [(k, tuple(v.shape)) for k, v in model.state_dict().items()]
+    state = G.synth_state_bn(manifest, seed=23)
+    model.load_state_dict(_to_torch_state(state))
+
+    x = G.s3d_inputs()
+    with torch.no_grad():
+        ref = model(torch.from_numpy(x)).numpy()  # pooled trunk (1, 1024)
+
+    out = G.manifest_to_npz_fields(manifest)
+    out["out::pooled_trunk"] = ref
+    np.savez_compressed(os.path.join(G.GOLDEN_DIR, "s3d.npz"), **out)
+    print("s3d.npz:", ref.shape)
+
+
 def main():
     os.makedirs(G.GOLDEN_DIR, exist_ok=True)
     gen_tan_forward()
@@ -266,6 +335,8 @@ def main():
     gen_tan_loss()
     gen_grounding_loss()
     gen_vi_forward()
+    gen_word2vec()
+    gen_s3d()
 
 
 if __name__ == "__main__":

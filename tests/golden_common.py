@@ -36,6 +36,30 @@ def synth_state(manifest, seed=0, scale=0.05):
     return out
 
 
+def synth_state_bn(manifest, seed=0, scale=0.05):
+    """``synth_state`` with BatchNorm-aware rules for conv backbones:
+    ``running_var`` draws uniform [0.5, 1.5) (a normal*scale draw can go
+    non-positive -> rsqrt NaN), ``num_batches_tracked`` is the int64 zero
+    torch's load_state_dict expects. Same sorted-key determinism contract as
+    synth_state — generator and test MUST use the same seed."""
+    rng = np.random.RandomState(seed)
+    shapes = dict(manifest)
+    out = {}
+    for key in sorted(shapes):
+        shape = shapes[key]
+        if key.endswith("num_batches_tracked"):
+            out[key] = np.zeros(shape, np.int64)
+            continue
+        if key.endswith("running_var"):
+            out[key] = rng.uniform(0.5, 1.5, shape).astype(np.float32)
+            continue
+        v = rng.standard_normal(shape).astype(np.float32) * scale
+        if key.endswith(".weight") and len(shape) == 1:
+            v = v + 1.0
+        out[key] = v
+    return out
+
+
 def manifest_to_npz_fields(manifest):
     """Pack a (name, shape) manifest into npz-storable arrays."""
     names = np.array([k for k, _ in manifest])
@@ -141,6 +165,55 @@ def grounding_loss_inputs():
     pad = np.zeros((b, n), bool)
     pad[0, -2:] = True
     return preds, starts, ends, pad, t
+
+
+def s3d_inputs():
+    """Small NCDHW clip in [0, 1] for the S3D trunk fixture (the reference
+    normalizes decoded frames to [0, 1], end2end/video_loader.py)."""
+    rng = np.random.RandomState(31)
+    return rng.rand(1, 3, 16, 32, 32).astype(np.float32)
+
+
+# word2vec text tower (reference model/word2vec_model.py:76-102): a scaled-
+# down {word_embd, fc1, fc2} layout — the real tower is 66k x 300 / 2048/512
+W2V_VOCAB_N, W2V_EMB, W2V_HID, W2V_OUT = 37, 24, 48, 16
+
+
+def word2vec_manifest():
+    """torch-layout (name, shape) manifest for the scaled-down text tower."""
+    return [
+        ("word_embd.weight", (W2V_VOCAB_N, W2V_EMB)),
+        ("fc1.weight", (W2V_HID, W2V_EMB)), ("fc1.bias", (W2V_HID,)),
+        ("fc2.weight", (W2V_OUT, W2V_HID)), ("fc2.bias", (W2V_OUT,)),
+    ]
+
+
+def word2vec_inputs():
+    """(input_ids, attention_mask) incl. an all-masked row — the reference's
+    all-stop-word escape hatch (word2vec_model.py:95) must fire."""
+    rng = np.random.RandomState(5)
+    ids = rng.randint(0, W2V_VOCAB_N, (4, 6)).astype(np.int64)
+    mask = (rng.rand(4, 6) > 0.3).astype(np.int64)
+    mask[2, :] = 0  # all-stop-word sentence
+    return ids, mask
+
+
+# deterministic tokenizer world: vocab + sentences exercising lowercasing,
+# OOV -> 0, apostrophe words, punctuation splits, and >max_words truncation
+GOLDEN_VOCAB = {
+    w: i + 1
+    for i, w in enumerate(
+        "the cat sat on a mat don't stop now mix eggs and flour then bake".split()
+    )
+}
+GOLDEN_SENTENCES = [
+    "The cat SAT on a mat.",
+    "Don't stop now!",
+    "mix eggs, and flour; then bake the cake",
+    "unknownword " * 12 + "cat",
+    "",
+]
+GOLDEN_MAX_WORDS = 8
 
 
 def vi_infonce_inputs():

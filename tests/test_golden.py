@@ -227,3 +227,62 @@ def test_golden_vi_encoder_forward():
     )
     for key in ("low_dim_features", "high_dim_features"):
         assert _rel(out[key], z[f"out::{key}"]) < 2e-5, key
+
+
+def test_golden_word2vec_forward():
+    """Frozen word2vec text tower (word2vec_model.py:84-102) against the
+    committed reference outputs — covers convert_word2vec_from_s3d, the
+    masked max-pool, and the all-stop-word escape hatch (:95)."""
+    import jax.numpy as jnp
+
+    from exoground_tpu.models.word2vec import word2vec_forward
+    from exoground_tpu.utils.convert import convert_word2vec_from_s3d
+
+    z = np.load(os.path.join(G.GOLDEN_DIR, "word2vec.npz"))
+    state = G.synth_state(G.manifest_from_npz(z), seed=17)
+    params = convert_word2vec_from_s3d(state)
+    ids, mask = G.word2vec_inputs()
+    out = word2vec_forward(params, jnp.asarray(ids), jnp.asarray(mask))
+    for key in ("last_hidden_state", "pooler_output"):
+        assert _rel(out[key], z[f"out::{key}"]) < 2e-5, key
+
+
+def test_golden_word2vec_tokenizer():
+    """Word2VecTokenizer (word2vec_model.py:26-73) against reference token
+    ids: lowercasing, the [\\w']+ split, OOV->0, pad/truncate to max_words,
+    and the nonzero attention mask."""
+    from exoground_tpu.models.word2vec import Word2VecTokenizer
+
+    z = np.load(os.path.join(G.GOLDEN_DIR, "word2vec.npz"))
+    tok = Word2VecTokenizer(dict(G.GOLDEN_VOCAB), max_words=G.GOLDEN_MAX_WORDS)
+    enc = tok(list(G.GOLDEN_SENTENCES))
+    np.testing.assert_array_equal(enc["input_ids"], z["out::tok_input_ids"])
+    np.testing.assert_array_equal(
+        enc["attention_mask"], z["out::tok_attention_mask"]
+    )
+
+
+@pytest.mark.slow
+def test_golden_s3d_trunk():
+    """S3D-G trunk (s3dg.py:250-348) against the committed reference pooled
+    features — covers convert_s3d_state_dict, space-to-depth + the [1:,1:,1:]
+    crop, TF-SAME pools, SelfGating, and frozen-BN inference math."""
+    import jax.numpy as jnp
+
+    from exoground_tpu.models.s3d import S3D
+    from exoground_tpu.utils.convert import convert_s3d_state_dict
+
+    z = np.load(os.path.join(G.GOLDEN_DIR, "s3d.npz"))
+    state = G.synth_state_bn(G.manifest_from_npz(z), seed=23)
+    variables = convert_s3d_state_dict(state)
+    model = S3D(num_classes=24)
+    x = G.s3d_inputs()
+    out = np.asarray(
+        model.apply(
+            {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+            jnp.asarray(x.transpose(0, 2, 3, 4, 1)),  # NCDHW -> NDHWC
+            return_embedding=False,
+        )
+    )
+    assert out.shape == z["out::pooled_trunk"].shape
+    assert _rel(out, z["out::pooled_trunk"]) < 2e-3
