@@ -328,6 +328,56 @@ def gen_s3d():
     print("s3d.npz:", ref.shape)
 
 
+def gen_align_protocol():
+    """HTM-Align protocol metrics (eval_zeroshot_align.py:96-252) from the
+    reference's ACTUAL eval loop on the deterministic synthetic world —
+    overlap-seq via the imported reference function, global via the
+    oracle-validated transcription (tests/test_oracle_eval.py). Freezes
+    Recall/AUC for head off/on in both methods."""
+    from tests import test_oracle_eval as OE
+
+    mod = OE._load_ref_eval_mod()
+    out = {}
+    for use_head in (False, True):
+        tag = "head" if use_head else "nohead"
+        items, table = G.align_protocol_items()
+        mod.HTM_Align = OE._fake_htm_align(items)
+        args = types.SimpleNamespace(
+            seq_len=64, use_alignability_head=use_head
+        )
+        ref = mod.test_alignment_htm(
+            OE._ref_closure(table, use_head), "cpu", args
+        )
+        out[f"out::overlap_{tag}_recall"] = np.float64(ref["Recall"])
+        out[f"out::overlap_{tag}_auc"] = np.float64(ref["AUC"])
+
+        g_items, g_table = G.align_protocol_items(seed=1)
+        gref = OE._ref_global_metrics(g_items, g_table, use_head)
+        out[f"out::global_{tag}_recall"] = np.float64(gref["Recall"])
+        out[f"out::global_{tag}_auc"] = np.float64(gref["AUC"])
+    np.savez_compressed(
+        os.path.join(G.GOLDEN_DIR, "align_protocol.npz"), **out
+    )
+    print("align_protocol.npz:", {k: float(v) for k, v in out.items()})
+
+
+def gen_yc2_protocol():
+    """YouCook2 retrieval metrics (eval_zeroshot_retrieval.py:156-256) from
+    the reference's ACTUAL eval loop on the deterministic synthetic world
+    (tests/test_oracle_retrieval.py). Freezes all 12 raw/centered/
+    standardized R1/R5/R10/MR values."""
+    from tests import test_oracle_retrieval as OR
+
+    mod = OR._load_ref_mod()
+    items, table, w_vis, w_txt = G.yc2_protocol_items()
+    ref = OR._run_reference_yc2(mod, items, table, w_vis, w_txt)
+    out = {f"out::{k}": np.float64(ref[k]) for k in G.YC2_METRIC_KEYS}
+    np.savez_compressed(
+        os.path.join(G.GOLDEN_DIR, "retrieval_protocol.npz"), **out
+    )
+    print("retrieval_protocol.npz:", {k: float(v) for k, v in out.items()})
+
+
 def main():
     os.makedirs(G.GOLDEN_DIR, exist_ok=True)
     gen_tan_forward()
@@ -337,6 +387,8 @@ def main():
     gen_vi_forward()
     gen_word2vec()
     gen_s3d()
+    gen_align_protocol()
+    gen_yc2_protocol()
 
 
 if __name__ == "__main__":

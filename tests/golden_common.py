@@ -226,3 +226,148 @@ def vi_infonce_inputs():
     svn_idx = rng.randint(0, t, (b, t)).astype(np.int64)
     video_feats = rng.randn(b, t, c).astype(np.float32)
     return feats, ego, pos, neg, svn_idx, video_feats
+
+
+# ------------------------------------------------------ eval protocol worlds
+# Shared by tests/test_oracle_eval.py (reference loop vs ours, needs torch +
+# /root/reference) and the self-contained golden protocol tests: the worlds
+# regenerate bit-exactly from seeds, so the fixture only stores the metric
+# values the reference protocol produced.
+
+ALIGN_N_STAGES = 4
+
+
+def align_stage(j):
+    """Stage-dependent factor: pins the protocol's stage selection
+    (eval_zeroshot_align.py:186,209,213) — a wrong stage fails loudly."""
+    return 1.0 + 0.1 * j
+
+
+def align_protocol_items(n_videos=4, dim=24, seed=0):
+    """HTM-Align-like items (eval_zeroshot_align.py:32-93 item contract);
+    text keys are globally unique strings so a string-keyed closure (the
+    reference's get_text_visual_sim contract) can look embeddings up."""
+    r = np.random.RandomState(seed)
+    items, table = [], {}
+    for i in range(n_videos):
+        vlen = int(r.randint(90, 150))
+        num_text = int(r.randint(9, 14))
+        aligned = (r.rand(num_text) > 0.5).astype(np.int64)
+        aligned[0], aligned[1] = 1, 0  # both classes always present
+        centers = np.sort(r.rand(num_text)) * (vlen - 10) + 5
+        start = np.maximum(centers - r.randint(2, 8, num_text), 0.0)
+        end = np.minimum(centers + r.randint(2, 8, num_text), float(vlen))
+        te = r.randn(num_text, dim).astype(np.float32)
+        keys = [f"v{i}:t{j}" for j in range(num_text)]
+        for k, row in zip(keys, te):
+            table[k] = row
+        items.append({
+            "video": r.randn(vlen, dim).astype(np.float32),
+            "start": start, "end": end, "aligned": aligned,
+            "text_embed": te, "text_keys": keys, "vid": f"v{i}",
+        })
+    return items, table
+
+
+def align_raw_sim(text_rows, video_rows):
+    """The shared scoring primitive — float32 numpy on BOTH sides so the raw
+    per-window similarities are bit-identical between the torch and jax
+    protocol loops."""
+    return (text_rows.astype(np.float32) @ video_rows.astype(np.float32).T
+            ) / np.float32(8.0)
+
+
+def align_masked_max(s, col_valid):
+    """max over the window axis ignoring padded columns (what a real model's
+    key-padding mask accomplishes)."""
+    neg = np.full_like(s, -1e30)
+    return np.where(col_valid[None, :], s, neg).max(axis=1)
+
+
+def align_our_sim_fn(use_head):
+    """Our batched sim_fn contract (evals/align.py::make_tan_sim_fn): numpy
+    dict, sim/dual-sim (W, K, L) LAST stage, alignability-joint stage 2,
+    alignability-joint-last last stage; padded rows/cols masked out like a
+    real model's padding masks."""
+
+    def sim_fn(video, vmask, text, tmask, interpolate_from=None,
+               pos_interp_len=None):
+        last = align_stage(ALIGN_N_STAGES - 1)
+        sims, duals, aj2, ajl = [], [], [], []
+        for w in range(video.shape[0]):
+            s = align_raw_sim(np.asarray(text[w]), np.asarray(video[w]))
+            sims.append(last * s)
+            duals.append(0.5 * last * s)
+            if use_head:
+                a = align_masked_max(s, ~np.asarray(vmask[w]))
+                aj2.append(align_stage(2) * a)
+                ajl.append(last * a)
+        out = {"sim": np.stack(sims), "dual-sim": np.stack(duals)}
+        if use_head:
+            out["alignability-joint"] = np.stack(aj2)
+            out["alignability-joint-last"] = np.stack(ajl)
+        return out
+
+    return sim_fn
+
+
+# YouCook2 retrieval world (eval_zeroshot_retrieval.py:29-153 item contract)
+YC2_DIM_V, YC2_DIM_T, YC2_DIM_F = 20, 12, 16
+YC2_N_STAGES = 3
+YC2_SEQ_LEN = 24  # some items exceed it (interpolate_from set), some don't
+
+
+def yc2_protocol_items(n=14, seed=0):
+    r = np.random.RandomState(seed)
+    w_vis = r.randn(YC2_DIM_V, YC2_DIM_F).astype(np.float32)
+    w_txt = r.randn(YC2_DIM_T, YC2_DIM_F).astype(np.float32)
+    items, table = [], {}
+    for i in range(n):
+        n_clips = int(r.randint(2, 5))
+        # mix of windows shorter and longer than YC2_SEQ_LEN: pins the
+        # interpolate_from gating (reference :183) on both sides
+        L = int(r.choice([16, 32]))
+        seg = int(r.randint(4, 10))
+        s0 = int(r.randint(0, L - seg))
+        key = f"yc2:{i}"
+        table[key] = r.randn(YC2_DIM_T).astype(np.float32)
+        items.append({
+            "video": r.randn(n_clips, L, YC2_DIM_V).astype(np.float32),
+            "start_idx": np.full(n_clips, s0, np.int64),
+            "end_idx": np.full(n_clips, s0 + seg, np.int64),
+            "start": float(s0), "end": float(s0 + seg),
+            "str": key, "vid": f"v{i}",
+            "text_embed": table[key],
+        })
+    return items, table, w_vis, w_txt
+
+
+def yc2_vis_primitive(clips, w_vis, interp):
+    """(C, L, DIM_V) -> (C, Stage, L, DIM_F), float32, stage-dependent and
+    interpolate_from-dependent so stage/-gating mismatches fail loudly."""
+    base = clips.astype(np.float32) @ w_vis  # (C, L, F)
+    gate = np.float32(1.25 if interp else 1.0)
+    return np.stack(
+        [(1.0 + 0.1 * j) * gate * base for j in range(YC2_N_STAGES)], axis=1
+    ).astype(np.float32)
+
+
+YC2_METRIC_KEYS = ("R1", "R5", "R10", "MR", "C-R1", "C-R5", "C-R10", "C-MR",
+                   "S-R1", "S-R5", "S-R10", "S-MR")
+
+
+def yc2_run_ours(items, w_vis, w_txt):
+    """Our side of the YC2 retrieval protocol on the synthetic world (pure
+    numpy closures) — shared by the oracle parity test and the self-contained
+    golden protocol test."""
+    from exoground_tpu.evals.retrieval import test_retrieval_yc2
+
+    def visual_feature_fn(clips, mask, interp):
+        return yc2_vis_primitive(np.asarray(clips), w_vis, interp is not None)
+
+    def text_feature_fn(lang):
+        return np.asarray(lang, np.float32) @ w_txt
+
+    return test_retrieval_yc2(
+        items, visual_feature_fn, text_feature_fn, seq_len=YC2_SEQ_LEN
+    )

@@ -286,3 +286,54 @@ def test_golden_s3d_trunk():
     )
     assert out.shape == z["out::pooled_trunk"].shape
     assert _rel(out, z["out::pooled_trunk"]) < 2e-3
+
+
+def test_golden_align_protocol():
+    """HTM-Align protocol (eval_zeroshot_align.py:96-252) against frozen
+    reference metrics: overlap-seq windowing/stitching and global mode, with
+    and without the alignability head, Recall + ROC-AUC — protocol drift in
+    evals/align.py fails here without torch or the reference."""
+    from exoground_tpu.evals.align import AlignEvalConfig, test_alignment_htm
+
+    z = np.load(os.path.join(G.GOLDEN_DIR, "align_protocol.npz"))
+    for use_head in (False, True):
+        tag = "head" if use_head else "nohead"
+
+        items, _ = G.align_protocol_items()
+        cfg = AlignEvalConfig(
+            sim_scale=1.0, use_alignability_head=use_head,
+            window_chunk=5, text_bucket=4,
+        )
+        got = test_alignment_htm(items, G.align_our_sim_fn(use_head), cfg)
+        np.testing.assert_allclose(
+            got["Recall"], z[f"out::overlap_{tag}_recall"], atol=1e-9,
+            err_msg=f"overlap {tag}")
+        np.testing.assert_allclose(
+            got["AUC"], z[f"out::overlap_{tag}_auc"], atol=1e-7,
+            err_msg=f"overlap {tag}")
+
+        g_items, _ = G.align_protocol_items(seed=1)
+        gcfg = AlignEvalConfig(
+            sim_scale=1.0, use_alignability_head=use_head, method="global",
+            global_len_bucket=32,
+        )
+        gg = test_alignment_htm(g_items, G.align_our_sim_fn(use_head), gcfg)
+        np.testing.assert_allclose(
+            gg["Recall"], z[f"out::global_{tag}_recall"], atol=1e-9,
+            err_msg=f"global {tag}")
+        np.testing.assert_allclose(
+            gg["AUC"], z[f"out::global_{tag}_auc"], atol=1e-7,
+            err_msg=f"global {tag}")
+
+
+def test_golden_yc2_protocol():
+    """YouCook2 retrieval protocol (eval_zeroshot_retrieval.py:156-256)
+    against frozen reference metrics: clip trimming, norm-then-mean pooling,
+    interpolate_from gating, raw/centered/standardized R1/R5/R10/MR."""
+    z = np.load(os.path.join(G.GOLDEN_DIR, "retrieval_protocol.npz"))
+    items, _table, w_vis, w_txt = G.yc2_protocol_items()
+    got = G.yc2_run_ours(items, w_vis, w_txt)
+    for k in G.YC2_METRIC_KEYS:
+        np.testing.assert_allclose(
+            got[k], z[f"out::{k}"], atol=1e-9, err_msg=k
+        )
