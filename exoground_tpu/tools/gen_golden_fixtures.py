@@ -378,6 +378,73 @@ def gen_yc2_protocol():
     print("retrieval_protocol.npz:", {k: float(v) for k, v in out.items()})
 
 
+def _np(v):
+    return v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+
+
+def gen_egoexo_loader():
+    """EgoExo4D data-layer items (loader_egoexo4d.py __getitem__ +
+    precompute_windows + loader_egoexo4d_tan.py) from the reference's ACTUAL
+    loader classes over the deterministic synthetic world
+    (tests/world_egoexo.py). Items are stored positionally with a parallel
+    window-key list — reference row order is filesystem-dependent (listdir),
+    so the golden test matches by key, exactly like the oracle tests."""
+    import pathlib
+    import tempfile
+
+    from tests import test_oracle_egoexo_loader as OL
+    from tests import world_egoexo as W
+
+    ref_cls = OL._load_ref_cls()
+    root = pathlib.Path(tempfile.mkdtemp(prefix="egoexo_golden_world_"))
+    world = W.build_egoexo_world(root)
+
+    out = {}
+    for tag, flags in W.GOLDEN_CONFIGS.items():
+        tmp = pathlib.Path(tempfile.mkdtemp(prefix=f"egoexo_ref_{tag}_"))
+        ref = OL._ref_loader(ref_cls, world, tmp, **dict(flags))
+        keys = []
+        for pos, (_, row) in enumerate(ref.windows.iterrows()):
+            keys.append("|".join(map(str, W.window_key(row))))
+            item = ref[pos]
+            kid = f"{tag}::{pos}"
+            for k in W.COMPARE_KEYS:
+                if k in item:
+                    out[f"{kid}::{k}"] = _np(item[k])
+            md = item["metadata"]
+            for k in W.META_KEYS:
+                out[f"{kid}::meta.{k}"] = np.array(
+                    [str(x) for x in np.atleast_1d(md[k])]
+                )
+            out[f"{kid}::meta.start_sec"] = np.array(int(md["start_sec"]))
+        out[f"{tag}::keys"] = np.array(keys)
+
+    # TAN-style variant (loader_egoexo4d_tan.py:270-342)
+    tmp = pathlib.Path(tempfile.mkdtemp(prefix="egoexo_ref_tan_"))
+    tref = OL._ref_tan_loader(world, tmp, split="val", views="exo",
+                              model="joint", use_distill_nce_loss=False)
+    keys = []
+    for pos, (_, row) in enumerate(tref.windows.iterrows()):
+        keys.append("|".join(map(str, W.window_key(row))))
+        item = tref[pos]
+        kid = f"tan::{pos}"
+        for k in ("video", "padding_mask", "narration_features",
+                  "narration_padding_mask", "start", "end"):
+            out[f"{kid}::{k}"] = _np(item[k])
+        out[f"{kid}::meta.narrations"] = np.array(
+            [str(x) for x in item["metadata"]["narrations"]]
+        )
+    out["tan::keys"] = np.array(keys)
+
+    np.savez_compressed(
+        os.path.join(G.GOLDEN_DIR, "egoexo_loader.npz"), **out
+    )
+    n_items = sum(
+        len(v) for k, v in out.items() if k.endswith("::keys")
+    )
+    print(f"egoexo_loader.npz: {n_items} items, {len(out)} fields")
+
+
 def main():
     os.makedirs(G.GOLDEN_DIR, exist_ok=True)
     gen_tan_forward()
@@ -389,6 +456,7 @@ def main():
     gen_s3d()
     gen_align_protocol()
     gen_yc2_protocol()
+    gen_egoexo_loader()
 
 
 if __name__ == "__main__":

@@ -39,15 +39,15 @@ pytestmark = [
                        reason="reference not mounted"),
 ]
 
-FPS = 30
-DUR = 20
-HOP = 10
-VDIM = 16  # video feature dim (free); narration dim is the reference's
-NDIM = 4096  # hardcoded 4096 (loader_egoexo4d.py:538)
+# world builder + our-side loader constructors + compare-key tables live in
+# tests/world_egoexo.py so the data-layer golden fixture freezes EXACTLY this
+# world (tests/test_golden_data.py)
+from tests import world_egoexo as W
+
+FPS, DUR, HOP, VDIM, NDIM = W.FPS, W.DUR, W.HOP, W.VDIM, W.NDIM
 
 
-@pytest.fixture(scope="module")
-def ref_cls():
+def _load_ref_cls():
     from tests._oracle_utils import stub_missing_modules
 
     stub_missing_modules()
@@ -59,123 +59,15 @@ def ref_cls():
     return EgoExo4DDataLoader
 
 
-def _rot(axis, angle):
-    """Rodrigues rotation matrix (keeps the synthetic extrinsics valid)."""
-    axis = np.asarray(axis, float)
-    axis = axis / np.linalg.norm(axis)
-    K = np.array([[0, -axis[2], axis[1]],
-                  [axis[2], 0, -axis[0]],
-                  [-axis[1], axis[0], 0]])
-    return np.eye(3) + np.sin(angle) * K + (1 - np.cos(angle)) * (K @ K)
-
-
-def _extrinsic(seed):
-    r = np.random.RandomState(seed)
-    R = _rot(r.randn(3), float(r.uniform(0.2, 2.8)))
-    t = r.uniform(-3, 3, 3)
-    return np.hstack([R, t[:, None]]).tolist()  # 3x4
+@pytest.fixture(scope="module")
+def ref_cls():
+    return _load_ref_cls()
 
 
 @pytest.fixture(scope="module")
 def world(tmp_path_factory):
     """One synthetic EgoExo4D tree consumed by BOTH loaders."""
-    import pandas as pd
-    import torch
-
-    root = tmp_path_factory.mktemp("egoexo_world")
-    takes = [
-        ("take_a", "uid_a", 45, "aria01", ["cam01", "cam02", "cam03"]),
-        ("take_b", "uid_b", 35, "aria02", ["cam01", "cam02"]),
-    ]
-
-    # ---- takes.json + the precompute-side video-file tree
-    takes_json = [
-        {"take_name": name,
-         "frame_aligned_videos": {c: {} for c in cams + [ego]}}
-        for name, _, _, ego, cams in takes
-    ]
-    with open(root / "takes.json", "w") as f:
-        json.dump(takes_json, f)
-    vids_dir = root / "takes_videos"
-    for name, _, _, ego, cams in takes:
-        fav = vids_dir / name / "frame_aligned_videos"
-        fav.mkdir(parents=True)
-        for c in cams + [ego]:
-            (fav / f"{c}.mp4").touch()
-
-    # ---- split + annotations csv
-    pd.DataFrame([
-        {"take_name": n, "take_uid": u, "duration_sec": d,
-         "ego_camera_path": f"/x/{e}.mp4"}
-        for n, u, d, e, _ in takes
-    ]).to_csv(root / "split.csv", index=False)
-    annos = [
-        # (take, nid, start_frame, end_frame)  — n4 has no feature file
-        ("take_a", "n1", 60, 300, "add the flour"),
-        ("take_a", "n2", 270, 600, "mix it well"),
-        ("take_a", "n3", 450, 1000, "knead the dough"),
-        ("take_a", "n4", 300, 450, "missing feature"),
-        ("take_a", "n5", 1100, 1300, "shape the loaf"),
-        ("take_b", "m1", 0, 150, "wash hands"),
-        ("take_b", "m2", 500, 900, "cut vegetables"),
-    ]
-    pd.DataFrame([
-        {"take_uid": t, "unique_narration_id": n, "start_frame": s,
-         "end_frame": e, "narration": txt}
-        for t, n, s, e, txt in annos
-    ]).to_csv(root / "annos.csv", index=False)
-
-    # ---- feature files
-    vfeat = root / "video_features"
-    nfeat = root / "narration_features"
-    vfeat.mkdir()
-    r = np.random.RandomState(7)
-    for name, _, d, ego, cams in takes:
-        for c in cams + [ego]:
-            torch.save(torch.from_numpy(r.randn(d, VDIM).astype(np.float32)),
-                       vfeat / f"{name}_{c}.pt")
-    for t, n, _, _, _ in annos:
-        if n == "n4":
-            continue
-        (nfeat / t).mkdir(parents=True, exist_ok=True)
-        torch.save(torch.from_numpy(r.randn(1, NDIM).astype(np.float32)),
-                   nfeat / t / f"{n}.pt")
-
-    # ---- per-second camera rankings (exo-cam names, rank-keyed)
-    rankings = {}
-    for name, uid, d, _, cams in takes:
-        per_sec = {}
-        for t in range(d):
-            order = list(np.roll(cams, t % len(cams)))
-            per_sec[str(t)] = {str(i): c for i, c in enumerate(order)}
-        rankings[uid] = per_sec
-    with open(root / "rankings.json", "w") as f:
-        json.dump(rankings, f)
-
-    # ---- camera poses (geometric view-order path)
-    poses_dir = root / "poses"
-    poses_dir.mkdir()
-    for i, (name, uid, d, ego, cams) in enumerate(takes):
-        frames = {str(int((s + DUR / 2) * FPS)): _extrinsic(100 + i)
-                  for s in range(0, d - DUR + 1, HOP)}
-        pose = {ego.replace("aria01", "aria01_slam").replace(
-            "aria02", "aria02_slam"): {"camera_extrinsics": frames}}
-        # exo cams: static extrinsics
-        for j, c in enumerate(cams):
-            pose[c] = {"camera_extrinsics": _extrinsic(200 + 10 * i + j)}
-        pose["metadata"] = {"ignored": True}
-        with open(poses_dir / f"{uid}.json", "w") as f:
-            json.dump(pose, f)
-
-    return {
-        "root": root, "takes": takes, "rankings": rankings,
-        "split_csv": str(root / "split.csv"),
-        "annos_csv": str(root / "annos.csv"),
-        "takes_json": str(root / "takes.json"),
-        "rankings_json": str(root / "rankings.json"),
-        "vfeat": str(vfeat), "nfeat": str(nfeat),
-        "vids_dir": str(vids_dir), "poses_dir": str(poses_dir),
-    }
+    return W.build_egoexo_world(tmp_path_factory.mktemp("egoexo_world"))
 
 
 _REF_DEFAULTS = dict(
@@ -243,31 +135,8 @@ def _ref_loader(ref_cls, world, tmp_path, **flags):
     return obj
 
 
-def _our_loader(world, **flags):
-    from exoground_tpu.data.egoexo4d import (
-        EgoExo4DDataset, EgoExoConfig, EgoExoSource,
-    )
-
-    split = flags.pop("split", "val")
-    cfg = EgoExoConfig(
-        duration=DUR, hop_length=HOP, fps=FPS, feature_dim=NDIM, **flags
-    )
-    src = EgoExoSource.from_paths(
-        split_csv=world["split_csv"],
-        annotations_csv=world["annos_csv"],
-        camera_rankings_json=world["rankings_json"],
-        takes_json=world["takes_json"],
-        video_feature_root=world["vfeat"],
-        narration_feature_root=world["nfeat"],
-        camera_pose_root=world["poses_dir"],
-    )
-    return EgoExo4DDataset(cfg, src, split=split)
-
-
-def _window_key(row):
-    return (str(row["video_id"]), str(row["exo_cam"]), str(row["ego_cam"]),
-            int(row["start_sec"]), int(row["end_sec"]),
-            str(row["narration_ids"]))
+_our_loader = W.make_our_loader
+_window_key = W.window_key
 
 
 def _ref_window_keys(ref):
@@ -278,12 +147,7 @@ def _our_window_keys(ours):
     return [_window_key(w) for w in ours.windows]
 
 
-COMPARE_KEYS = (
-    "video_features", "video_padding_mask", "narration_features",
-    "narration_padding_mask", "starts", "ends", "mean", "duration",
-    "ego_video_features", "view_rank_label", "view_rank_neg_label",
-    "valid_views_mask", "view_available_mask",
-)
+COMPARE_KEYS = W.COMPARE_KEYS
 
 
 def _compare_item(ours_item, ref_item, ctx):
@@ -301,8 +165,7 @@ def _compare_item(ours_item, ref_item, ctx):
             err_msg=f"{ctx}: {k}"
         )
     mo, mr = ours_item["metadata"], ref_item["metadata"]
-    for k in ("narrations", "video_id", "exo_camera", "per_second_views",
-              "narr_ranks"):
+    for k in W.META_KEYS:
         assert list(np.atleast_1d(mo[k])) == list(np.atleast_1d(mr[k])), (
             f"{ctx}: metadata.{k}: {mo[k]} vs {mr[k]}"
         )
@@ -492,23 +355,9 @@ def test_tan_variant_items_match(ref_cls, world, tmp_path):
     """EgoExo4DDataLoaderTAN (loader_egoexo4d_tan.py:270-342): raw video +
     long-zeros padding mask, clamped unnormalized start/end lists, 4096-d
     padded narration features."""
-    from exoground_tpu.data.egoexo4d import (
-        EgoExo4DTANDataset, EgoExoConfig, EgoExoSource,
-    )
-
     ref = _ref_tan_loader(world, tmp_path, split="val", views="exo",
                           model="joint", use_distill_nce_loss=False)
-    src = EgoExoSource.from_paths(
-        split_csv=world["split_csv"], annotations_csv=world["annos_csv"],
-        camera_rankings_json=world["rankings_json"],
-        takes_json=world["takes_json"], video_feature_root=world["vfeat"],
-        narration_feature_root=world["nfeat"],
-    )
-    ours = EgoExo4DTANDataset(
-        EgoExoConfig(duration=DUR, hop_length=HOP, fps=FPS, feature_dim=NDIM,
-                     views="exo", model="joint"),
-        src, split="val",
-    )
+    ours = W.make_our_tan_loader(world)
     assert sorted(_our_window_keys(ours)) == sorted(_ref_window_keys(ref))
     ref_by_key = {}
     for pos, (_, r) in enumerate(ref.windows.iterrows()):
