@@ -445,6 +445,135 @@ def gen_egoexo_loader():
     print(f"egoexo_loader.npz: {n_items} items, {len(out)} fields")
 
 
+def gen_htm_loader():
+    """HowTo100M data-layer items from the reference's ACTUAL loaders over
+    the deterministic worlds (tests/world_htm.py): HTM_FeatureLoader
+    (loader_htm.py:62-257 — window anchor, sentence accumulation/trim/break,
+    tokenization, pad-by-last source window) and HTM_Align window mode
+    (loader_htm_align.py:38-164 incl. its no-trim-break zero-width quirk).
+    The anchor draw rides GLOBAL np.random — each frozen item records the
+    seed set immediately before the reference __getitem__."""
+    import pathlib
+    import tempfile
+
+    from tests import test_oracle_htm_loader as OH
+    from tests import world_htm as WH
+
+    ref_mod = OH._load_ref_mod()
+    out = {}
+
+    root = pathlib.Path(tempfile.mkdtemp(prefix="htm_golden_world_"))
+    world = WH.build_htm_world(root)
+    ref = OH._ref_loader(ref_mod, world)
+    for i, vid in enumerate(ref.video_info):
+        for seed in WH.GOLDEN_SEEDS:
+            np.random.seed(seed)
+            item = ref[i]
+            kid = f"feat::{vid}::{seed}"
+            out[f"{kid}::text"] = np.array([str(t) for t in item["text"]])
+            out[f"{kid}::start"] = np.asarray(item["start"], np.float64)
+            out[f"{kid}::end"] = np.asarray(item["end"], np.float64)
+            out[f"{kid}::token"] = _np(item["token"])
+            out[f"{kid}::video"] = _np(item["video"])
+            out[f"{kid}::abs_text_start"] = np.asarray(
+                item["abs_text_start"], np.float64)
+            out[f"{kid}::abs_text_end"] = np.asarray(
+                item["abs_text_end"], np.float64)
+            out[f"{kid}::cut_start"] = np.array(int(item["cut_start"]))
+            out[f"{kid}::cut_end"] = np.array(int(item["cut_end"]))
+    out["feat::vids"] = np.array(list(ref.video_info))
+
+    aroot = pathlib.Path(tempfile.mkdtemp(prefix="htm_golden_align_"))
+    align_root = WH.build_align_world(aroot)
+    aref = OH._ref_align_loader(ref_mod, align_root)
+    for i, vid in enumerate(aref.video_info):
+        for seed in WH.GOLDEN_SEEDS:
+            np.random.seed(seed)
+            item = aref[i]
+            kid = f"align::{vid}::{seed}"
+            out[f"{kid}::text"] = np.array([str(t) for t in item["text"]])
+            out[f"{kid}::start"] = np.asarray(item["start"], np.float64)
+            out[f"{kid}::end"] = np.asarray(item["end"], np.float64)
+            out[f"{kid}::aligned"] = np.asarray(item["align"], np.int64)
+            out[f"{kid}::token"] = np.stack([_np(t) for t in item["token"]])
+            out[f"{kid}::video"] = _np(item["video"])
+    out["align::vids"] = np.array(list(aref.video_info))
+
+    np.savez_compressed(os.path.join(G.GOLDEN_DIR, "htm_loader.npz"), **out)
+    print(f"htm_loader.npz: {len(out)} fields")
+
+
+def gen_lemma_loader():
+    """LEMMA data-layer items (loader_lemma.py) from the reference's ACTUAL
+    loader over the deterministic world (tests/world_lemma.py). Window order
+    is fully deterministic on both sides — items stored positionally with the
+    key list as a cross-check."""
+    import pathlib
+    import tempfile
+
+    from tests import test_oracle_lemma_loader as OLM
+    from tests import world_lemma as WL
+
+    ref_cls = OLM._load_ref_cls()
+    root = pathlib.Path(tempfile.mkdtemp(prefix="lemma_golden_world_"))
+    world = WL.build_lemma_world(root)
+
+    out = {}
+    for tag, (split, distill) in WL.GOLDEN_CONFIGS.items():
+        tmp = pathlib.Path(tempfile.mkdtemp(prefix=f"lemma_ref_{tag}_"))
+        ref = OLM._ref_loader(ref_cls, world, tmp, split,
+                              use_distill_nce_loss=distill)
+        keys = ["|".join(map(str, WL.window_key(r)))
+                for _, r in ref.windows.iterrows()]
+        out[f"{tag}::keys"] = np.array(keys)
+        for pos in range(len(keys)):
+            item = ref[pos]
+            kid = f"{tag}::{pos}"
+            for k in WL.COMPARE_KEYS:
+                if k in item:
+                    out[f"{kid}::{k}"] = _np(item[k])
+            md = item["metadata"]
+            for k in WL.META_KEYS:
+                out[f"{kid}::meta.{k}"] = np.array(
+                    [str(x) for x in np.atleast_1d(md[k])]
+                )
+    np.savez_compressed(os.path.join(G.GOLDEN_DIR, "lemma_loader.npz"), **out)
+    print(f"lemma_loader.npz: {len(out)} fields")
+
+
+def gen_yc2_loader():
+    """YouCook2 feature-dataset items (eval_zeroshot_retrieval.py:29-153)
+    from the reference's ACTUAL class over the deterministic world
+    (tests/world_yc2.py): linspace window placement, adaptive
+    covering-vs-inside trim spans, frame clipping, fixed-seq_len mode."""
+    import pathlib
+    import tempfile
+
+    from tests import test_oracle_yc2_loader as OY
+    from tests import world_yc2 as WY
+
+    ref_cls = OY._load_ref_cls()
+    root = pathlib.Path(tempfile.mkdtemp(prefix="yc2_golden_world_"))
+    world = WY.build_yc2_world(root)
+
+    out = {}
+    for tag, (num_clips, seq_len) in WY.GOLDEN_CONFIGS.items():
+        ref = OY._ref_loader(ref_cls, world, num_clips, seq_len)
+        out[f"{tag}::n"] = np.array(len(ref.video_info))
+        for i in range(len(ref.video_info)):
+            item = ref[i]
+            kid = f"{tag}::{i}"
+            out[f"{kid}::video"] = _np(item["video"])
+            out[f"{kid}::str"] = np.array(str(item["str"]))
+            out[f"{kid}::start"] = np.array(float(item["start"]))
+            out[f"{kid}::end"] = np.array(float(item["end"]))
+            if seq_len == -1:
+                out[f"{kid}::start_idx"] = _np(item["start_idx"])
+                out[f"{kid}::end_idx"] = _np(item["end_idx"])
+    np.savez_compressed(os.path.join(G.GOLDEN_DIR, "yc2_loader.npz"), **out)
+    print(f"yc2_loader.npz: {len(out)} fields")
+
+
 def main():
     os.makedirs(G.GOLDEN_DIR, exist_ok=True)
     gen_tan_forward()
@@ -457,6 +586,9 @@ def main():
     gen_align_protocol()
     gen_yc2_protocol()
     gen_egoexo_loader()
+    gen_htm_loader()
+    gen_lemma_loader()
+    gen_yc2_loader()
 
 
 if __name__ == "__main__":

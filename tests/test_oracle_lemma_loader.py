@@ -25,15 +25,14 @@ pytestmark = [
                        reason="reference not mounted"),
 ]
 
-FPS = 24
-DUR = 16
-HOP = 8
-VDIM = 12
-NDIM = 4096  # hardcoded narration pad width (loader_lemma.py:260)
+# world + our-side loader constructor live in tests/world_lemma.py so the
+# data-layer golden fixture freezes EXACTLY this world
+from tests import world_lemma as WL
+
+FPS, DUR, HOP, VDIM, NDIM = WL.FPS, WL.DUR, WL.HOP, WL.VDIM, WL.NDIM
 
 
-@pytest.fixture(scope="module")
-def ref_cls():
+def _load_ref_cls():
     from tests._oracle_utils import stub_missing_modules
 
     stub_missing_modules()
@@ -46,46 +45,13 @@ def ref_cls():
 
 
 @pytest.fixture(scope="module")
+def ref_cls():
+    return _load_ref_cls()
+
+
+@pytest.fixture(scope="module")
 def world(tmp_path_factory):
-    import torch
-
-    root = tmp_path_factory.mktemp("lemma_world")
-    videos = [("vid_a", 40), ("vid_b", 30)]
-    annos = [
-        # (vid, nid, start_frame, end_frame, hoi_idx) — hoi 99 has no feature
-        ("vid_a", "a1", 24, 240, 3),
-        ("vid_a", "a2", 200, 500, 5),
-        ("vid_a", "a3", 480, 900, 7),
-        ("vid_a", "a4", 300, 400, 99),
-        ("vid_b", "b1", 0, 120, 3),
-        ("vid_b", "b2", 400, 680, 8),
-    ]
-    hoi_text = {3: "peel the fruit", 5: "pour water", 7: "open the fridge",
-                8: "wipe the table", 99: "missing"}
-
-    vfeat_root = root / "vid_feats"
-    nfeat_root = root / "keystep_feats"
-    nfeat_root.mkdir()
-    r = np.random.RandomState(11)
-    mem_video = {}
-    for vid, dur in videos:
-        for cam in ("fpv1", "master"):
-            arr = r.randn(dur, VDIM).astype(np.float32)
-            mem_video[f"{vid}_{cam}"] = arr
-            d = vfeat_root / vid / cam
-            d.mkdir(parents=True)
-            torch.save(torch.from_numpy(arr), d / f"{vid}_{cam}_combined.pt")
-    mem_narr = {}
-    for hoi in (3, 5, 7, 8):
-        arr = r.randn(1, NDIM).astype(np.float32)
-        mem_narr[str(hoi)] = arr
-        torch.save(torch.from_numpy(arr), nfeat_root / f"{hoi}.pt")
-
-    return {
-        "root": root, "videos": videos, "annos": annos, "hoi_text": hoi_text,
-        "vfeat_root": str(vfeat_root), "nfeat_root": str(nfeat_root),
-        "mem_video": mem_video, "mem_narr": mem_narr,
-    }
+    return WL.build_lemma_world(tmp_path_factory.mktemp("lemma_world"))
 
 
 def _ref_loader(ref_cls, world, tmp_path, split, **flags):
@@ -122,32 +88,9 @@ def _ref_loader(ref_cls, world, tmp_path, split, **flags):
     return obj
 
 
-def _our_loader(world, split, **flags):
-    from exoground_tpu.data.io import FeatureStore
-    from exoground_tpu.data.lemma import LemmaConfig, LemmaDataset
+_our_loader = WL.make_our_loader
 
-    cfg = LemmaConfig(duration=DUR, hop_length=HOP, fps=FPS,
-                      feature_dim=NDIM, **flags)
-    return LemmaDataset(
-        cfg,
-        split_rows=[{"video_id": v, "duration_sec": d}
-                    for v, d in world["videos"]],
-        annotations=[
-            {"vid_name": v, "unique_narration_id": n, "start_frame": s,
-             "end_frame": e, "narration": f"HOI {h}"}
-            for v, n, s, e, h in world["annos"]
-        ],
-        hoi_text_map=dict(world["hoi_text"]),
-        video_store=FeatureStore(mem=world["mem_video"]),
-        narration_store=FeatureStore(mem=world["mem_narr"]),
-        split=split,
-    )
-
-
-KEYS = ("video_features", "video_padding_mask", "narration_features",
-        "narration_padding_mask", "starts", "ends", "mean", "duration",
-        "ego_video_features", "view_rank_label", "view_rank_neg_label",
-        "valid_views_mask")
+KEYS = WL.COMPARE_KEYS
 
 
 @pytest.mark.parametrize("split,distill", [
@@ -182,7 +125,7 @@ def test_lemma_items_match_reference(ref_cls, world, tmp_path, split, distill):
             assert a.shape == b.shape, f"{ctx}: {k} {a.shape} vs {b.shape}"
             np.testing.assert_allclose(a, b, atol=1e-6, err_msg=f"{ctx}: {k}")
         mo, mr = o["metadata"], r["metadata"]
-        for k in ("narrations", "video_id", "exo_camera", "per_second_views"):
+        for k in WL.META_KEYS:
             assert list(np.atleast_1d(mo[k])) == list(np.atleast_1d(mr[k])), (
                 f"{ctx}: metadata.{k}"
             )

@@ -24,11 +24,14 @@ pytestmark = [
                        reason="reference not mounted"),
 ]
 
-VDIM = 6
+# world + our-side loader constructor live in tests/world_yc2.py so the
+# data-layer golden fixture freezes EXACTLY this world
+from tests import world_yc2 as WY
+
+VDIM = WY.VDIM
 
 
-@pytest.fixture(scope="module")
-def ref_cls():
+def _load_ref_cls():
     import importlib.util
 
     sys.path.insert(0, REF_ROOT)
@@ -42,34 +45,13 @@ def ref_cls():
 
 
 @pytest.fixture(scope="module")
-def world(tmp_path_factory):
-    import torch
+def ref_cls():
+    return _load_ref_cls()
 
-    root = tmp_path_factory.mktemp("yc2_world")
-    r = np.random.RandomState(13)
-    # segments chosen to hit BOTH adaptive branches: short segments
-    # (chosen_vlen = clip(2*dur, 32, 256) >= dur -> covering windows) and a
-    # very long one (dur > 256 -> windows inside the segment)
-    anno = {
-        "vidA": {"annotations": [
-            {"segment": [5, 17], "sentence": "add the flour"},  # ints: the youcookii json stores integer seconds and the reference indexes with them unconverted
-            {"segment": [40, 350], "sentence": "long baking montage"},
-        ]},
-        "vidB": {"annotations": [
-            {"segment": [2, 60], "sentence": "mix everything"},
-        ]},
-    }
-    vlens = {"vidA": 400, "vidB": 90}
-    feats, vid2path = {}, {}
-    for vid, vlen in vlens.items():
-        feats[vid] = r.randn(vlen, VDIM).astype(np.float32)
-        d = root / "src" / vid
-        d.mkdir(parents=True)
-        torch.save(torch.from_numpy(feats[vid]),
-                   root / f"{vid}_{vid}.pth.tar")
-        vid2path[vid] = f"x/{vid}/file"
-    return {"root": str(root), "anno": anno, "vlens": vlens, "feats": feats,
-            "vid2path": vid2path}
+
+@pytest.fixture(scope="module")
+def world(tmp_path_factory):
+    return WY.build_yc2_world(tmp_path_factory.mktemp("yc2_world"))
 
 
 def _ref_loader(ref_cls, world, num_clips, seq_len):
@@ -89,16 +71,7 @@ def _ref_loader(ref_cls, world, num_clips, seq_len):
     return obj
 
 
-def _our_loader(world, num_clips, seq_len):
-    from exoground_tpu.data.io import FeatureStore
-    from exoground_tpu.data.youcook2 import YouCook2Config, YouCook2Dataset
-
-    return YouCook2Dataset(
-        YouCook2Config(num_clips=num_clips, seq_len=seq_len),
-        FeatureStore(mem=world["feats"]),
-        world["anno"],
-        half_val=False,  # the reference eval class has no half split
-    )
+_our_loader = WY.make_our_loader
 
 
 @pytest.mark.parametrize("num_clips,seq_len", [
