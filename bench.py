@@ -146,6 +146,28 @@ def _save_last_good(rec: dict):
         pass
 
 
+def _maybe_save_last_good(final: dict):
+    """Regime guard: a run that completes inside the documented DEGRADED
+    tunnel window (PERF.md "Measurement regimes", reproducibly ~15x below
+    clear) must not replace a known-good record — the file exists precisely
+    to preserve the chip's clear-window throughput for the stall fallback.
+    Keep the old record unless the new headline is at least half of it
+    (clear-window run-to-run spread is ~±10%). Annotates ``final`` in place
+    when the record is kept."""
+    prev = _load_last_good()
+    if prev and prev.get("value") and final["value"] < 0.5 * prev["value"]:
+        final["last_good_not_replaced"] = (
+            f"run value {final['value']} < 50% of last good "
+            f"{prev['value']} ({prev.get('measured_at_utc')}) — degraded "
+            "tunnel regime, record kept"
+        )
+    else:
+        _save_last_good(
+            {**final, "measured_at_utc": time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+        )
+
+
 def _load_measured_baseline():
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE_MEASURED.json")
     try:
@@ -777,10 +799,7 @@ def main():
         **partial,
     }
     if final.get("value"):  # complete run: becomes the stall-fallback record
-        _save_last_good(
-            {**final, "measured_at_utc": time.strftime(
-                "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
-        )
+        _maybe_save_last_good(final)
     print(json.dumps(final))
 
 

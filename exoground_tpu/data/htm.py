@@ -279,6 +279,13 @@ class HTMAlignDataset:
     def __len__(self):
         return len(self.video_info)
 
+    def _rng(self, index: int) -> np.random.RandomState:
+        # per-(seed, epoch, index) stream, same derivation as
+        # HTMFeatureDataset._rng; tests pin anchors by overriding this hook
+        return np.random.RandomState(
+            (self.cfg.seed * 1_000_003 + self.epoch * 7919 + index) % (2**31 - 1)
+        )
+
     def _segments(self, vid):
         segs = self.anno[vid]
         return {
@@ -307,9 +314,7 @@ class HTMAlignDataset:
             return item
 
         # window mode (loader_htm_align.py:78-164)
-        rng = np.random.RandomState(
-            (cfg.seed * 1_000_003 + self.epoch * 7919 + index) % (2**31 - 1)
-        )
+        rng = self._rng(index)
         last_ts = seg["end"][-1]
         cand = [i for i, s in enumerate(seg["start"]) if s < last_ts - cfg.duration]
         anchor = int(rng.choice(cand)) if cand else 0

@@ -36,6 +36,28 @@ def _to_torch_state(state_np):
     return {k: torch.from_numpy(v.copy()) for k, v in state_np.items()}
 
 
+_TMPDIRS = []
+
+
+def _tmpdir(prefix):
+    """mkdtemp tracked for removal at the end of main() — the loader
+    generators materialize multi-MB synthetic worlds that must not
+    accumulate in /tmp across runs."""
+    import pathlib
+    import tempfile
+
+    d = pathlib.Path(tempfile.mkdtemp(prefix=prefix))
+    _TMPDIRS.append(d)
+    return d
+
+
+def _cleanup_tmpdirs():
+    import shutil
+
+    while _TMPDIRS:
+        shutil.rmtree(_TMPDIRS.pop(), ignore_errors=True)
+
+
 def gen_tan_forward():
     import torch
 
@@ -396,12 +418,12 @@ def gen_egoexo_loader():
     from tests import world_egoexo as W
 
     ref_cls = OL._load_ref_cls()
-    root = pathlib.Path(tempfile.mkdtemp(prefix="egoexo_golden_world_"))
+    root = _tmpdir("egoexo_golden_world_")
     world = W.build_egoexo_world(root)
 
     out = {}
     for tag, flags in W.GOLDEN_CONFIGS.items():
-        tmp = pathlib.Path(tempfile.mkdtemp(prefix=f"egoexo_ref_{tag}_"))
+        tmp = _tmpdir(f"egoexo_ref_{tag}_")
         ref = OL._ref_loader(ref_cls, world, tmp, **dict(flags))
         keys = []
         for pos, (_, row) in enumerate(ref.windows.iterrows()):
@@ -420,7 +442,7 @@ def gen_egoexo_loader():
         out[f"{tag}::keys"] = np.array(keys)
 
     # TAN-style variant (loader_egoexo4d_tan.py:270-342)
-    tmp = pathlib.Path(tempfile.mkdtemp(prefix="egoexo_ref_tan_"))
+    tmp = _tmpdir("egoexo_ref_tan_")
     tref = OL._ref_tan_loader(world, tmp, split="val", views="exo",
                               model="joint", use_distill_nce_loss=False)
     keys = []
@@ -462,7 +484,7 @@ def gen_htm_loader():
     ref_mod = OH._load_ref_mod()
     out = {}
 
-    root = pathlib.Path(tempfile.mkdtemp(prefix="htm_golden_world_"))
+    root = _tmpdir("htm_golden_world_")
     world = WH.build_htm_world(root)
     ref = OH._ref_loader(ref_mod, world)
     for i, vid in enumerate(ref.video_info):
@@ -483,7 +505,7 @@ def gen_htm_loader():
             out[f"{kid}::cut_end"] = np.array(int(item["cut_end"]))
     out["feat::vids"] = np.array(list(ref.video_info))
 
-    aroot = pathlib.Path(tempfile.mkdtemp(prefix="htm_golden_align_"))
+    aroot = _tmpdir("htm_golden_align_")
     align_root = WH.build_align_world(aroot)
     aref = OH._ref_align_loader(ref_mod, align_root)
     for i, vid in enumerate(aref.video_info):
@@ -515,12 +537,12 @@ def gen_lemma_loader():
     from tests import world_lemma as WL
 
     ref_cls = OLM._load_ref_cls()
-    root = pathlib.Path(tempfile.mkdtemp(prefix="lemma_golden_world_"))
+    root = _tmpdir("lemma_golden_world_")
     world = WL.build_lemma_world(root)
 
     out = {}
     for tag, (split, distill) in WL.GOLDEN_CONFIGS.items():
-        tmp = pathlib.Path(tempfile.mkdtemp(prefix=f"lemma_ref_{tag}_"))
+        tmp = _tmpdir(f"lemma_ref_{tag}_")
         ref = OLM._ref_loader(ref_cls, world, tmp, split,
                               use_distill_nce_loss=distill)
         keys = ["|".join(map(str, WL.window_key(r)))
@@ -553,7 +575,7 @@ def gen_yc2_loader():
     from tests import world_yc2 as WY
 
     ref_cls = OY._load_ref_cls()
-    root = pathlib.Path(tempfile.mkdtemp(prefix="yc2_golden_world_"))
+    root = _tmpdir("yc2_golden_world_")
     world = WY.build_yc2_world(root)
 
     out = {}
@@ -576,19 +598,22 @@ def gen_yc2_loader():
 
 def main():
     os.makedirs(G.GOLDEN_DIR, exist_ok=True)
-    gen_tan_forward()
-    gen_exoground_forward()
-    gen_tan_loss()
-    gen_grounding_loss()
-    gen_vi_forward()
-    gen_word2vec()
-    gen_s3d()
-    gen_align_protocol()
-    gen_yc2_protocol()
-    gen_egoexo_loader()
-    gen_htm_loader()
-    gen_lemma_loader()
-    gen_yc2_loader()
+    try:
+        gen_tan_forward()
+        gen_exoground_forward()
+        gen_tan_loss()
+        gen_grounding_loss()
+        gen_vi_forward()
+        gen_word2vec()
+        gen_s3d()
+        gen_align_protocol()
+        gen_yc2_protocol()
+        gen_egoexo_loader()
+        gen_htm_loader()
+        gen_lemma_loader()
+        gen_yc2_loader()
+    finally:
+        _cleanup_tmpdirs()
 
 
 if __name__ == "__main__":

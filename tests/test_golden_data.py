@@ -21,13 +21,7 @@ import pytest
 from tests import golden_common as G
 from tests import world_egoexo as W
 
-pytestmark = [
-    pytest.mark.slow,  # integration tier (world build + torch import)
-    pytest.mark.skipif(
-        not os.path.isfile(os.path.join(G.GOLDEN_DIR, "egoexo_loader.npz")),
-        reason="golden fixtures not generated",
-    ),
-]
+pytestmark = pytest.mark.slow  # integration tier (world build + torch import)
 
 
 @pytest.fixture(scope="module")
@@ -37,7 +31,12 @@ def world(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def fixture():
-    return np.load(os.path.join(G.GOLDEN_DIR, "egoexo_loader.npz"))
+    # gate only the EgoExo tests on this file — the HTM/LEMMA/YC2 tests have
+    # their own fixture files and skip independently
+    path = os.path.join(G.GOLDEN_DIR, "egoexo_loader.npz")
+    if not os.path.isfile(path):
+        pytest.skip("golden fixture egoexo_loader.npz not generated")
+    return np.load(path)
 
 
 def _positions_by_key(stored_keys):

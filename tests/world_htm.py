@@ -136,20 +136,12 @@ import contextlib
 
 @contextlib.contextmanager
 def pinned_align_rng(ours, seed):
-    """Pin our HTMAlignDataset's per-index RandomState to one MT19937 stream
+    """Pin our HTMAlignDataset's per-index anchor RNG to one MT19937 stream
     (the reference's anchor draw rides GLOBAL np.random, seeded by the
-    caller); restores the real class on exit."""
-    import exoground_tpu.data.htm as htm_mod
-
-    real_rs = np.random.RandomState
-
-    class Pinned(real_rs):
-        def __init__(self, _ignored=None):
-            super().__init__(seed)
-
-    ours.cfg.seed = 0
-    htm_mod.np.random.RandomState = Pinned
+    caller). Patches only this instance's ``_rng`` hook — no module or
+    class-global state is touched — and restores it on exit."""
+    ours._rng = lambda idx, s=seed: np.random.RandomState(s)
     try:
         yield
     finally:
-        htm_mod.np.random.RandomState = real_rs
+        del ours._rng  # fall back to the class method
