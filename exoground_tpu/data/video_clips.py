@@ -37,10 +37,16 @@ def decode_clip(
     crop: int = 224,
     scale: int = 256,
     rng: Optional[np.random.RandomState] = None,
+    dtype: str = "float32",
 ) -> np.ndarray:
     """Decode ``num_frames`` at ``fps`` from ``start_sec``, random-crop to
-    crop² (center crop when rng is None). Returns (T, H, W, 3) float32 [0,1].
-    Grey-frame fallback on any decode failure (reference :164-166)."""
+    crop² (center crop when rng is None). Returns (T, H, W, 3) float32 [0,1],
+    or raw uint8 [0,255] with ``dtype="uint8"`` — the TPU-native transfer
+    format: clips cross host→device as 1 byte/px (4× fewer bytes than f32)
+    and the jitted step normalizes on device (u8→f32 is exact, so /255 there
+    matches this host path bit for bit). Grey-frame fallback on any decode
+    failure (reference :164-166; uint8 grey is 128 ≈ 0.502, the nearest
+    representable value to the reference's 0.5)."""
     duration = num_frames / fps
     if ffmpeg_available() and os.path.exists(path):
         cmd = [
@@ -69,9 +75,14 @@ def decode_clip(
                     x = rng.randint(0, scale - crop + 1)
                 else:
                     y = x = (scale - crop) // 2
-                return frames[:, y : y + crop, x : x + crop].astype(np.float32) / 255.0
+                cropped = frames[:, y : y + crop, x : x + crop]
+                if dtype == "uint8":
+                    return np.ascontiguousarray(cropped)
+                return cropped.astype(np.float32) / 255.0
         except (subprocess.SubprocessError, ValueError, OSError):
             pass
+    if dtype == "uint8":
+        return np.full((num_frames, crop, crop, 3), 128, np.uint8)
     return np.full((num_frames, crop, crop, 3), 0.5, np.float32)
 
 
@@ -85,6 +96,10 @@ class ClipConfig:
     scale_size: int = 256
     token_len: int = 16
     seed: int = 0
+    # "uint8" (default): clips upload raw and normalize inside the jitted
+    # step — 4x fewer H2D bytes on the rawest-input pipeline in the
+    # framework. "float32" reproduces the reference's host-side /255.
+    clip_dtype: str = "uint8"
 
 
 class HTMClipDataset:
@@ -127,6 +142,7 @@ class HTMClipDataset:
                 decode_clip(
                     path, start, cfg.num_frames, cfg.fps,
                     cfg.crop_size, cfg.scale_size, rng,
+                    dtype=cfg.clip_dtype,
                 )
             )
         token = np.asarray(

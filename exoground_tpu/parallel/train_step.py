@@ -324,7 +324,14 @@ def make_s3d_nce_step(
 
     def local_step(params, batch_stats, opt_state, batch, rng):
         def loss_fn(p):
-            video = batch["video"].astype(cdt)
+            video = batch["video"]
+            if video.dtype == jnp.uint8:
+                # uint8 clip upload (ClipConfig.clip_dtype default): 4x
+                # fewer H2D bytes; u8->f32 is exact so normalizing here in
+                # f32 matches the host-side /255 path bit for bit before
+                # the compute-dtype cast
+                video = video.astype(jnp.float32) / 255.0
+            video = video.astype(cdt)
             b, n = video.shape[:2]
             # batch_stats stay f32 when they UPDATE (train_bn): flax's
             # momentum-0.9 running average must accumulate at full precision

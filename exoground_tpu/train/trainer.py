@@ -830,7 +830,11 @@ class S3DTrainer(BaseTrainer):
         super().__init__(cfg, mesh)
         self.model = model
         self.best_acc = 1e5  # best tracks lowest train loss (main_nce.py:293)
-        video = np.asarray(sample_batch["video"], np.float32)
+        video = np.asarray(sample_batch["video"])
+        if video.dtype == np.uint8:  # uint8 clip upload (video_clips.py)
+            video = video.astype(np.float32) / 255.0
+        else:
+            video = video.astype(np.float32)
         variables = model.init(
             jax.random.PRNGKey(cfg.seed), jnp.asarray(video[:, 0])
         )

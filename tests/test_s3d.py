@@ -251,8 +251,64 @@ def test_htm_clip_dataset_grey_fallback():
     )
     item = ds[0]
     assert item["video"].shape == (1, 8, 32, 32, 3)
-    assert (item["video"] == 0.5).all()  # grey-frame fallback, no ffmpeg
+    # grey-frame fallback, no ffmpeg; default transfer dtype is uint8
+    assert item["video"].dtype == np.uint8 and (item["video"] == 128).all()
     assert item["token"].shape == (16,)
+
+    # clip_dtype="float32" reproduces the reference's host-side /255 path
+    ds_f32 = HTMClipDataset(
+        ClipConfig(video_root="/nonexistent", num_frames=8, crop_size=32,
+                   scale_size=40, clip_dtype="float32"),
+        pairs=[{"vid": "v0", "text": "mix it", "start": 2.0, "end": 9.0}],
+        tokenizer=Tok(),
+    )
+    f = ds_f32[0]["video"]
+    assert f.dtype == np.float32 and (f == 0.5).all()
+
+
+def test_s3d_step_uint8_clips_match_float32():
+    """uint8 device-side normalization == host f32/255: u8->f32 is an exact
+    conversion, so the jitted step's /255 (train_step.py loss_fn) feeds the
+    model the same values as decode_clip's host path. The loss matches
+    exactly; updated params match to float rounding (XLA fuses the /255
+    differently in the two programs, reassociating a ULP into the grads)."""
+    import optax
+
+    from exoground_tpu.parallel import make_mesh
+    from exoground_tpu.parallel.train_step import make_s3d_nce_step
+
+    rng = np.random.RandomState(7)
+    u8 = rng.randint(0, 256, (4, 1, 8, 32, 32, 3)).astype(np.uint8)
+    token = rng.randint(1, 50, (4, 6)).astype(np.int32)
+    model = S3D(num_classes=16)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(u8[0].astype(np.float32) / 255.0)
+    )
+    text_params = {
+        "word_embd": rng.randn(50, 12).astype(np.float32),
+        "fc1": {"kernel": rng.randn(12, 20).astype(np.float32),
+                "bias": np.zeros(20, np.float32)},
+        "fc2": {"kernel": rng.randn(20, 16).astype(np.float32),
+                "bias": np.zeros(16, np.float32)},
+    }
+    tx = optax.adamw(1e-4)
+    mesh = make_mesh(1)
+    outs = {}
+    for tag, video in (("u8", u8), ("f32", u8.astype(np.float32) / 255.0)):
+        params = {"s3d": jax.device_get(variables["params"]),
+                  "text": text_params}
+        step = make_s3d_nce_step(model, tx, mesh, freeze_early=True)
+        p, bs, st, m = step(
+            params, jax.device_get(variables["batch_stats"]), tx.init(params),
+            {"video": video, "token": token}, jax.random.PRNGKey(1),
+        )
+        outs[tag] = (float(m["loss"]), jax.device_get(p))
+    assert outs["u8"][0] == outs["f32"][0]
+    for a, b in zip(jax.tree_util.tree_leaves(outs["u8"][1]),
+                    jax.tree_util.tree_leaves(outs["f32"][1])):
+        # post-AdamW comparison: 1/(sqrt(v)+eps) amplifies a one-ULP grad
+        # flip on near-zero grads to ~1e-4 relative on isolated elements
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6)
 
 
 def test_s3d_trainer_loop():
