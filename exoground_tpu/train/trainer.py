@@ -879,8 +879,14 @@ class S3DTrainer(BaseTrainer):
         )
         timer = Timer()
         for idx, raw in enumerate(loader):
+            # uint8 clips (ClipConfig.clip_dtype default) upload as-is — 4x
+            # fewer H2D bytes — and the jitted step normalizes /255 on device
+            # (train_step.py make_s3d_nce_step); only float inputs cast here
+            video = np.asarray(raw["video"])
+            if video.dtype != np.uint8:
+                video = video.astype(np.float32)
             batch = {
-                "video": np.asarray(raw["video"], np.float32),
+                "video": video,
                 "token": np.asarray(raw["token"], np.int32),
             }
             meters["Data"].update(timer.lap())

@@ -335,6 +335,42 @@ def test_s3d_trainer_loop():
     assert trainer.iteration == 2
     trainer.close()
 
+def test_s3d_trainer_loop_uint8_parity():
+    """ADVICE r3 (high): the per-step trainer loop must keep uint8 clips
+    uint8 (the jitted step normalizes /255 on device); the round-3 loop cast
+    to float32 WITHOUT /255, silently training on [0,255]-scaled inputs.
+    Trains one epoch from identical inits on a uint8 batch and on its exact
+    float32 (/255) counterpart and asserts loss parity."""
+    from exoground_tpu.train import ExperimentConfig, S3DTrainer
+
+    rng = np.random.RandomState(2)
+    u8 = rng.randint(0, 256, (8, 1, 8, 32, 32, 3)).astype(np.uint8)
+    token = rng.randint(1, 50, (8, 6)).astype(np.int32)
+    text_params = {
+        "word_embd": rng.randn(50, 12).astype(np.float32),
+        "fc1": {"kernel": rng.randn(12, 20).astype(np.float32),
+                "bias": np.zeros(20, np.float32)},
+        "fc2": {"kernel": rng.randn(20, 16).astype(np.float32),
+                "bias": np.zeros(16, np.float32)},
+    }
+    # freezeBN: with trained BN stats XLA fuses the device /255 into the
+    # batch-moment computation, reassociating a ULP (see
+    # test_s3d_step_uint8_clips_match_float32); frozen stats make the two
+    # programs bit-identical, so any host-side mis-scaling ([0,255] inputs)
+    # fails loudly here
+    cfg = ExperimentConfig(model="init", epochs=1, lr=1e-4, dp_devices=2,
+                           freezeBN=True)
+    losses = {}
+    for tag, video in (("u8", u8), ("f32", u8.astype(np.float32) / 255.0)):
+        batch = {"video": video, "token": token}
+        tr = S3DTrainer(S3D(num_classes=16), cfg, batch, text_params,
+                        iters_per_epoch=1)
+        losses[tag] = tr.train_epoch([batch], epoch=0)
+        tr.close()
+    assert np.isfinite(losses["u8"])
+    assert losses["u8"] == losses["f32"]
+
+
 def test_s3d_trainer_checkpoints_batch_stats(tmp_path):
     """With the default train_bn (no --freezeBN) the BN running stats are
     learned state: they must survive a save/load round trip, or a resumed
