@@ -8,6 +8,21 @@ logsumexp, so the math is identical, and the whole loss (similarity scaling,
 masking, both logsumexp directions, per-layer means) fuses into one XLA
 computation on TPU.
 
+Two grid backends (selected by what the ``logits`` dict carries):
+
+* **volume mode** (``logits_dual``/``logits_joint`` present): the reference's
+  materialized (B,S,T,Bc,N) similarity volumes (tan_model.py:112,132).
+* **fused feature mode** (``dual_feature_*``/``joint_feature_*`` present,
+  volumes absent): the volumes are NEVER materialized. Only the diagonal
+  block (B,S,T,N) — which carries every positive, since the cross-batch
+  target grid is tgt_tn ⊗ eye(B) (loss.py:87-88) — is computed densely; the
+  row/column logsumexp *denominators* stream over column blocks with an
+  online flash-style max/sum-exp scan (`_feature_two_way`). The per-layer
+  f32 volume is the train-memory knee of the materialized path: at bs128 it
+  pads 2.7x under TPU tiled layout and OOMs at bs256 (PERF.md batch-scaling
+  sweep, round 3); the fused path's peak intermediate is one
+  (B,S,T,block) slab per scan step, rematerialized in backward.
+
 Structure of the reference pipeline this reproduces:
   * binary targets from (start, end) spans, cross-batch grid with eye(B)
     (loss.py:84-88)
@@ -42,6 +57,14 @@ from exoground_tpu.ops.masks import (
 NEG_FILL = -6e4
 TEMP = 0.07  # contrastive temperature (loss.py:67-72)
 
+# Fused feature mode: target number of text COLUMNS (batch x narration)
+# per streamed block. ~512 keeps the per-block einsum MXU-shaped
+# ((B*S*T) x C x 512) while bounding the live block slab to
+# B*S*T*512 f32 (e.g. 200 MB at B=256, T=64, S=6) instead of the full
+# B*S*T*Bc*N volume (3.2 GB there, twice: dual + joint, live through
+# backward).
+MILNCE_BLOCK_COLS = 512
+
 
 @dataclasses.dataclass(frozen=True)
 class TANLossConfig:
@@ -61,6 +84,20 @@ def _diag_batch(x: jnp.ndarray, col_offset=0) -> jnp.ndarray:
     br = x.shape[0]
     rows = jnp.arange(br)
     return x[rows, :, :, rows + col_offset, :]
+
+
+def _feature_diag(video, text, temp, col_offset=0):
+    """Diagonal-block logits from normalized features, f32-accumulated.
+
+    video: (B,S,T,C); text: (Bc,N,C) dual or per-stage (Bc,S,N,C) joint.
+    Returns (B,S,T,N) / temp — the fused-mode replacement for _diag_batch
+    over the materialized volume (same out-of-range row clamping semantics)."""
+    b = video.shape[0]
+    rows = jnp.clip(jnp.arange(b) + col_offset, 0, text.shape[0] - 1)
+    txt = text[rows]  # (B,[S,]N,C)
+    eq = "astc,askc->astk" if text.ndim == 4 else "astc,akc->astk"
+    d = jnp.einsum(eq, video, txt, preferred_element_type=jnp.float32)
+    return d / temp
 
 
 def _masked_std(x, mask, axis=0):
@@ -97,23 +134,24 @@ def _two_way_softmax(diag_logits, video_pad, text_pad):
 
 
 def _agreement_targets(
-    logits_dual, logits_joint, binary_tgt_raw, video_pad, text_pad, cfg, col_offset=0
+    dual_diag, joint_diag, binary_tgt_raw, video_pad, text_pad, cfg
 ) -> Dict[str, jnp.ndarray]:
-    """Self-labelling pipeline (loss.py:91-232). All under stop_gradient."""
-    b, _, t, _, n = logits_joint.shape
+    """Self-labelling pipeline (loss.py:91-232). All under stop_gradient.
+
+    dual_diag/joint_diag: (B,S,T,N) diagonal-block logits, already scaled —
+    the reference indexes the full volumes with eye(B) (loss.py:95-98); only
+    the diagonal is ever used, so both grid backends feed diagonals here.
+    """
+    b, _, t, n = joint_diag.shape
 
     durations = jnp.maximum(binary_tgt_raw.sum(-1), 1.0)
     durations = jnp.where(text_pad, 0.0, durations)
     windows = window_scan_kernel(durations, t)  # (B,N,T,T)
 
-    jd, j_prob = _two_way_softmax(
-        _diag_batch(logits_joint, col_offset), video_pad, text_pad
-    )
+    jd, j_prob = _two_way_softmax(joint_diag, video_pad, text_pad)
     j_tgt, _, j_max_logits = _best_window_scan(j_prob[:, -1], jd[:, -1], windows)
 
-    dd, d_prob = _two_way_softmax(
-        _diag_batch(logits_dual, col_offset), video_pad, text_pad
-    )
+    dd, d_prob = _two_way_softmax(dual_diag, video_pad, text_pad)
     d_tgt, _, d_max_logits = _best_window_scan(d_prob[:, -1], dd[:, -1], windows)
 
     # mutual IoU between dual/joint window labels (loss.py:184-189)
@@ -156,6 +194,12 @@ def _agreement_targets(
     return {"tgt_tn": dedup, "confidence-ratio": conf_ratio}
 
 
+def _vt_means(v_loss, t_loss, row_has_pos, col_has_pos):
+    v_mean = _masked_mean(v_loss, jnp.broadcast_to(row_has_pos[None, :], v_loss.shape).astype(jnp.float32))
+    t_mean = _masked_mean(t_loss, jnp.broadcast_to(col_has_pos[None, :], t_loss.shape).astype(jnp.float32))
+    return (v_mean + t_mean) / 2
+
+
 def _milnce_two_way(logits, tgt_flat, col_valid, row_has_pos, col_has_pos):
     """Two-directional MIL-NCE over the (S, B*T, B*N) grid (loss.py:243-278).
 
@@ -174,9 +218,90 @@ def _milnce_two_way(logits, tgt_flat, col_valid, row_has_pos, col_has_pos):
     t_den = jax.scipy.special.logsumexp(flat, axis=-2)
     t_loss = t_den - t_num
 
-    v_mean = _masked_mean(v_loss, jnp.broadcast_to(row_has_pos[None, :], v_loss.shape).astype(jnp.float32))
-    t_mean = _masked_mean(t_loss, jnp.broadcast_to(col_has_pos[None, :], t_loss.shape).astype(jnp.float32))
-    return v_loss, t_loss, (v_mean + t_mean) / 2
+    return v_loss, t_loss, _vt_means(v_loss, t_loss, row_has_pos, col_has_pos)
+
+
+def _feature_two_way(
+    video, text, diag, tgt_tn, own_valid, col_valid2, row_has_pos,
+    col_has_pos, col_offset, temp,
+):
+    """Blockwise two-directional MIL-NCE from normalized features.
+
+    The fused replacement for einsum('astc,bkc->astbk') (tan_model.py:112,132)
+    + _milnce_two_way: the (B,S,T,Bc,N) similarity volume is never
+    materialized. Numerators come from the diagonal block only — the
+    cross-batch target grid is tgt_tn ⊗ eye (loss.py:87-88), so every
+    positive lives there, and the materialized path's off-diagonal NEG_FILL
+    entries underflow to exactly 0 inside logsumexp whenever the row/column
+    owns at least one positive. Denominators stream over column blocks with
+    an online (flash-style) max/sum-exp scan; `jax.checkpoint` on the body
+    rematerializes each block in backward, so peak memory is one
+    (B,S,T,block) slab. Rows/columns WITHOUT positives differ from the
+    materialized path only in the fill count inside their numerator
+    (log(N) vs log(Bc*N)); every consumer masks them via row/col_has_pos.
+
+    video: (B,S,T,C); text: (Bc,N,C) or per-stage (Bc,S,N,C);
+    diag: (B,S,T,N) scaled diagonal logits (from _feature_diag);
+    tgt_tn: (B,T,N) targets; own_valid: (B,N) this row block's column
+    validity; col_valid2: (Bc,N). Returns (v_loss (S,B*T), t_loss (S,Bc*N),
+    scalar mean) like _milnce_two_way.
+    """
+    b, s, t, _ = video.shape
+    bc, n = col_valid2.shape
+
+    pos_mask = (tgt_tn > 0) & own_valid[:, None, :]  # (B,T,N)
+    pos = jnp.where(pos_mask[:, None], diag, NEG_FILL)  # (B,S,T,N)
+    v_num = jax.scipy.special.logsumexp(pos, axis=-1)  # (B,S,T)
+    t_num_own = jax.scipy.special.logsumexp(pos, axis=2)  # (B,S,N)
+
+    # ---- streamed denominators over column blocks ----------------------
+    cb = max(1, min(bc, -(-MILNCE_BLOCK_COLS // n)))  # col batches per block
+    nblocks = -(-bc // cb)
+    pad = nblocks * cb - bc
+    text_p = jnp.pad(text, ((0, pad),) + ((0, 0),) * (text.ndim - 1)) if pad else text
+    colv_p = jnp.pad(col_valid2, ((0, pad), (0, 0))) if pad else col_valid2
+    blocks_t = text_p.reshape((nblocks, cb) + text_p.shape[1:])
+    blocks_v = colv_p.reshape(nblocks, cb, n)
+    eq = "astc,bskc->astbk" if text.ndim == 4 else "astc,bkc->astbk"
+
+    def body(carry, xs):
+        m, acc = carry  # (B,S,T) running max / sum-exp
+        t_blk, v_blk = xs
+        z = jnp.einsum(eq, video, t_blk, preferred_element_type=jnp.float32)
+        z = jnp.where(v_blk[None, None, None], z / temp, NEG_FILL)
+        zmax = jnp.max(z, axis=(3, 4))
+        m_new = jnp.maximum(m, zmax)
+        acc = acc * jnp.exp(m - m_new) + jnp.sum(
+            jnp.exp(z - m_new[..., None, None]), axis=(3, 4)
+        )
+        t_den_blk = jax.scipy.special.logsumexp(z, axis=(0, 2))  # (S,cb,n)
+        return (m_new, acc), t_den_blk
+
+    init = (
+        jnp.full((b, s, t), 2.0 * NEG_FILL, jnp.float32),
+        jnp.zeros((b, s, t), jnp.float32),
+    )
+    (m, acc), t_den_blocks = jax.lax.scan(
+        jax.checkpoint(body), init, (blocks_t, blocks_v)
+    )
+    v_den = m + jnp.log(acc)  # (B,S,T); exact also for all-fill rows
+    t_den = (
+        jnp.moveaxis(t_den_blocks, 0, 1)  # (S, nblocks, cb, n)
+        .reshape(s, nblocks * cb, n)[:, :bc]
+        .reshape(s, bc * n)
+    )
+
+    v_loss = jnp.transpose(v_den - v_num, (1, 0, 2)).reshape(s, b * t)
+    # scatter own-block numerators into global column space; non-own columns
+    # have no positives (masked by col_has_pos downstream)
+    t_num = jax.lax.dynamic_update_slice(
+        jnp.full((s, bc, n), NEG_FILL, jnp.float32),
+        jnp.transpose(t_num_own, (1, 0, 2)),
+        (0, jnp.asarray(col_offset, jnp.int32), 0),
+    ).reshape(s, bc * n)
+    t_loss = t_den - t_num
+
+    return v_loss, t_loss, _vt_means(v_loss, t_loss, row_has_pos, col_has_pos)
 
 
 def _bce_with_pos_weight(logits, labels, select, pos_weight):
@@ -198,19 +323,40 @@ def tan_loss(
     col_text_padding_mask: Optional[jnp.ndarray] = None,  # (Bc, N): global pads
     col_offset=0,  # this shard's row block position among the gathered columns
 ) -> Dict[str, jnp.ndarray]:
-    logits_dual = logits["logits_dual"]
-    logits_joint = logits["logits_joint"]
-    if cfg.sim == "cos":
-        logits_dual = logits_dual / TEMP
-        logits_joint = logits_joint / TEMP
-    b, _, t, bc, n = logits_dual.shape
+    """TAN loss over either materialized volumes or streamed features.
+
+    ``logits`` selects the grid backend:
+    * volume mode: ``logits_dual``/``logits_joint`` (B,S,T,Bc,N) volumes
+      (+ ``ema-logits_*`` for cotrain agreement).
+    * fused feature mode (no ``logits_dual`` key): ``dual_feature_video``
+      (B,S,T,C), ``dual_feature_text`` (Bc,N,C), ``joint_feature_video``
+      (B,S,T,C), ``joint_feature_text`` (Bc,S,N,C) — l2-normalized, any float
+      dtype (einsums accumulate f32) — plus ``ema-*_feature_*`` for cotrain.
+      The similarity volumes are never built (see _feature_two_way).
+    """
+    fused = "logits_dual" not in logits
+    temp = TEMP if cfg.sim == "cos" else 1.0
+    if fused:
+        vd, td = logits["dual_feature_video"], logits["dual_feature_text"]
+        vj, tj = logits["joint_feature_video"], logits["joint_feature_text"]
+        b, _, t = vd.shape[:3]
+        bc, n = td.shape[0], td.shape[-2]
+        dual_diag = _feature_diag(vd, td, temp, col_offset)
+        joint_diag = _feature_diag(vj, tj, temp, col_offset)
+    else:
+        logits_dual = logits["logits_dual"] / temp
+        logits_joint = logits["logits_joint"] / temp
+        b, _, t, bc, n = logits_dual.shape
+        dual_diag = _diag_batch(logits_dual, col_offset)
+        joint_diag = _diag_batch(logits_joint, col_offset)
     if col_text_padding_mask is None:
         col_text_padding_mask = text_padding_mask
+    col_valid2 = ~col_text_padding_mask  # (Bc, N)
+    col_valid = col_valid2.reshape(-1)
     # row i of the grid pairs column (i + col_offset); identity when not
     # gathering negatives across the data axis
-    cross = (
-        jnp.arange(bc)[None, :] == (jnp.arange(b)[:, None] + col_offset)
-    ).astype(jnp.float32)
+    rows_idx = jnp.clip(jnp.arange(b) + col_offset, 0, bc - 1)
+    own_valid = col_valid2[rows_idx]  # (B, N)
     loss_dict: Dict[str, jnp.ndarray] = {}
 
     binary_tgt_raw = mask_from_time(start, end, t)  # (B,N,T)
@@ -218,15 +364,27 @@ def tan_loss(
 
     if cfg.learn_agreement:
         if cfg.model == "cotrain":
-            a_dual = logits["ema-logits_dual"] / (TEMP if cfg.sim == "cos" else 1.0)
-            a_joint = logits["ema-logits_joint"] / (TEMP if cfg.sim == "cos" else 1.0)
+            if fused:
+                # diag only needs this shard's own column block, so local
+                # (ungathered) EMA text features suffice at offset 0
+                a_dual = _feature_diag(
+                    logits["ema-dual_feature_video"],
+                    logits["ema-dual_feature_text"], temp,
+                )
+                a_joint = _feature_diag(
+                    logits["ema-joint_feature_video"],
+                    logits["ema-joint_feature_text"], temp,
+                )
+            else:
+                a_dual = _diag_batch(logits["ema-logits_dual"] / temp, col_offset)
+                a_joint = _diag_batch(logits["ema-logits_joint"] / temp, col_offset)
         else:
-            a_dual, a_joint = logits_dual, logits_joint
+            a_dual, a_joint = dual_diag, joint_diag
         agree = jax.tree_util.tree_map(
             jax.lax.stop_gradient,
             _agreement_targets(
                 a_dual, a_joint, binary_tgt_raw, video_padding_mask,
-                text_padding_mask, cfg, col_offset=col_offset,
+                text_padding_mask, cfg,
             ),
         )
         tgt_tn = agree["tgt_tn"]
@@ -235,25 +393,42 @@ def tan_loss(
     else:
         tgt_tn = bt_tn
 
-    # (B,T,N) diag -> (B*T, Bc*N) cross-batch grid (loss.py:87-88,228)
-    tgt = tgt_tn[:, :, None, :] * cross[:, None, :, None]  # (B,T,Bc,N)
-    tgt_flat = tgt.reshape(b * t, bc * n)
-    col_valid = (~col_text_padding_mask).reshape(-1)  # (Bc*N,)
-    tgt_flat = tgt_flat * col_valid[None, :]
-    row_has_pos = jnp.sum(tgt_flat, axis=-1) > 0
-    col_has_pos = (jnp.sum(tgt_flat, axis=-2) > 0) & col_valid
-
+    # (B,T,N) diag targets over the (B*T, Bc*N) cross-batch grid
+    # (loss.py:87-88,228): positives only in the diagonal block.
+    pos_mask_tn = (tgt_tn > 0) & own_valid[:, None, :]  # (B,T,N)
+    row_has_pos = pos_mask_tn.any(-1).reshape(b * t)
+    own_col_pos = pos_mask_tn.any(1)  # (B,N)
+    col_has_pos = (
+        jax.lax.dynamic_update_slice(
+            jnp.zeros((bc, n), bool), own_col_pos,
+            (jnp.asarray(col_offset, jnp.int32), 0),
+        ).reshape(-1)
+        & col_valid
+    )
     # this shard's own text columns inside the (possibly gathered) column space
-    own_cols = jax.lax.dynamic_slice(
-        col_has_pos.reshape(bc, n), (jnp.asarray(col_offset, jnp.int32), 0), (b, n)
-    )
+    own_cols = own_col_pos & own_valid
 
-    v_loss_d, t_loss_d, loss_dual = _milnce_two_way(
-        logits_dual, tgt_flat, col_valid, row_has_pos, col_has_pos
-    )
-    v_loss_j, t_loss_j, loss_joint = _milnce_two_way(
-        logits_joint, tgt_flat, col_valid, row_has_pos, col_has_pos
-    )
+    if fused:
+        v_loss_d, t_loss_d, loss_dual = _feature_two_way(
+            vd, td, dual_diag, tgt_tn, own_valid, col_valid2,
+            row_has_pos, col_has_pos, col_offset, temp,
+        )
+        v_loss_j, t_loss_j, loss_joint = _feature_two_way(
+            vj, tj, joint_diag, tgt_tn, own_valid, col_valid2,
+            row_has_pos, col_has_pos, col_offset, temp,
+        )
+    else:
+        cross = (
+            jnp.arange(bc)[None, :] == (jnp.arange(b)[:, None] + col_offset)
+        ).astype(jnp.float32)
+        tgt = tgt_tn[:, :, None, :] * cross[:, None, :, None]  # (B,T,Bc,N)
+        tgt_flat = tgt.reshape(b * t, bc * n) * col_valid[None, :]
+        v_loss_d, t_loss_d, loss_dual = _milnce_two_way(
+            logits_dual, tgt_flat, col_valid, row_has_pos, col_has_pos
+        )
+        v_loss_j, t_loss_j, loss_joint = _milnce_two_way(
+            logits_joint, tgt_flat, col_valid, row_has_pos, col_has_pos
+        )
     loss_dict["loss-dual"] = loss_dual
     loss_dict["loss-joint"] = loss_joint
 
@@ -264,8 +439,8 @@ def tan_loss(
     if cfg.loss_threshold > 0 or cfg.use_alignability_head:
         # per-text confidence (max over time of last-layer diag logits),
         # standardized over texts (loss.py:283-289)
-        d_diag = _diag_batch(logits_dual, col_offset)[:, -1]  # (B,T,N)
-        j_diag = _diag_batch(logits_joint, col_offset)[:, -1]
+        d_diag = dual_diag[:, -1]  # (B,T,N)
+        j_diag = joint_diag[:, -1]
         valid = ~text_padding_mask  # (B,N)
         big_neg = jnp.full_like(d_diag, NEG_FILL)
         d_max = jnp.max(jnp.where(valid[:, None, :], d_diag, big_neg), axis=1)  # (B,N)
@@ -288,8 +463,7 @@ def tan_loss(
                 jnp.zeros((bc, n), bool), t_th_mask,
                 (jnp.asarray(col_offset, jnp.int32), 0),
             ).reshape(-1)
-            tgt_th = tgt_flat * t_th_cols[None, :]
-            row_pos_th = jnp.sum(tgt_th, axis=-1) > 0
+            row_pos_th = (pos_mask_tn & t_th_mask[:, None, :]).any(-1).reshape(b * t)
             t_sel = t_th_cols & col_has_pos
 
             t_loss_d_th = _masked_mean(t_loss_d, jnp.broadcast_to(t_sel[None, :], t_loss_d.shape).astype(jnp.float32))

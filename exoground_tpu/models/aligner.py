@@ -182,7 +182,13 @@ class TemporalAligner(nn.Module):
         text_timestamp=None,  # unused (parity with reference signature)
         interpolate_from: Optional[int] = None,
         deterministic: bool = True,
+        return_sim_volumes: bool = True,
     ):
+        """``return_sim_volumes=False`` skips the cross-batch einsums
+        (tan_model.py:112,132) and returns only the normalized features —
+        the fused-grid train path (losses/milnce.py::_feature_two_way)
+        streams the similarity grid blockwise and never materializes the
+        (B,S,T,B,N) volumes."""
         video_out = self.get_visual_feature(
             video_embed, video_padding_mask, interpolate_from, deterministic
         )
@@ -190,7 +196,6 @@ class TemporalAligner(nn.Module):
 
         video_n = _l2norm(video_out)
         text_n = _l2norm(lang_raw)
-        logits_dual = jnp.einsum("astc,bkc->astbk", video_n, text_n)
 
         if self.use_text_pos_enc:
             lang_with_time = self.get_textual_feature_with_time(
@@ -205,10 +210,12 @@ class TemporalAligner(nn.Module):
         )
         video_nj = _l2norm(joint_video)
         text_nj = _l2norm(joint_text)
-        logits_joint = jnp.einsum("astc,bskc->astbk", video_nj, text_nj)
 
-        out = {"logits_dual": logits_dual, "logits_joint": logits_joint}
-        if self.return_dual_feature:
+        out = {}
+        if return_sim_volumes:
+            out["logits_dual"] = jnp.einsum("astc,bkc->astbk", video_n, text_n)
+            out["logits_joint"] = jnp.einsum("astc,bskc->astbk", video_nj, text_nj)
+        if self.return_dual_feature or not return_sim_volumes:
             out["dual_feature_video"] = video_n
             out["dual_feature_text"] = text_n
             # normalized joint features: lets the data-parallel train step

@@ -44,6 +44,15 @@ def _scalars(d: Dict) -> Dict:
     return {k: v for k, v in d.items() if getattr(v, "ndim", None) == 0}
 
 
+def _supports_kwarg(model, name: str) -> bool:
+    import inspect
+
+    try:
+        return name in inspect.signature(type(model).__call__).parameters
+    except (TypeError, ValueError):
+        return False
+
+
 def _cast_floats(tree, dtype):
     """Cast float leaves to ``dtype`` (mixed-precision compute). Integer /
     bool leaves (tokens, masks, labels) pass through untouched."""
@@ -65,6 +74,21 @@ def _is_fused_optimizer(optimizer) -> bool:
     from exoground_tpu.train.optim import FusedAdamWEMA
 
     return isinstance(optimizer, FusedAdamWEMA)
+
+
+# Normalized-feature outputs of TemporalAligner: under the fused grid these
+# stay in the compute dtype (the streamed einsums accumulate f32 on the MXU);
+# everything else upcasts to f32 for the loss math.
+_FEATURE_KEYS = (
+    "dual_feature_video", "dual_feature_text",
+    "joint_feature_video", "joint_feature_text",
+)
+
+
+def _f32_except_features(out: Dict) -> Dict:
+    return {
+        k: (v if k in _FEATURE_KEYS else _f32(v)) for k, v in out.items()
+    }
 
 
 def _batch_text(batch: Dict, text_tower_params) -> jnp.ndarray:
@@ -95,6 +119,7 @@ def make_tan_train_step(
     text_tower_params=None,
     compute_dtype: str = "float32",
     scan_steps: Optional[int] = None,
+    fused_grid: bool = True,
 ) -> Callable:
     """Build the jitted TAN train step.
 
@@ -122,10 +147,27 @@ def make_tan_train_step(
     runs N optimizer steps via lax.scan, returning per-step stacked metrics.
     Host->device dispatch costs a round trip per call on tunnel/PCIe-attached
     chips; fusing N steps amortizes it to 1/N.
+
+    ``fused_grid=True`` (default) streams the MIL-NCE similarity grid from
+    the normalized features (losses/milnce.py::_feature_two_way) instead of
+    materializing the per-layer f32 (B,S,T,Bc,N) volumes — the volumes are
+    the train-memory knee (OOM at bs256, PERF.md); math is identical up to
+    fp summation order. Under bf16 compute it is also slightly MORE precise:
+    the streamed einsums accumulate f32 on the MXU where the materialized
+    volumes round to bf16 before the loss upcasts them. ``fused_grid=False``
+    keeps the reference-shaped volume path (oracle/golden comparisons).
     """
     cotrain = loss_cfg.model == "cotrain"
     cdt = jnp.dtype(compute_dtype)
     fused_opt = _is_fused_optimizer(optimizer)
+    # TemporalAligner can skip the volume einsums entirely; models without
+    # the kwarg (e.g. test doubles) just compute them and the fused loss
+    # ignores the volumes if the feature keys are present
+    apply_kw = (
+        {"return_sim_volumes": False}
+        if fused_grid and _supports_kwarg(model, "return_sim_volumes")
+        else {}
+    )
     # frozen tower: cast once at build time, not once per step
     text_tower_c = _cast_floats(text_tower_params, cdt)
     # scan + fused + bf16: carry the compute-dtype param/teacher casts across
@@ -152,24 +194,52 @@ def make_tan_train_step(
                 {"params": p_c},
                 batch_c["video"], text,
                 batch["video_padding_mask"], batch["text_padding_mask"],
-                deterministic=False, rngs={"pos": rng},
+                deterministic=False, rngs={"pos": rng}, **apply_kw,
             )
-            out = _f32(out)
-            if gather_negatives:
-                out = _gathered_logits(out)
-            logits = dict(out)
+            if fused_grid:
+                missing = [k for k in _FEATURE_KEYS if k not in out]
+                if missing:
+                    raise ValueError(
+                        f"fused_grid=True needs the model to return the "
+                        f"normalized features {missing} (e.g. "
+                        f"joint_feature_text); pass fused_grid=False for "
+                        f"volume-only models"
+                    )
+                out = _f32_except_features(out)
+                # drop any materialized volumes: their absence is what
+                # selects tan_loss's streamed feature backend
+                logits = {k: v for k, v in out.items()
+                          if k not in ("logits_dual", "logits_joint")}
+                if gather_negatives:
+                    # only the text features cross shards; the streamed grid
+                    # consumes them directly (no gathered volume rebuild)
+                    for k in ("dual_feature_text", "joint_feature_text"):
+                        logits[k] = jax.lax.all_gather(
+                            out[k], DATA_AXIS, tiled=True
+                        )
+            else:
+                out = _f32(out)
+                if gather_negatives:
+                    out = _gathered_logits(out)
+                logits = dict(out)
             if cotrain:
                 ema_out = model.apply(
                     {"params": t_c},
                     batch_c["video"], text,
                     batch["video_padding_mask"], batch["text_padding_mask"],
-                    deterministic=True,
+                    deterministic=True, **apply_kw,
                 )
-                ema_out = _f32(ema_out)
-                if gather_negatives:
-                    ema_out = _gathered_logits(ema_out)
-                logits["ema-logits_dual"] = ema_out["logits_dual"]
-                logits["ema-logits_joint"] = ema_out["logits_joint"]
+                if fused_grid:
+                    # the agreement pipeline only reads the diagonal block,
+                    # so local (ungathered) EMA features suffice
+                    for k in _FEATURE_KEYS:
+                        logits[f"ema-{k}"] = ema_out[k]
+                else:
+                    ema_out = _f32(ema_out)
+                    if gather_negatives:
+                        ema_out = _gathered_logits(ema_out)
+                    logits["ema-logits_dual"] = ema_out["logits_dual"]
+                    logits["ema-logits_joint"] = ema_out["logits_joint"]
             kw = {}
             if gather_negatives:
                 b_local = batch["video"].shape[0]
@@ -519,7 +589,7 @@ def make_grounding_eval_step(
 
 def make_tan_eval_step(
     model, loss_cfg: TANLossConfig, mesh, is_cotrain: bool = False,
-    text_tower_params=None,
+    text_tower_params=None, fused_grid: bool = True,
 ) -> Callable:
     """Sharded TAN validation step: rows split over the mesh; each shard's
     MIL-NCE grid is its local rows (the reference's per-rank DDP eval
@@ -536,23 +606,35 @@ def make_tan_eval_step(
     val loss low (targets perfectly correlated with the scored logits).
     """
 
+    apply_kw = (
+        {"return_sim_volumes": False}
+        if fused_grid and _supports_kwarg(model, "return_sim_volumes")
+        else {}
+    )
+
     def local_eval(params, target_params, batch):
         text = _batch_text(batch, text_tower_params)
         out = model.apply(
             {"params": params},
             batch["video"], text,
             batch["video_padding_mask"], batch["text_padding_mask"],
-            deterministic=True,
+            deterministic=True, **apply_kw,
         )
+        if fused_grid:
+            out = {k: v for k, v in out.items()
+                   if k not in ("logits_dual", "logits_joint")}
         if is_cotrain:
             ema_out = model.apply(
                 {"params": target_params},
                 batch["video"], text,
                 batch["video_padding_mask"], batch["text_padding_mask"],
-                deterministic=True,
+                deterministic=True, **apply_kw,
             )
-            out = {**out, "ema-logits_dual": ema_out["logits_dual"],
-                   "ema-logits_joint": ema_out["logits_joint"]}
+            if fused_grid:
+                out = {**out, **{f"ema-{k}": ema_out[k] for k in _FEATURE_KEYS}}
+            else:
+                out = {**out, "ema-logits_dual": ema_out["logits_dual"],
+                       "ema-logits_joint": ema_out["logits_joint"]}
         ld = tan_loss(
             batch["start"], batch["end"], out,
             batch["video_padding_mask"], batch["text_padding_mask"],

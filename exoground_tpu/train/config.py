@@ -152,6 +152,12 @@ class ExperimentConfig:
     # runtime snapshots and LR-schedule resolution stay correct (per-step
     # metrics come back stacked); they just land every N steps.
     fused_steps: int = 1
+    # Stream the TAN MIL-NCE similarity grid from normalized features
+    # (losses/milnce.py::_feature_two_way) instead of materializing the
+    # per-layer f32 (B,S,T,B,N) volumes (the train-memory knee: OOM at
+    # bs256). Identical math up to fp summation order; --no-fused_grid keeps
+    # the reference-shaped volume path for bit-level comparisons.
+    fused_grid: bool = True
     # Single-pass fused AdamW(+EMA) update (train/optim.py::FusedAdamWEMA):
     # identical math to the optax chain, ~0.5 ms less optimizer-tail HBM
     # traffic per step on a 43M-param model. Auto-falls back to the optax

@@ -439,6 +439,7 @@ class TANTrainer(BaseTrainer):
             gather_negatives=cfg.gather_negatives,
             text_tower_params=self._tower_params,
             compute_dtype="bfloat16" if cfg.amp else "float32",
+            fused_grid=getattr(cfg, "fused_grid", True),
         )
         self.step = make_tan_train_step(
             model, self.loss_cfg, self.tx, self.mesh, **step_kw
@@ -524,6 +525,7 @@ class TANTrainer(BaseTrainer):
             self._eval_step = make_tan_eval_step(
                 self.model, self.loss_cfg, self.mesh, is_cotrain=self.is_cotrain,
                 text_tower_params=self._tower_params,
+                fused_grid=getattr(self.cfg, "fused_grid", True),
             )
         meter = AverageMeter("Loss", ":.4f")
         for raw in loader:

@@ -126,6 +126,222 @@ class TestTANMilNCE:
         assert np.isfinite(float(full["loss"]))
 
 
+class TestFusedFeatureGrid:
+    """Fused feature-mode tan_loss (streamed grid, losses/milnce.py::
+    _feature_two_way) vs the materialized-volume path: identical scalars up
+    to fp summation order for every config that has positives, including
+    gathered-negative column offsets and the cotrain EMA agreement path."""
+
+    @staticmethod
+    def _unit(rng, *sh):
+        x = rng.randn(*sh).astype(np.float32)
+        return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+    def _world(self, B, S, T, N, C, bc=None, seed=0):
+        rng = np.random.RandomState(seed)
+        bc = bc or B
+        feats = {
+            "dual_feature_video": self._unit(rng, B, S, T, C),
+            "dual_feature_text": self._unit(rng, bc, N, C),
+            "joint_feature_video": self._unit(rng, B, S, T, C),
+            "joint_feature_text": self._unit(rng, bc, S, N, C),
+        }
+        vols = {
+            "logits_dual": np.einsum(
+                "astc,bkc->astbk", feats["dual_feature_video"],
+                feats["dual_feature_text"]),
+            "logits_joint": np.einsum(
+                "astc,bskc->astbk", feats["joint_feature_video"],
+                feats["joint_feature_text"]),
+        }
+        starts = rng.randint(0, T - 4, (B, N)).astype(np.float32)
+        ends = starts + rng.randint(2, 5, (B, N))
+        text_pad = np.zeros((B, N), dtype=bool)
+        text_pad[0, -1] = True
+        starts[text_pad], ends[text_pad] = PAD_START, PAD_END
+        video_pad = np.zeros((B, T), dtype=bool)
+        video_pad[1, -2:] = True
+        return feats, vols, starts, ends, video_pad, text_pad
+
+    def _compare(self, cfg, kw_f=None, kw_v=None, bc=None, block_cols=None,
+                 seed=0, rtol=3e-5):
+        from exoground_tpu.losses import milnce
+
+        B, S, T, N, C = 3, 2, 12, 4, 16
+        feats, vols, s, e, vp, tp = self._world(B, S, T, N, C, bc=bc, seed=seed)
+        args = (jnp.asarray(s), jnp.asarray(e))
+        masks = (jnp.asarray(vp), jnp.asarray(tp))
+        old_block = milnce.MILNCE_BLOCK_COLS
+        try:
+            if block_cols is not None:
+                milnce.MILNCE_BLOCK_COLS = block_cols
+            out_f = tan_loss(*args, {k: jnp.asarray(v) for k, v in feats.items()},
+                             *masks, cfg, **(kw_f or {}))
+        finally:
+            milnce.MILNCE_BLOCK_COLS = old_block
+        out_v = tan_loss(*args, {k: jnp.asarray(v) for k, v in vols.items()},
+                         *masks, cfg, **(kw_v or {}))
+        assert set(out_f) == set(out_v)
+        for k in out_v:
+            np.testing.assert_allclose(
+                float(out_f[k]), float(out_v[k]), rtol=rtol, atol=1e-6,
+                err_msg=f"key {k}",
+            )
+
+    def test_base_config(self):
+        self._compare(TANLossConfig())
+
+    def test_multiple_blocks_with_ragged_padding(self):
+        # force >1 streamed block and a padded tail block
+        self._compare(TANLossConfig(), block_cols=4, seed=3)
+
+    def test_loss_threshold(self):
+        self._compare(TANLossConfig(loss_threshold=0.5), seed=1)
+
+    @pytest.mark.slow
+    def test_agreement_modes(self):
+        for mode in ("i", "u", "keep", "keep-joint"):
+            self._compare(
+                TANLossConfig(learn_agreement=True, temporal_agreement_type=mode),
+                seed=2,
+            )
+
+    @pytest.mark.slow
+    def test_cotrain_ema_agreement(self):
+        """Cotrain: fused path feeds local EMA features; volume path feeds
+        EMA volumes. The agreement diag must match."""
+        B, S, T, N, C = 3, 2, 12, 4, 16
+        feats, vols, s, e, vp, tp = self._world(B, S, T, N, C, seed=4)
+        rng = np.random.RandomState(40)
+        ema_feats = {
+            "dual_feature_video": self._unit(rng, B, S, T, C),
+            "dual_feature_text": self._unit(rng, B, N, C),
+            "joint_feature_video": self._unit(rng, B, S, T, C),
+            "joint_feature_text": self._unit(rng, B, S, N, C),
+        }
+        fdict = {k: jnp.asarray(v) for k, v in feats.items()}
+        fdict.update({f"ema-{k}": jnp.asarray(v) for k, v in ema_feats.items()})
+        vdict = {k: jnp.asarray(v) for k, v in vols.items()}
+        vdict["ema-logits_dual"] = jnp.asarray(np.einsum(
+            "astc,bkc->astbk", ema_feats["dual_feature_video"],
+            ema_feats["dual_feature_text"]))
+        vdict["ema-logits_joint"] = jnp.asarray(np.einsum(
+            "astc,bskc->astbk", ema_feats["joint_feature_video"],
+            ema_feats["joint_feature_text"]))
+        cfg = TANLossConfig(model="cotrain", learn_agreement=True)
+        out_f = tan_loss(jnp.asarray(s), jnp.asarray(e), fdict,
+                         jnp.asarray(vp), jnp.asarray(tp), cfg)
+        out_v = tan_loss(jnp.asarray(s), jnp.asarray(e), vdict,
+                         jnp.asarray(vp), jnp.asarray(tp), cfg)
+        for k in out_v:
+            np.testing.assert_allclose(
+                float(out_f[k]), float(out_v[k]), rtol=3e-5, atol=1e-6,
+                err_msg=f"key {k}",
+            )
+
+    def test_gathered_columns_offset(self):
+        """Shard-1-of-2 simulation: local rows pair the second column block."""
+        B, N = 3, 4
+        bc = 2 * B
+        rng = np.random.RandomState(9)
+        col_pad = np.zeros((bc, N), dtype=bool)
+        col_pad[0, -1] = True
+        col_pad[4, -2:] = True
+        kw = dict(
+            col_text_padding_mask=jnp.asarray(col_pad),
+            col_offset=B,
+        )
+        self._compare(TANLossConfig(), kw_f=kw, kw_v=kw, bc=bc, seed=5)
+        self._compare(TANLossConfig(loss_threshold=0.4), kw_f=kw, kw_v=kw,
+                      bc=bc, seed=6, block_cols=5)
+
+    def test_alignability_head(self):
+        B, S, T, N, C = 3, 2, 12, 4, 16
+        feats, vols, s, e, vp, tp = self._world(B, S, T, N, C, seed=7)
+        rng = np.random.RandomState(70)
+        align = {
+            "joint_logits_alignability": rng.randn(B, S, N, 1).astype(np.float32),
+            "dual_logits_alignability": rng.randn(B, N, 1).astype(np.float32),
+        }
+        abs_pos = np.stack([s / T, e / T], axis=-1).astype(np.float32)
+        cfg = TANLossConfig(use_alignability_head=True, loss_threshold=0.3)
+        fdict = {k: jnp.asarray(v) for k, v in {**feats, **align}.items()}
+        vdict = {k: jnp.asarray(v) for k, v in {**vols, **align}.items()}
+        out_f = tan_loss(jnp.asarray(s), jnp.asarray(e), fdict,
+                         jnp.asarray(vp), jnp.asarray(tp), cfg,
+                         abs_text_pos=jnp.asarray(abs_pos))
+        out_v = tan_loss(jnp.asarray(s), jnp.asarray(e), vdict,
+                         jnp.asarray(vp), jnp.asarray(tp), cfg,
+                         abs_text_pos=jnp.asarray(abs_pos))
+        for k in out_v:
+            np.testing.assert_allclose(
+                float(out_f[k]), float(out_v[k]), rtol=3e-5, atol=1e-6,
+                err_msg=f"key {k}",
+            )
+
+    def test_no_positive_rows_are_finite(self):
+        """A batch row whose texts are ALL padded: fused/volume fill-count
+        terms differ on masked rows (documented), but every exported scalar
+        is finite and matches."""
+        B, S, T, N, C = 2, 2, 8, 3, 8
+        rng = np.random.RandomState(11)
+        feats = {
+            "dual_feature_video": self._unit(rng, B, S, T, C),
+            "dual_feature_text": self._unit(rng, B, N, C),
+            "joint_feature_video": self._unit(rng, B, S, T, C),
+            "joint_feature_text": self._unit(rng, B, S, N, C),
+        }
+        vols = {
+            "logits_dual": np.einsum("astc,bkc->astbk", feats["dual_feature_video"], feats["dual_feature_text"]),
+            "logits_joint": np.einsum("astc,bskc->astbk", feats["joint_feature_video"], feats["joint_feature_text"]),
+        }
+        tp = np.zeros((B, N), dtype=bool)
+        tp[1] = True  # row 1: no valid text at all
+        vp = np.zeros((B, T), dtype=bool)
+        s = np.full((B, N), PAD_START, np.float32)
+        e = np.full((B, N), PAD_END, np.float32)
+        s[0], e[0] = [0.0, 3.0, 6.0], [3.0, 6.0, 8.0]
+        cfg = TANLossConfig()
+        out_f = tan_loss(jnp.asarray(s), jnp.asarray(e),
+                         {k: jnp.asarray(v) for k, v in feats.items()},
+                         jnp.asarray(vp), jnp.asarray(tp), cfg)
+        out_v = tan_loss(jnp.asarray(s), jnp.asarray(e),
+                         {k: jnp.asarray(v) for k, v in vols.items()},
+                         jnp.asarray(vp), jnp.asarray(tp), cfg)
+        assert np.isfinite(float(out_f["loss"]))
+        np.testing.assert_allclose(float(out_f["loss"]), float(out_v["loss"]),
+                                   rtol=3e-5)
+
+    def test_fused_grad_matches_volume_grad(self):
+        """End-to-end gradient parity: d loss / d features identical whether
+        the grid is streamed or materialized (the remat'd scan backward must
+        reproduce the dense softmax backward)."""
+        B, S, T, N, C = 3, 2, 10, 4, 8
+        feats, _, s, e, vp, tp = self._world(B, S, T, N, C, seed=13)
+        args = (jnp.asarray(s), jnp.asarray(e))
+        masks = (jnp.asarray(vp), jnp.asarray(tp))
+        cfg = TANLossConfig()
+
+        def loss_fused(f):
+            return tan_loss(*args, f, *masks, cfg)["loss"]
+
+        def loss_vol(f):
+            vols = {
+                "logits_dual": jnp.einsum("astc,bkc->astbk", f["dual_feature_video"], f["dual_feature_text"]),
+                "logits_joint": jnp.einsum("astc,bskc->astbk", f["joint_feature_video"], f["joint_feature_text"]),
+            }
+            return tan_loss(*args, vols, *masks, cfg)["loss"]
+
+        fj = {k: jnp.asarray(v) for k, v in feats.items()}
+        g_f = jax.grad(loss_fused)(fj)
+        g_v = jax.grad(loss_vol)(fj)
+        for k in fj:
+            np.testing.assert_allclose(
+                np.asarray(g_f[k]), np.asarray(g_v[k]), rtol=1e-4, atol=1e-6,
+                err_msg=f"grad {k}",
+            )
+
+
 class TestGroundingLoss:
     def test_center_duration_matches_torch(self):
         B, N = 3, 5

@@ -159,6 +159,73 @@ class TestDataParallelStep:
             )
 
 
+    def test_fused_grid_step_matches_volume_step(self):
+        """fused_grid=True (streamed MIL-NCE grid, no materialized volumes)
+        must produce the same update as the volume path — same data, same
+        rng, f32 compute; differences are fp summation order only."""
+        model = _tiny_model()
+        batch = _batch(16, 12, 3, 24, seed=8)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0)}, batch["video"], batch["text"],
+            batch["video_padding_mask"], batch["text_padding_mask"],
+        )["params"]
+        cfg = TANLossConfig(model="cotrain", learn_agreement=True)
+        mesh = make_mesh(8)
+        results = {}
+        for fused in (False, True):
+            tx = make_optimizer(params, lr=1e-3, total_iterations=10)
+            step = make_tan_train_step(
+                model, cfg, tx, mesh, ema_momentum=0.99, fused_grid=fused
+            )
+            p = replicate(jax.tree_util.tree_map(jnp.copy, params), mesh)
+            t = replicate(ema_init(params), mesh)
+            o = replicate(tx.init(params), mesh)
+            bs = shard_batch(
+                jax.tree_util.tree_map(jnp.copy, batch), mesh
+            )
+            p2, t2, _, m = step(p, t, o, bs, jax.random.PRNGKey(1))
+            results[fused] = (
+                jax.tree_util.tree_map(np.asarray, jax.device_get(p2)),
+                jax.tree_util.tree_map(np.asarray, jax.device_get(t2)),
+                float(m["loss"]),
+            )
+        np.testing.assert_allclose(results[True][2], results[False][2],
+                                   rtol=2e-5)
+        flat_t = jax.tree_util.tree_leaves_with_path(results[True][0])
+        flat_v = jax.tree_util.tree_leaves_with_path(results[False][0])
+        for (kp, lt), (_, lv) in zip(flat_t, flat_v):
+            np.testing.assert_allclose(
+                lt, lv, rtol=5e-4, atol=5e-6,
+                err_msg=jax.tree_util.keystr(kp),
+            )
+
+    def test_fused_grid_gather_negatives_matches_volume_gather(self):
+        """gather_negatives under fused_grid: the streamed grid over
+        all_gathered text features must equal the gathered-volume rebuild."""
+        model = _tiny_model()
+        batch = _batch(16, 12, 3, 24, seed=9)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0)}, batch["video"], batch["text"],
+            batch["video_padding_mask"], batch["text_padding_mask"],
+        )["params"]
+        cfg = TANLossConfig()
+        mesh = make_mesh(8)
+        losses = {}
+        for fused in (False, True):
+            tx = make_optimizer(params, lr=1e-3, total_iterations=10)
+            step = make_tan_train_step(
+                model, cfg, tx, mesh, ema_momentum=None,
+                gather_negatives=True, fused_grid=fused,
+            )
+            p = replicate(jax.tree_util.tree_map(jnp.copy, params), mesh)
+            t = replicate(ema_init(params), mesh)
+            o = replicate(tx.init(params), mesh)
+            bs = shard_batch(jax.tree_util.tree_map(jnp.copy, batch), mesh)
+            _, _, _, m = step(p, t, o, bs, jax.random.PRNGKey(1))
+            losses[fused] = float(m["loss"])
+        np.testing.assert_allclose(losses[True], losses[False], rtol=2e-5)
+
+
 class TestMixedPrecision:
     """bf16 model compute (the reference's AMP autocast equivalent,
     train/main.py:75,514): loss tracks the f32 step, master params stay f32."""
