@@ -146,26 +146,96 @@ def _save_last_good(rec: dict):
         pass
 
 
+# rows whose value is set by the tunnel's H2D link rate, not the chip: under
+# the per-row regime guard they keep their clear-window values in
+# BENCH_LAST_GOOD.json when a run's measured link rate is out of spread
+_LINK_BOUND_KEYS = (
+    "streamed_fp16_e2e_fps", "streamed_vs_baseline", "streamed_int8_fps",
+    "streamed_int4_fps_lossy", "tunnel_h2d_mbps", "link_ceiling_fps_fp16",
+    "streamed_rows_h2d_mbps",
+)
+# link rates within 25% of the record count as the same regime (clear-window
+# link spread is ~±10%; the documented degraded window sits ~30%+ below)
+_LINK_SPREAD = 0.75
+# escape hatch (ADVICE r3): after this many consecutive guarded runs the new
+# values are accepted anyway, so a sustained LEGITIMATE regression (a real
+# perf bug, a permanently slower link) eventually updates the record instead
+# of being classified as degraded-tunnel forever
+_STALE_HORIZON = 4
+
+
 def _maybe_save_last_good(final: dict):
-    """Regime guard: a run that completes inside the documented DEGRADED
-    tunnel window (PERF.md "Measurement regimes", reproducibly ~15x below
-    clear) must not replace a known-good record — the file exists precisely
-    to preserve the chip's clear-window throughput for the stall fallback.
-    Keep the old record unless the new headline is at least half of it
-    (clear-window run-to-run spread is ~±10%). Annotates ``final`` in place
-    when the record is kept."""
+    """Per-regime guard for the BENCH_LAST_GOOD record (round-4 rework).
+
+    Two independent regimes can degrade a run (PERF.md "Measurement
+    regimes"): the COMPUTE regime (stalled/degraded device dispatch,
+    reproducibly ~15x below clear — guards the resident headline) and the
+    LINK regime (tunnel H2D rate, e.g. 66.8 vs 46.3 MB/s across rounds 2/3 —
+    guards the streamed_* rows). Round 3's single headline-only guard let a
+    clear-compute/degraded-link run overwrite the record's clear-window
+    streamed rows; now each regime keeps or replaces ITS rows independently:
+
+    * headline < 50% of record -> whole record kept (compute stall);
+    * measured link < 75% of the record's link -> only the link-bound rows
+      (_LINK_BOUND_KEYS) are carried forward from the record (stamped
+      ``link_rows_from``), everything else updates.
+
+    Escape hatches: EXOGROUND_BENCH_FORCE_LAST_GOOD=1 overwrites
+    unconditionally, and either guard auto-expires after _STALE_HORIZON
+    consecutive guarded runs (counters persist inside the record), so a real
+    sustained regression cannot freeze the file forever. Annotates ``final``
+    in place whenever a guard fires."""
     prev = _load_last_good()
-    if prev and prev.get("value") and final["value"] < 0.5 * prev["value"]:
-        final["last_good_not_replaced"] = (
-            f"run value {final['value']} < 50% of last good "
-            f"{prev['value']} ({prev.get('measured_at_utc')}) — degraded "
-            "tunnel regime, record kept"
+    force = os.environ.get("EXOGROUND_BENCH_FORCE_LAST_GOOD") == "1"
+    stamp = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    if not prev or force:
+        _save_last_good({**final, "measured_at_utc": stamp})
+        return
+
+    # -- compute regime -----------------------------------------------------
+    if prev.get("value") and final["value"] < 0.5 * prev["value"]:
+        n = prev.get("degraded_runs_since_save", 0) + 1
+        if n <= _STALE_HORIZON:
+            final["last_good_not_replaced"] = (
+                f"run value {final['value']} < 50% of last good "
+                f"{prev['value']} ({prev.get('measured_at_utc')}) — degraded "
+                f"tunnel regime, record kept ({n}/{_STALE_HORIZON + 1} before "
+                "horizon accepts a sustained regression)"
+            )
+            _save_last_good({**prev, "degraded_runs_since_save": n})
+            return
+        final["last_good_horizon_expired"] = (
+            f"{n} consecutive sub-50% runs: accepting the new value as a "
+            "real sustained regression"
         )
+
+    rec = {**final, "measured_at_utc": stamp, "degraded_runs_since_save": 0}
+
+    # -- link regime (per-row) ----------------------------------------------
+    new_link, prev_link = final.get("tunnel_h2d_mbps"), prev.get("tunnel_h2d_mbps")
+    if new_link and prev_link and new_link < _LINK_SPREAD * prev_link:
+        n = prev.get("degraded_link_runs_since_save", 0) + 1
+        if n <= _STALE_HORIZON:
+            kept = [k for k in _LINK_BOUND_KEYS if k in prev]
+            for k in kept:
+                rec[k] = prev[k]
+            rec["link_rows_from"] = prev.get("measured_at_utc")
+            rec["degraded_link_runs_since_save"] = n
+            final["last_good_link_rows_kept"] = (
+                f"measured link {new_link} MB/s < {int(_LINK_SPREAD*100)}% of "
+                f"record's {prev_link} MB/s: record keeps its clear-window "
+                f"link-bound rows {kept} ({n}/{_STALE_HORIZON + 1} before "
+                "horizon accepts a sustained link regression)"
+            )
+        else:
+            rec["degraded_link_runs_since_save"] = 0
+            final["last_good_link_horizon_expired"] = (
+                f"{n} consecutive out-of-spread link runs: accepting the new "
+                "link-bound rows as a real sustained change"
+            )
     else:
-        _save_last_good(
-            {**final, "measured_at_utc": time.strftime(
-                "%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
-        )
+        rec["degraded_link_runs_since_save"] = 0
+    _save_last_good(rec)
 
 
 def _load_measured_baseline():
@@ -331,6 +401,43 @@ def measure_link_bandwidth(jax, jnp, mb: int = 24) -> float:
         float(np.asarray(sum_fn(jax.device_put(arr))))
         best = min(best, time.perf_counter() - t0)
     return arr.nbytes / 1e6 / best
+
+
+def _wait_for_clear_link(jax, jnp, budget_s: float = 600.0):
+    """Bounded wait for an in-spread H2D link before the streamed rows.
+
+    The streamed_* rows are link-bound: publishing them from a degraded
+    tunnel window (46 vs 67 MB/s across rounds 2/3) mixes regimes in the
+    driver-visible JSON. Probe the measured link rate until it is within
+    spread of the last-good record's rate (or >= 55 MB/s when no record
+    exists), sleeping between probes; on budget exhaustion proceed anyway —
+    the streamed rows then carry an explicit degraded-link annotation and
+    the per-row guard keeps the record's clear-window values.
+
+    Budget override: EXOGROUND_BENCH_LINK_WAIT_S. Returns
+    (last_measured_mbps, is_clear, target_mbps)."""
+    budget_s = float(os.environ.get("EXOGROUND_BENCH_LINK_WAIT_S", budget_s))
+    prev = _load_last_good() or {}
+    target = _LINK_SPREAD * prev["tunnel_h2d_mbps"] \
+        if prev.get("tunnel_h2d_mbps") else 55.0
+    deadline = time.monotonic() + budget_s
+    rate, attempt = 0.0, 0
+    while True:
+        attempt += 1
+        rate = measure_link_bandwidth(jax, jnp)
+        if rate >= target:
+            if attempt > 1:
+                print(f"# link clear after {attempt} probes: "
+                      f"{rate:.1f} MB/s", flush=True)
+            return rate, True, target
+        if time.monotonic() > deadline:
+            print(
+                f"# link still degraded after {attempt} probes / "
+                f"{int(budget_s)}s ({rate:.1f} < {target:.1f} MB/s); "
+                "streamed rows will be annotated degraded-link", flush=True,
+            )
+            return rate, False, target
+        time.sleep(30.0)
 
 
 def bench_train(jax, jnp, batch_size=None):
@@ -698,6 +805,12 @@ def main():
         partial = {"baseline_mode": "estimate", "reference_a100_fps": baseline_fps}
     watchdog = _Watchdog(partial)
 
+    # link pre-flight BEFORE the streamed rows: wait (bounded) for an
+    # in-spread H2D window so the link-bound rows are measured in the same
+    # regime as the record they're compared against (round-4 integrity fix)
+    watchdog.pet("link pre-flight")
+    link_pre, link_clear, link_target = _wait_for_clear_link(jax, jnp)
+
     watchdog.pet("inference (streamed + resident + pipelined)")
     (fps, fps_int8, fps_int4, fps_resident, fps_resident_pipe,
      flops_per_frame, fps_int8_compute) = bench_inference(
@@ -738,7 +851,29 @@ def main():
     partial.update({
         "tunnel_h2d_mbps": round(link_mbps, 1),
         "link_ceiling_fps_fp16": round(link_mbps * 1e6 / (2 * VIDEO_DIM), 1),
+        # the link regime each streamed_* row was measured inside: rate
+        # immediately before the streamed reps and immediately after them
+        # (the tunnel can shift regimes mid-run; out-of-band readers check
+        # these bracket the record's tunnel_h2d_mbps within spread)
+        "streamed_rows_h2d_mbps": [round(link_pre, 1), round(link_mbps, 1)],
     })
+    if not link_clear or link_mbps < link_target:
+        prev_rec = _load_last_good() or {}
+        note = {
+            "streamed_regime": (
+                f"degraded link ({min(link_pre, link_mbps):.1f} MB/s vs "
+                f"clear-window target {link_target:.1f}): streamed_* rows "
+                "are link-bound and NOT comparable to clear-window records"
+            ),
+        }
+        # historical clear-window values, clearly labeled — never current
+        for k in ("streamed_fp16_e2e_fps", "streamed_int8_fps",
+                  "tunnel_h2d_mbps"):
+            if prev_rec.get(k):
+                note[f"last_good_{k}"] = prev_rec[k]
+        if prev_rec.get("measured_at_utc"):
+            note["last_good_measured_at_utc"] = prev_rec["measured_at_utc"]
+        partial.update(note)
 
     watchdog.pet("cotrain train step")
     train_sps, step_ms, train_tflops = bench_train(jax, jnp)

@@ -48,3 +48,82 @@ def test_normal_spread_run_replaces(tmp_path, monkeypatch):
 def test_recovery_after_degraded_window(tmp_path, monkeypatch):
     rec, _ = _run(tmp_path, monkeypatch, [172000.0, 11200.0, 168000.0])
     assert rec["value"] == 168000.0  # clear-window run resumes updating
+
+
+def _run_full(tmp_path, monkeypatch, seq):
+    """seq: list of final dicts (value + optional link rows)."""
+    path = tmp_path / "last_good.json"
+    monkeypatch.setattr(bench, "_LAST_GOOD_PATH", str(path))
+    finals = []
+    for final in seq:
+        final = dict(final)
+        bench._maybe_save_last_good(final)
+        finals.append(final)
+    rec = json.loads(path.read_text()) if path.exists() else None
+    return rec, finals
+
+
+def _clear_run(v=170000.0, link=66.8):
+    return {
+        "metric": "m", "value": v, "tunnel_h2d_mbps": link,
+        "streamed_fp16_e2e_fps": round(link * 1e6 / 8192, 1),
+        "streamed_vs_baseline": 1.8, "streamed_int8_fps": 10000.0,
+        "streamed_int4_fps_lossy": 17000.0,
+        "link_ceiling_fps_fp16": round(link * 1e6 / 8192, 1),
+    }
+
+
+def test_degraded_link_keeps_only_link_rows(tmp_path, monkeypatch):
+    """Round-3 failure mode: clear compute + degraded link must update the
+    compute rows but keep the record's clear-window streamed rows."""
+    clear = _clear_run()
+    degraded = {**_clear_run(v=165000.0, link=46.3)}
+    rec, finals = _run_full(tmp_path, monkeypatch, [clear, degraded])
+    assert rec["value"] == 165000.0  # compute rows updated
+    assert rec["tunnel_h2d_mbps"] == 66.8  # link rows kept
+    assert rec["streamed_fp16_e2e_fps"] == clear["streamed_fp16_e2e_fps"]
+    assert rec["streamed_int8_fps"] == 10000.0
+    assert "link_rows_from" in rec
+    assert "last_good_link_rows_kept" in finals[1]
+
+
+def test_link_within_spread_replaces_link_rows(tmp_path, monkeypatch):
+    clear = _clear_run()
+    nextrun = _clear_run(v=168000.0, link=62.0)
+    rec, finals = _run_full(tmp_path, monkeypatch, [clear, nextrun])
+    assert rec["tunnel_h2d_mbps"] == 62.0
+    assert "last_good_link_rows_kept" not in finals[1]
+
+
+def test_link_horizon_accepts_sustained_regression(tmp_path, monkeypatch):
+    """After _STALE_HORIZON consecutive out-of-spread link runs, the new
+    link-bound rows are accepted (a real sustained change, ADVICE r3)."""
+    seq = [_clear_run()] + [
+        _clear_run(v=165000.0, link=40.0) for _ in range(bench._STALE_HORIZON + 1)
+    ]
+    rec, finals = _run_full(tmp_path, monkeypatch, seq)
+    assert rec["tunnel_h2d_mbps"] == 40.0
+    assert "last_good_link_horizon_expired" in finals[-1]
+
+
+def test_compute_horizon_accepts_sustained_regression(tmp_path, monkeypatch):
+    seq = [170000.0] + [30000.0] * (bench._STALE_HORIZON + 1)
+    rec, finals = _run_full(
+        tmp_path, monkeypatch, [{"metric": "m", "value": v} for v in seq]
+    )
+    assert rec["value"] == 30000.0
+    assert "last_good_horizon_expired" in finals[-1]
+    # and a later clear run resets the counter + resumes updating
+    rec, _ = _run_full(tmp_path, monkeypatch, [{"metric": "m", "value": 171000.0}])
+    assert rec["value"] == 171000.0
+    assert rec["degraded_runs_since_save"] == 0
+
+
+def test_force_env_overwrites_unconditionally(tmp_path, monkeypatch):
+    clear = _clear_run()
+    degraded = {"metric": "m", "value": 9000.0, "tunnel_h2d_mbps": 20.0}
+    monkeypatch.setenv("EXOGROUND_BENCH_FORCE_LAST_GOOD", "1")
+    rec, finals = _run_full(tmp_path, monkeypatch, [clear, degraded])
+    assert rec["value"] == 9000.0
+    assert rec["tunnel_h2d_mbps"] == 20.0
+    assert "last_good_not_replaced" not in finals[1]
