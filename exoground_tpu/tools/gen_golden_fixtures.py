@@ -101,6 +101,64 @@ def gen_tan_forward():
     print("tan_forward.npz:", {k: v.shape for k, v in out.items() if k.startswith("out::")})
 
 
+def gen_tan_forward_fullscale():
+    """FULL-SCALE TAN fixture (VERDICT r3 missing-#3): E6D6, width 512,
+    8x64 head split, 4096-d inputs at train window length 64, text pos-enc
+    ON, plus both eval entries + alignability at a 200-frame global-mode
+    shape with video AND text pos tables interpolated from the full 4096
+    rows (tan_model.py:151-154,212-215). Only the (name, shape) manifest and
+    the outputs are stored; the E6D6 weights regenerate from the seed."""
+    import torch
+
+    sys.path.insert(0, "/root/reference/model")
+    import tan_model
+
+    torch.manual_seed(0)
+    model = tan_model.TemporalAligner(
+        num_encoder_layers=6, num_decoder_layers=6,
+        random_pos_start=0, use_alignability_head=1, use_text_pos_enc=1,
+    ).eval()
+    manifest = [(k, tuple(v.shape)) for k, v in model.state_dict().items()]
+    state = G.synth_state(manifest, seed=17)
+    model.load_state_dict(_to_torch_state(state))
+
+    video, lang, vmask, lmask = G.tan_fullscale_inputs()
+    with torch.no_grad():
+        ref = model(
+            torch.from_numpy(video), torch.from_numpy(lang),
+            torch.from_numpy(vmask), torch.from_numpy(lmask),
+            text_timestamp=None,
+        )
+    ev_video, ev_lang = G.tan_fullscale_eval_inputs()
+    with torch.no_grad():
+        sim_joint = model.get_text_visual_sim_joint(
+            torch.from_numpy(ev_video), torch.from_numpy(ev_lang),
+            interpolate_from=(4096, 4096),
+        )
+        sim_dual = model.get_text_visual_sim_dual(
+            torch.from_numpy(ev_video), torch.from_numpy(ev_lang),
+            interpolate_from=4096,
+        )
+        align = model.get_alignability(
+            torch.from_numpy(ev_video), torch.from_numpy(ev_lang),
+            interpolate_from=(4096, 4096),
+        )
+
+    out = G.manifest_to_npz_fields(manifest)
+    for key in ("logits_dual", "logits_joint", "dual_logits_alignability",
+                "joint_logits_alignability"):
+        out[f"out::{key}"] = ref[key].numpy()
+    out["out::eval_sim_joint"] = sim_joint.numpy()
+    out["out::eval_sim_dual"] = sim_dual.numpy()
+    out["out::eval_alignability_dual"] = align["alignability-dual"].numpy()
+    out["out::eval_alignability_joint"] = align["alignability-joint"].numpy()
+    np.savez_compressed(
+        os.path.join(G.GOLDEN_DIR, "tan_forward_fullscale.npz"), **out
+    )
+    print("tan_forward_fullscale.npz:",
+          {k: v.shape for k, v in out.items() if k.startswith("out::")})
+
+
 def gen_exoground_forward():
     import torch
 
@@ -600,6 +658,7 @@ def main():
     os.makedirs(G.GOLDEN_DIR, exist_ok=True)
     try:
         gen_tan_forward()
+        gen_tan_forward_fullscale()
         gen_exoground_forward()
         gen_tan_loss()
         gen_grounding_loss()

@@ -97,6 +97,31 @@ def tan_eval_inputs():
     return video, lang
 
 
+def tan_fullscale_inputs():
+    """FULL-SCALE config (VERDICT r3 missing-#3): E6D6 / width 512 / 8x64
+    head split / 4096-d inputs at the reference train window length T=64."""
+    b, t, n = 2, 64, 8
+    rng = np.random.RandomState(3)
+    video = rng.randn(b, t, 4096).astype(np.float32)
+    lang = rng.randn(b, n, 4096).astype(np.float32)
+    vmask = np.zeros((b, t), bool)
+    vmask[1, -9:] = True
+    lmask = np.zeros((b, n), bool)
+    lmask[0, -2:] = True
+    return video, lang, vmask, lmask
+
+
+def tan_fullscale_eval_inputs():
+    """Global-mode eval shape: 200-frame video, pos tables interpolated from
+    the full 4096 rows (video AND text — the fixture model sets
+    use_text_pos_enc=1, reference tan_model.py:151-154,212-215)."""
+    b, t, n = 1, 200, 6
+    rng = np.random.RandomState(4)
+    video = rng.randn(b, t, 4096).astype(np.float32)
+    lang = rng.randn(b, n, 4096).astype(np.float32)
+    return video, lang
+
+
 def exoground_inputs():
     b, t, n = 2, 12, 4
     rng = np.random.RandomState(0)

@@ -82,6 +82,56 @@ def test_golden_tan_eval_entry_points(tan_fixture):
         assert _rel(a, r) < 2e-4, (ours_key, _rel(a, r))
 
 
+@pytest.mark.slow  # E6D6 @ T=64/200 with 4096-d inputs: compile-heavy
+def test_golden_tan_forward_fullscale():
+    """FULL-SCALE drift gate (VERDICT r3 missing-#3): E6D6 / width 512 /
+    8x64 head split / 4096-d inputs / text pos-enc, plus both eval entries
+    and the alignability entry at a 200-frame global-mode shape with video
+    AND text pos tables interpolated from the full 4096 rows — the
+    real-scale paths previously covered only while torch + /root/reference
+    were mounted."""
+    import jax.numpy as jnp
+
+    from exoground_tpu.models import TemporalAligner
+    from exoground_tpu.utils.convert import convert_tan_state_dict
+
+    z = np.load(os.path.join(G.GOLDEN_DIR, "tan_forward_fullscale.npz"))
+    state = G.synth_state(G.manifest_from_npz(z), seed=17)
+    params = convert_tan_state_dict(state)
+    model = TemporalAligner(
+        num_encoder_layers=6, num_joint_layers=6,
+        use_alignability_head=1, use_text_pos_enc=1, attn_impl="xla",
+    )
+
+    video, lang, vmask, lmask = G.tan_fullscale_inputs()
+    out = model.apply(
+        {"params": params}, jnp.asarray(video), jnp.asarray(lang),
+        jnp.asarray(vmask), jnp.asarray(lmask), deterministic=True,
+    )
+    for key in ("logits_dual", "logits_joint", "dual_logits_alignability",
+                "joint_logits_alignability"):
+        r = z[f"out::{key}"]
+        a = np.asarray(out[key])
+        assert a.shape == r.shape, (key, a.shape, r.shape)
+        assert _rel(a, r) < 2e-4, (key, _rel(a, r))
+
+    ev_video, ev_lang = G.tan_fullscale_eval_inputs()
+    ev = model.apply(
+        {"params": params}, jnp.asarray(ev_video), jnp.asarray(ev_lang),
+        method=TemporalAligner.text_visual_sim,
+        interpolate_from=(4096, 4096),
+    )
+    for ours_key, ref_key in (
+        ("sim", "eval_sim_joint"),
+        ("dual-sim", "eval_sim_dual"),
+        ("alignability-dual", "eval_alignability_dual"),
+        ("alignability-joint", "eval_alignability_joint"),
+    ):
+        r = z[f"out::{ref_key}"]
+        a = np.asarray(ev[ours_key]).reshape(r.shape)
+        assert _rel(a, r) < 2e-4, (ours_key, _rel(a, r))
+
+
 def test_golden_exoground_forward():
     import jax.numpy as jnp
 
