@@ -82,6 +82,10 @@ def decode_clip(
         except (subprocess.SubprocessError, ValueError, OSError):
             pass
     if dtype == "uint8":
+        # 128/255 ~= 0.50196 vs the reference's exact 0.5: uint8 cannot
+        # represent 0.5, and emitting a float32 item here would promote the
+        # whole collated batch (retracing the jitted step). Documented
+        # parity deviation, decode-failure path only — PARITY.md round 4.
         return np.full((num_frames, crop, crop, 3), 128, np.uint8)
     return np.full((num_frames, crop, crop, 3), 0.5, np.float32)
 

@@ -58,11 +58,14 @@ def _resolve_impl(impl: Optional[str], sq: int, sk: int) -> str:
     impl = impl or _DEFAULT_IMPL
     if impl != "auto":
         return impl
-    # Measured crossover on a v5e chip (on-device scan timing, bf16, H8 D64,
-    # blocks 512x1024 — see PERF.md "flash kernel tuning"): below ~2048x2048
-    # scores both paths sit on the same latency floor (~0.85 ms) and XLA ties
-    # or edges ahead; at 2048^2 flash wins 1.27x, at 4096^2 3.5x, at 8192^2
-    # ~80x (XLA materialises the (S,S) f32 scores in HBM and collapses).
+    # Measured crossover on a v5e chip with the TUNED kernel (scale folded
+    # into q, 512x1024 blocks; scan-differenced on-device timing, bf16,
+    # H8 D64 — PERF.md "flash kernel tuning" + BENCH_r03): below ~2048x2048
+    # scores both paths sit on the same latency floor and XLA ties or edges
+    # ahead (the 64x64 overlap-seq windows ride XLA by design); at 4096^2
+    # flash wins 2.58x op-level (0.57 vs 1.48 ms) and 1.73x on the full
+    # E6D6 global-mode model (2048 frames / 48 texts); growing further as
+    # XLA's materialized (S,S) f32 score tensor saturates HBM.
     on_tpu = jax.default_backend() == "tpu"
     if on_tpu and sq * sk >= 2048 * 2048:
         return "flash"
