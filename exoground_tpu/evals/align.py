@@ -105,6 +105,14 @@ class AlignEvalConfig:
     # tests/test_evals.py int8-compute characterization) but the math is NOT
     # the checkpoint-parity math; keep 'default' for strict parity runs.
     matmul_dtype: str = "default"
+    # under matmul_dtype='int8': only quantize matmuls with at least this
+    # many OUTPUT columns; narrower ones keep exact bf16 math. The dynamic
+    # activation quantization costs ~370/N of the bf16 matmul time (quant.py
+    # INT8_MIN_COLS_DEFAULT analysis) while int8 saves at most 50%, so
+    # quantizing the N=512 projections LOSES throughput; 1024 selects the
+    # predicted-winning set (fused qkv N=1536, MLP c_fc N=2048).
+    # 0 = quantize everything (the round-3 behavior).
+    int8_min_cols: int = 0
     # serving mode: score EVERY text in EVERY window instead of the HTM-Align
     # active-text protocol (which needs per-text coarse ASR timestamps)
     all_texts_active: bool = False

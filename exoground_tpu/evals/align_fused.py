@@ -125,7 +125,8 @@ def _make_video_processor(model, cfg: AlignEvalConfig):
         # tracing), so the int8 serving mode rewrites the compiled program
         # without touching any call site outside this block
         with quant.matmul_impl(
-            "int8" if cfg.matmul_dtype == "int8" else "default"
+            "int8" if cfg.matmul_dtype == "int8" else "default",
+            min_cols=cfg.int8_min_cols,
         ):
             out = model.apply(
                 params, vb, tb,
@@ -334,6 +335,23 @@ class FusedAlignEvaluator:
         """One metric sweep over HBM-resident features (see ``preload``)."""
         return _reduce_metrics(self.dispatch_preloaded(pre), pre.cfg)
 
+    @staticmethod
+    def stack_checkpoints(params_list) -> "StackedCheckpoints":
+        """Stack k same-structure params trees along a new leading axis for
+        ``run_many``/``dispatch_many``. Build ONCE and reuse across sweeps:
+        the per-leaf device stacking costs one dispatch per leaf, which under
+        a high-latency link dominates a single sweep's dispatch."""
+        if not params_list:
+            raise ValueError("stack_checkpoints needs at least one params tree")
+        treedefs = {jax.tree_util.tree_structure(p) for p in params_list}
+        if len(treedefs) != 1:
+            raise ValueError("run_many needs params with identical tree "
+                             "structure (one model config)")
+        stack = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *params_list
+        )
+        return StackedCheckpoints(stack, len(params_list))
+
     def run_many(self, pre: "PreloadedEval", params_list) -> List[Dict[str, float]]:
         """Score MANY checkpoints against one HBM-resident corpus, one device
         dispatch per group for ALL of them (lax.scan over a stacked params
@@ -344,18 +362,30 @@ class FusedAlignEvaluator:
         equals ``update_params(p); run_preloaded(pre)`` exactly (parity test
         in tests/test_evals.py).
 
-        All params must share one tree structure (same model config); the
-        evaluator's own params are not consulted."""
-        if not params_list:
-            return []
-        treedefs = {jax.tree_util.tree_structure(p) for p in params_list}
-        if len(treedefs) != 1:
-            raise ValueError("run_many needs params with identical tree "
-                             "structure (one model config)")
-        stack = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *params_list
-        )
-        k = len(params_list)
+        ``params_list``: a sequence of same-structure params trees, or a
+        ``StackedCheckpoints`` from :meth:`stack_checkpoints` (reuses the
+        device-side stack across calls)."""
+        if isinstance(params_list, StackedCheckpoints):
+            stacked = params_list
+        else:
+            if not params_list:
+                return []
+            stacked = self.stack_checkpoints(params_list)
+        return [
+            _reduce_metrics(p, pre.cfg)
+            for p in self.dispatch_many(pre, stacked)
+        ]
+
+    def dispatch_many(
+        self, pre: "PreloadedEval", stacked: "StackedCheckpoints"
+    ) -> List[List]:
+        """Queue one scanned k-checkpoint sweep without any host sync (the
+        ``dispatch_preloaded`` analog of ``run_many``): returns k pending
+        lists, one per checkpoint, each reducible with ``reduce_preloaded``.
+        Under continuous load, dispatch batch j+1 before reducing batch j —
+        the per-dispatch host/tunnel overhead is then paid once per k sweeps
+        (PERF.md round-4 dispatch-tail measurement)."""
+        stack, k = stacked.tree, stacked.k
         stacks_dev: Dict[int, object] = {}
         pendings: List[List] = [[] for _ in range(k)]
         for entry in pre.entries:
@@ -380,7 +410,7 @@ class FusedAlignEvaluator:
                     pendings[i].append(
                         (start, end, aligned, num_text, t0, v0, out_i)
                     )
-        return [_reduce_metrics(p, pre.cfg) for p in pendings]
+        return pendings
 
     def predict(
         self, dataset: Iterable[Dict], all_texts_active: Optional[bool] = None
@@ -417,6 +447,15 @@ class FusedAlignEvaluator:
                 "align_score": packed[3, t0 : t0 + num_text],
             })
         return results
+
+
+@dataclasses.dataclass(frozen=True)
+class StackedCheckpoints:
+    """k params trees stacked leaf-wise along a new leading axis
+    (FusedAlignEvaluator.stack_checkpoints), reusable across run_many /
+    dispatch_many calls so the per-leaf stacking dispatch is paid once."""
+    tree: object
+    k: int
 
 
 @dataclasses.dataclass(frozen=True)

@@ -465,12 +465,26 @@ class MultiHeadAttention(nn.Module):
         out_kernel = self.param("out_proj_kernel", self.out_proj_init, (c, c))
         out_bias = self.param("out_proj_bias", nn.initializers.zeros, (c,))
 
-        wq, wk, wv = jnp.split(in_kernel, 3, axis=1)
-        bq, bk, bv = jnp.split(in_bias, 3)
-        # quant.matmul == `@` unless an int8 serving context is active
-        q = quant.matmul(query, wq) + bq
-        k = quant.matmul(key, wk) + bk
-        v = quant.matmul(value, wv) + bv
+        # Fused in-projections when inputs alias (trace-time object identity:
+        # blocks call attn(x_norm, x_norm, x_norm) / cross(x2, mem, mem)).
+        # One (C, 3C) [or (C, 2C)] matmul instead of three [two]: exact same
+        # math (each output column is an independent K-contraction), one read
+        # of the activations instead of three, and a wide-enough output for
+        # the int8 serving mode's per-matmul win threshold (quant.py: the
+        # dynamic-quant overhead amortizes ~370/N of a bf16 matmul, so
+        # N=3C=1536 wins where three separate N=512 dots lose).
+        if query is key and key is value:
+            qkv = quant.matmul(query, in_kernel) + in_bias
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        elif key is value:
+            q = quant.matmul(query, in_kernel[:, :c]) + in_bias[:c]
+            kv = quant.matmul(key, in_kernel[:, c:]) + in_bias[c:]
+            k, v = jnp.split(kv, 2, axis=-1)
+        else:
+            # quant.matmul == `@` unless an int8 serving context is active
+            q = quant.matmul(query, in_kernel[:, :c]) + in_bias[:c]
+            k = quant.matmul(key, in_kernel[:, c : 2 * c]) + in_bias[c : 2 * c]
+            v = quant.matmul(value, in_kernel[:, 2 * c :]) + in_bias[2 * c :]
 
         def split_heads(x):
             b, s, _ = x.shape

@@ -45,23 +45,45 @@ _STATE = threading.local()
 
 VALID_IMPLS = ("default", "int8")
 
+# Selective-quantization threshold: int8 only pays when the matmul's OUTPUT
+# width N is large enough. The dynamic activation quantization costs ~1.5
+# extra HBM passes over the (M, K) input (read bf16 + absmax reduce + write
+# int8), i.e. ~3*M*K bytes against the matmul's 2*M*N*K FLOPs — at v5e rates
+# (~197 bf16 TFLOPS, ~800 GB/s HBM) the overhead is ~370/N of the bf16
+# matmul time, while the int8 MXU saves at most 50%. Break-even is N ~= 740:
+# the w=512 projections (N=512, overhead 72%) LOSE, the fused qkv (N=1536,
+# 24%) and MLP c_fc (N=2048, 18%) WIN — which is why the round-3
+# quantize-everything mode measured slightly BELOW bf16 (BENCH_r03
+# resident_int8_compute_fps). ``min_cols=0`` keeps the quantize-everything
+# behavior (characterization tests).
+INT8_MIN_COLS_DEFAULT = 0
+
 
 @contextlib.contextmanager
-def matmul_impl(name: str):
+def matmul_impl(name: str, min_cols: int = None):
     """Select the matmul lowering for programs TRACED inside the block
-    (current thread only)."""
+    (current thread only). ``min_cols``: under 'int8', matmuls with fewer
+    output columns than this stay on the exact default lowering (see
+    INT8_MIN_COLS_DEFAULT for the bandwidth analysis)."""
     if name not in VALID_IMPLS:
         raise ValueError(f"matmul impl must be one of {VALID_IMPLS}, got {name!r}")
     prev = current_impl()
+    prev_cols = current_min_cols()
     _STATE.impl = name
+    _STATE.min_cols = INT8_MIN_COLS_DEFAULT if min_cols is None else min_cols
     try:
         yield
     finally:
         _STATE.impl = prev
+        _STATE.min_cols = prev_cols
 
 
 def current_impl() -> str:
     return getattr(_STATE, "impl", "default")
+
+
+def current_min_cols() -> int:
+    return getattr(_STATE, "min_cols", INT8_MIN_COLS_DEFAULT)
 
 
 def _quant_last_axis(x: jnp.ndarray):
@@ -97,7 +119,12 @@ def _int8_matmul(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
 
 def matmul(x: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
     """Drop-in for ``x @ w`` (w 2-D) honoring the active matmul impl."""
-    if current_impl() == "int8" and w.ndim == 2 and x.shape[-1] == w.shape[0]:
+    if (
+        current_impl() == "int8"
+        and w.ndim == 2
+        and x.shape[-1] == w.shape[0]
+        and w.shape[1] >= current_min_cols()
+    ):
         return _int8_matmul(x, w)
     return x @ w
 
@@ -115,6 +142,7 @@ def dense_dot_general(lhs, rhs, dimension_numbers, precision=None,
         current_impl() == "int8"
         and rhs.ndim == 2
         and dimension_numbers == _DENSE_DN(lhs.ndim)
+        and rhs.shape[1] >= current_min_cols()
     ):
         return _int8_matmul(lhs, rhs)
     return lax.dot_general(

@@ -747,6 +747,14 @@ def test_run_many_matches_sequential_update_params():
     with np.testing.assert_raises(ValueError):
         bad = dict(params_list[0]); bad = {"params": {}}
         ev.run_many(pre, [params_list[0], bad])
+    # the split dispatch/reduce halves (serving pipeline shape) and a
+    # pre-built StackedCheckpoints both reproduce run_many exactly
+    stacked = ev.stack_checkpoints(params_list)
+    assert ev.run_many(pre, stacked) == many
+    pendings = ev.dispatch_many(pre, stacked)
+    assert [ev.reduce_preloaded(p, pre) for p in pendings] == many
+    with np.testing.assert_raises(ValueError):
+        ev.stack_checkpoints([])
 
 
 def test_fused_eval_int8_compute_matches_f32():
@@ -778,3 +786,11 @@ def test_fused_eval_int8_compute_matches_f32():
     # tracing the int8 program must not leak into later default evaluators
     ref2 = FusedAlignEvaluator(model, params, base)(items)
     assert ref2 == ref, (ref2, ref)
+    # int8_min_cols above every matmul width (3*32=96 is the widest here)
+    # = every matmul falls through to the exact lowering: bit-identical
+    # metrics to the default evaluator (the selective-quantization plumb)
+    q_none = FusedAlignEvaluator(
+        model, params,
+        dataclasses.replace(base, matmul_dtype="int8", int8_min_cols=4096),
+    )(items)
+    assert q_none == ref, (q_none, ref)

@@ -174,6 +174,34 @@ class TestDecoderStack:
         assert not np.any(np.isnan(np.asarray(out)))
 
 
+class TestMultiHeadAttentionFusedProjections:
+    def test_aliasing_branches_agree(self):
+        """The trace-time aliasing dispatch (q is k is v -> one (C,3C)
+        matmul; k is v -> (C,C)+(C,2C); else three (C,C)) is a pure layout
+        choice: every branch computes the same column-split contraction, so
+        outputs must agree to float tolerance regardless of which branch the
+        call pattern selects."""
+        from exoground_tpu.ops.attention import MultiHeadAttention
+
+        b, s, c, h = 2, 7, 32, 4
+        x = jnp.asarray(_rand(b, s, c, seed=30))
+        mem = jnp.asarray(_rand(b, s, c, seed=31))
+        mha = MultiHeadAttention(num_heads=h)
+        params = mha.init(jax.random.PRNGKey(0), x, x, x, impl="xla")
+
+        def run(q, k, v):
+            return np.asarray(mha.apply(params, q, k, v, impl="xla"))
+
+        x2 = jnp.asarray(np.asarray(x))  # same values, distinct object
+        # self-attention: fused qkv vs fully-split
+        np.testing.assert_allclose(run(x, x, x), run(x, x2, jnp.asarray(np.asarray(x))),
+                                   atol=1e-5, rtol=1e-5)
+        # cross-attention: fused kv vs fully-split
+        np.testing.assert_allclose(run(x, mem, mem),
+                                   run(x, mem, jnp.asarray(np.asarray(mem))),
+                                   atol=1e-5, rtol=1e-5)
+
+
 class TestMasks:
     def test_mask_from_time_matches_reference_semantics(self):
         # reference: (start <= t) * (t < end), pads produce all-zero rows

@@ -83,6 +83,29 @@ def test_int8_under_jit_traces_per_context():
     assert np.abs(inside - exact).max() / np.abs(exact).max() < 0.02
 
 
+def test_int8_min_cols_selectivity():
+    """min_cols: matmuls with fewer OUTPUT columns than the threshold keep
+    the EXACT default lowering (the dynamic activation quantization costs
+    ~370/N of the bf16 matmul time, so narrow projections LOSE — see the
+    INT8_MIN_COLS_DEFAULT analysis); wide ones quantize."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(8, 64), jnp.float32)
+    w_narrow = jnp.asarray(rng.randn(64, 96), jnp.float32)
+    w_wide = jnp.asarray(rng.randn(64, 128), jnp.float32)
+    with quant.matmul_impl("int8", min_cols=128):
+        assert quant.current_min_cols() == 128
+        narrow = np.asarray(quant.matmul(x, w_narrow))
+        wide = np.asarray(quant.matmul(x, w_wide))
+    np.testing.assert_array_equal(narrow, np.asarray(x @ w_narrow))
+    assert np.abs(wide - np.asarray(x @ w_wide)).max() > 0  # quantized
+    # threshold restored on exit; nested contexts restore the outer value
+    assert quant.current_min_cols() == quant.INT8_MIN_COLS_DEFAULT
+    with quant.matmul_impl("int8", min_cols=128):
+        with quant.matmul_impl("int8"):
+            assert quant.current_min_cols() == quant.INT8_MIN_COLS_DEFAULT
+        assert quant.current_min_cols() == 128
+
+
 def test_matmul_impl_is_thread_local():
     """serve.py hosts several services in one ThreadingHTTPServer process:
     a trace in another thread must never observe (or clobber) this thread's
