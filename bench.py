@@ -152,7 +152,7 @@ def _save_last_good(rec: dict):
 _LINK_BOUND_KEYS = (
     "streamed_fp16_e2e_fps", "streamed_vs_baseline", "streamed_int8_fps",
     "streamed_int4_fps_lossy", "tunnel_h2d_mbps", "link_ceiling_fps_fp16",
-    "streamed_rows_h2d_mbps",
+    "streamed_rows_h2d_mbps", "serve_p50_ms", "serve_p99_ms",
 )
 # link rates within 25% of the record count as the same regime (clear-window
 # link spread is ~±10%; the documented degraded window sits ~30%+ below)
@@ -355,15 +355,46 @@ def bench_inference(jax, jnp, pet=lambda stage: None):
         best_pipe = min(best_pipe, (time.perf_counter() - t0) / n_sweeps)
     fps_resident_pipe = total_frames / best_pipe
 
+    # scanned multi-checkpoint sweeps (run_many/dispatch_many): k=16
+    # checkpoints scored against the resident corpus in ONE device dispatch
+    # + ONE packed D2H per group (lax.scan over stacked params;
+    # _StackRow host slicing). The snapshot-ranking / hyperparameter-sweep
+    # serving shape — and the fewest-dispatches path, so it pays the
+    # per-dispatch tunnel overhead (~25 ms floor, PERF.md decomposition)
+    # once per 16 sweeps instead of once per sweep. Stacked params are
+    # identical copies of the bench checkpoint: compute is value-independent,
+    # the dispatch/fetch pattern is exactly the k-distinct-checkpoints one.
+    pet("inference: scanned k=16 checkpoint sweeps")
+    fps_scanned = None
+    try:
+        k_scan = 16
+        stacked = evaluator.stack_checkpoints([params] * k_scan)
+        evaluator.run_many(pre, stacked)  # compile + warm
+        best_scan = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pendings = evaluator.dispatch_many(pre, stacked)
+            for p in pendings:
+                evaluator.reduce_preloaded(p, pre)
+            best_scan = min(best_scan, (time.perf_counter() - t0) / k_scan)
+        fps_scanned = total_frames / best_scan
+    except Exception:
+        pass
+
     # int8 MXU compute mode (ops/quant.py, opt-in serving): same resident-
-    # pipelined protocol with every projection/MLP matmul dynamically
-    # quantized. Guarded: a failure or regression here never costs the
-    # lossless headline.
+    # pipelined protocol with the WIDE matmuls (fused qkv N=1536, MLP c_fc
+    # N=2048) dynamically quantized and the narrow N=512 projections kept on
+    # exact bf16 — the selective policy (int8_min_cols=1024) measured
+    # 183.2k f/s vs 180.3k bf16 vs 176.6k quantize-everything on-chip
+    # (2026-08-19, PERF.md round-4: the dynamic-quant overhead is ~370/N of
+    # the bf16 matmul time, so narrow matmuls lose). Guarded: a failure or
+    # regression here never costs the lossless headline.
     pet("inference: int8-compute resident")
     fps_int8_compute = None
     try:
         ev8 = FusedAlignEvaluator(
-            model, params, _dc.replace(cfg, matmul_dtype="int8")
+            model, params,
+            _dc.replace(cfg, matmul_dtype="int8", int8_min_cols=1024),
         )
         pre8 = ev8.preload(items)
         ev8.run_preloaded(pre8)  # compile + warm
@@ -381,7 +412,43 @@ def bench_inference(jax, jnp, pet=lambda stage: None):
     sweep_flops = eval_sweep_flops(items, cfg)
     return (total_frames / dt, fps_q["int8"], fps_q["int4"],
             fps_resident, fps_resident_pipe, sweep_flops / total_frames,
-            fps_int8_compute)
+            fps_int8_compute, fps_scanned)
+
+
+def bench_serve_latency(jax, jnp, n_reqs: int = 40):
+    """AlignmentService single-request latency: one 600 s video (parity
+    4096-d features) + 24 coarse-timestamped texts per request, streamed
+    (the video rides H2D inside the request — the latency a serving consumer
+    actually sees). Returns (p50_ms, p99_ms).
+
+    Regime note: at parity dims the request uploads ~4.7 MB of fp16
+    features, so the tunnel's ~50 MB/s H2D puts a ~95 ms floor under p50
+    here; a PCIe-attached host pays <1 ms for the same bytes. The reference
+    has no serving path to anchor against (eval_zeroshot_align.py is batch)."""
+    from exoground_tpu.models import TemporalAligner
+    from exoground_tpu.serve import AlignRequest, AlignmentService
+
+    model = TemporalAligner(num_encoder_layers=6, num_joint_layers=6)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 8, VIDEO_DIM)), jnp.zeros((1, 2, TEXT_DIM)),
+        jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
+    )
+    svc = AlignmentService(model, params, transfer_dtype="float16")
+    rng = np.random.RandomState(0)
+    video = rng.randn(600, VIDEO_DIM).astype(np.float32)
+    te = rng.randn(24, TEXT_DIM).astype(np.float32)
+    starts = np.sort(rng.rand(24)) * 560
+    req = AlignRequest(video=video, texts=None, text_embeds=te,
+                       start=starts, end=starts + 30)
+    svc.align(req)  # compile the request's shape buckets
+    lat = []
+    for _ in range(n_reqs):
+        t0 = time.perf_counter()
+        svc.align(req)
+        lat.append((time.perf_counter() - t0) * 1e3)
+    lat.sort()
+    return lat[len(lat) // 2], lat[min(len(lat) - 1, int(len(lat) * 0.99))]
 
 
 def measure_link_bandwidth(jax, jnp, mb: int = 24) -> float:
@@ -813,7 +880,7 @@ def main():
 
     watchdog.pet("inference (streamed + resident + pipelined)")
     (fps, fps_int8, fps_int4, fps_resident, fps_resident_pipe,
-     flops_per_frame, fps_int8_compute) = bench_inference(
+     flops_per_frame, fps_int8_compute, fps_scanned) = bench_inference(
         jax, jnp, pet=watchdog.pet)
     partial.update({
         # HEADLINE = chip-rate serving throughput (features HBM-resident,
@@ -840,11 +907,38 @@ def main():
         "eval_achieved_tflops_per_s": round(fps_resident_pipe * flops_per_frame / 1e12, 2),
         "eval_flops_accounting": "analytic matmul count (bench.eval_sweep_flops)",
     })
+    if fps_scanned:
+        # k=16 checkpoints against the resident corpus in ONE dispatch + ONE
+        # packed D2H per group (run_many/dispatch_many lax.scan over stacked
+        # params): the snapshot-ranking serving shape, and the
+        # fewest-dispatches number — per-sweep tunnel overhead paid once per
+        # 16 sweeps.
+        partial["resident_scanned_many_fps"] = round(fps_scanned, 1)
     if fps_int8_compute:
-        # opt-in int8 MXU serving mode (AlignEvalConfig.matmul_dtype='int8'):
-        # quantized math, noise-level metric drift (tests/test_evals.py);
-        # reported separately — the headline stays on parity bf16 math.
+        # opt-in int8 MXU serving mode (AlignEvalConfig.matmul_dtype='int8',
+        # int8_min_cols=1024 selective policy): quantized math, noise-level
+        # metric drift (tests/test_evals.py); reported separately — the
+        # headline stays on parity bf16 math.
         partial["resident_int8_compute_fps"] = round(fps_int8_compute, 1)
+        partial["resident_int8_compute_policy"] = (
+            "selective int8_min_cols=1024 (wide matmuls only; ops/quant.py)"
+        )
+
+    # single-request serving latency (VERDICT r3 item 7): streamed, so it
+    # belongs to the link regime annotated below alongside the streamed rows
+    watchdog.pet("serving latency")
+    try:
+        p50, p99 = bench_serve_latency(jax, jnp)
+        partial.update({
+            "serve_p50_ms": round(p50, 1),
+            "serve_p99_ms": round(p99, 1),
+            "serve_latency_shape": (
+                "1 request = 600s video (4096-d fp16, ~4.7 MB H2D) + 24 "
+                "texts, streamed through the session tunnel"
+            ),
+        })
+    except Exception as e:
+        partial["serve_latency_error"] = str(e)[:200]
 
     watchdog.pet("link bandwidth")
     link_mbps = measure_link_bandwidth(jax, jnp)

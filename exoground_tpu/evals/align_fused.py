@@ -404,8 +404,9 @@ class FusedAlignEvaluator:
             else:
                 s = stack
             outs = self._raw.many(dims, s, *dev_args)  # (k, 4, Ntot)
+            host_cache: Dict[str, np.ndarray] = {}  # one fetch for all k rows
             for i in range(k):
-                out_i = outs[i]
+                out_i = _StackRow(outs, host_cache, i)
                 for start, end, aligned, num_text, t0, v0 in offsets:
                     pendings[i].append(
                         (start, end, aligned, num_text, t0, v0, out_i)
@@ -710,6 +711,30 @@ def _quantize_rows_int4(x: np.ndarray):
     u = (q + 8).astype(np.uint8)
     packed = u[:, 0::2] | (u[:, 1::2] << 4)
     return packed, scale
+
+
+class _StackRow:
+    """One checkpoint's packed (4, Ntot) result inside a stacked (k, 4,
+    Ntot) device array (``dispatch_many``). Materializing rows as device
+    slices (``outs[i]``) would pay one tunnel dispatch for the slice plus
+    one D2H round trip PER checkpoint (measured ~25 ms each on the session
+    tunnel — the round-4 run_many 50-vs-27 ms/sweep finding, PERF.md);
+    instead ``__array__`` fetches the whole stack ONCE into a host cache
+    shared by all k rows and serves numpy slices from it."""
+
+    __slots__ = ("_stack", "_cache", "_i")
+
+    def __init__(self, stack, cache: dict, i: int):
+        self._stack, self._cache, self._i = stack, cache, i
+
+    def copy_to_host_async(self):  # _prefetch protocol
+        self._stack.copy_to_host_async()
+
+    def __array__(self, dtype=None, copy=None):
+        if "host" not in self._cache:
+            self._cache["host"] = np.asarray(self._stack)
+        row = self._cache["host"][self._i]
+        return row if dtype is None else row.astype(dtype)
 
 
 def _prefetch(pending):

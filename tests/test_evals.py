@@ -755,6 +755,23 @@ def test_run_many_matches_sequential_update_params():
     assert [ev.reduce_preloaded(p, pre) for p in pendings] == many
     with np.testing.assert_raises(ValueError):
         ev.stack_checkpoints([])
+    # the k pendings of one group share ONE device fetch: slicing outs[i]
+    # on device paid a dispatch + D2H round trip per checkpoint (~25 ms
+    # each on the session tunnel — the round-4 50-vs-27 ms/sweep finding)
+    from exoground_tpu.evals.align_fused import _StackRow
+
+    rows = [rec[-1] for p in pendings for rec in p if rec[-1] is not None]
+    assert rows and all(isinstance(r, _StackRow) for r in rows)
+    by_stack = {}
+    for r in rows:
+        by_stack.setdefault(id(r._stack), set()).add(id(r._cache))
+    # every row of one stacked result shares the same host cache dict
+    assert all(len(caches) == 1 for caches in by_stack.values()), by_stack
+    one = rows[0]
+    first = np.asarray(one)
+    assert "host" in one._cache  # materialized into the shared cache
+    one._cache["host"] = one._cache["host"] * 0 + 7.0  # poison: no refetch
+    np.testing.assert_array_equal(np.asarray(one), np.full_like(first, 7.0))
 
 
 def test_fused_eval_int8_compute_matches_f32():
