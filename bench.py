@@ -153,6 +153,7 @@ _LINK_BOUND_KEYS = (
     "streamed_fp16_e2e_fps", "streamed_vs_baseline", "streamed_int8_fps",
     "streamed_int4_fps_lossy", "tunnel_h2d_mbps", "link_ceiling_fps_fp16",
     "streamed_rows_h2d_mbps", "serve_p50_ms", "serve_p99_ms",
+    "serve_int8_p50_ms", "serve_int8_p99_ms",
 )
 # link rates within 25% of the record count as the same regime (clear-window
 # link spread is ~±10%; the documented degraded window sits ~30%+ below)
@@ -212,29 +213,44 @@ def _maybe_save_last_good(final: dict):
     rec = {**final, "measured_at_utc": stamp, "degraded_runs_since_save": 0}
 
     # -- link regime (per-row) ----------------------------------------------
+    # The spread anchor is the record's HIGH-WATER link rate
+    # (tunnel_h2d_mbps_best), not the last-saved rate: anchoring on the
+    # last-saved rate lets successive mildly-degraded windows ratchet the
+    # anchor down (observed 66.8 -> 46.3 -> 42.6 MB/s across rounds 3-4)
+    # until any degraded window counts as in-spread. The high-water mark only
+    # moves up — or resets when the staleness horizon accepts a sustained
+    # regime change.
     new_link, prev_link = final.get("tunnel_h2d_mbps"), prev.get("tunnel_h2d_mbps")
-    if new_link and prev_link and new_link < _LINK_SPREAD * prev_link:
+    cands = [v for v in (prev.get("tunnel_h2d_mbps_best"), prev_link) if v]
+    best_link = max(cands) if cands else None
+    if new_link and best_link and new_link < _LINK_SPREAD * best_link:
         n = prev.get("degraded_link_runs_since_save", 0) + 1
         if n <= _STALE_HORIZON:
             kept = [k for k in _LINK_BOUND_KEYS if k in prev]
             for k in kept:
                 rec[k] = prev[k]
-            rec["link_rows_from"] = prev.get("measured_at_utc")
+            rec["link_rows_from"] = prev.get(
+                "link_rows_from", prev.get("measured_at_utc"))
             rec["degraded_link_runs_since_save"] = n
+            rec["tunnel_h2d_mbps_best"] = best_link
             final["last_good_link_rows_kept"] = (
                 f"measured link {new_link} MB/s < {int(_LINK_SPREAD*100)}% of "
-                f"record's {prev_link} MB/s: record keeps its clear-window "
-                f"link-bound rows {kept} ({n}/{_STALE_HORIZON + 1} before "
-                "horizon accepts a sustained link regression)"
+                f"record's best {best_link} MB/s: record keeps its "
+                f"clear-window link-bound rows {kept} ({n}/"
+                f"{_STALE_HORIZON + 1} before horizon accepts a sustained "
+                "link regression)"
             )
         else:
             rec["degraded_link_runs_since_save"] = 0
+            rec["tunnel_h2d_mbps_best"] = new_link  # accept the regime change
             final["last_good_link_horizon_expired"] = (
                 f"{n} consecutive out-of-spread link runs: accepting the new "
                 "link-bound rows as a real sustained change"
             )
     else:
         rec["degraded_link_runs_since_save"] = 0
+        rec["tunnel_h2d_mbps_best"] = max(
+            [v for v in (best_link, new_link) if v] or [0]) or None
     _save_last_good(rec)
 
 
@@ -399,12 +415,16 @@ def bench_inference(jax, jnp, pet=lambda stage: None):
         pre8 = ev8.preload(items)
         ev8.run_preloaded(pre8)  # compile + warm
         best8 = float("inf")
+        # same pipeline depth as the bf16 headline row (n_sweeps): a
+        # shallower pipeline under-amortizes the per-dispatch tunnel
+        # overhead and makes the comparison depth-vs-depth, not
+        # int8-vs-bf16 (the r04 164k-vs-174k artifact was depth 8 vs 16)
         for _ in range(3):
             t0 = time.perf_counter()
-            batches = [ev8.dispatch_preloaded(pre8) for _ in range(8)]
+            batches = [ev8.dispatch_preloaded(pre8) for _ in range(n_sweeps)]
             for p in batches:
                 ev8.reduce_preloaded(p, pre8)
-            best8 = min(best8, (time.perf_counter() - t0) / 8)
+            best8 = min(best8, (time.perf_counter() - t0) / n_sweeps)
         fps_int8_compute = total_frames / best8
     except Exception:
         pass
@@ -415,7 +435,8 @@ def bench_inference(jax, jnp, pet=lambda stage: None):
             fps_int8_compute, fps_scanned)
 
 
-def bench_serve_latency(jax, jnp, n_reqs: int = 40):
+def bench_serve_latency(jax, jnp, n_reqs: int = 40,
+                        transfer_dtype: str = "float16"):
     """AlignmentService single-request latency: one 600 s video (parity
     4096-d features) + 24 coarse-timestamped texts per request, streamed
     (the video rides H2D inside the request — the latency a serving consumer
@@ -423,8 +444,11 @@ def bench_serve_latency(jax, jnp, n_reqs: int = 40):
 
     Regime note: at parity dims the request uploads ~4.7 MB of fp16
     features, so the tunnel's ~50 MB/s H2D puts a ~95 ms floor under p50
-    here; a PCIe-attached host pays <1 ms for the same bytes. The reference
-    has no serving path to anchor against (eval_zeroshot_align.py is batch)."""
+    here; a PCIe-attached host pays <1 ms for the same bytes.
+    ``transfer_dtype='int8'`` (per-row absmax, dequantized on device —
+    quality-preserving, same mode as int8_transfer_fps) halves the request
+    bytes and therefore the link floor. The reference has no serving path to
+    anchor against (eval_zeroshot_align.py is batch)."""
     from exoground_tpu.models import TemporalAligner
     from exoground_tpu.serve import AlignRequest, AlignmentService
 
@@ -434,7 +458,7 @@ def bench_serve_latency(jax, jnp, n_reqs: int = 40):
         jnp.zeros((1, 8, VIDEO_DIM)), jnp.zeros((1, 2, TEXT_DIM)),
         jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
     )
-    svc = AlignmentService(model, params, transfer_dtype="float16")
+    svc = AlignmentService(model, params, transfer_dtype=transfer_dtype)
     rng = np.random.RandomState(0)
     video = rng.randn(600, VIDEO_DIM).astype(np.float32)
     te = rng.randn(24, TEXT_DIM).astype(np.float32)
@@ -476,8 +500,11 @@ def _wait_for_clear_link(jax, jnp, budget_s: float = 600.0):
     The streamed_* rows are link-bound: publishing them from a degraded
     tunnel window (46 vs 67 MB/s across rounds 2/3) mixes regimes in the
     driver-visible JSON. Probe the measured link rate until it is within
-    spread of the last-good record's rate (or >= 55 MB/s when no record
-    exists), sleeping between probes; on budget exhaustion proceed anyway —
+    spread of the record's HIGH-WATER rate (tunnel_h2d_mbps_best — the
+    last-saved rate can itself be degraded; anchoring on it ratchets the
+    target down across mildly-degraded runs), floored at 50 MB/s (the
+    slowest documented clear-window measurement, PERF.md; 55 with no
+    record), sleeping between probes; on budget exhaustion proceed anyway —
     the streamed rows then carry an explicit degraded-link annotation and
     the per-row guard keeps the record's clear-window values.
 
@@ -485,8 +512,9 @@ def _wait_for_clear_link(jax, jnp, budget_s: float = 600.0):
     (last_measured_mbps, is_clear, target_mbps)."""
     budget_s = float(os.environ.get("EXOGROUND_BENCH_LINK_WAIT_S", budget_s))
     prev = _load_last_good() or {}
-    target = _LINK_SPREAD * prev["tunnel_h2d_mbps"] \
-        if prev.get("tunnel_h2d_mbps") else 55.0
+    cands = [v for v in (prev.get("tunnel_h2d_mbps_best"),
+                         prev.get("tunnel_h2d_mbps")) if v]
+    target = max(_LINK_SPREAD * max(cands), 50.0) if cands else 55.0
     deadline = time.monotonic() + budget_s
     rate, attempt = 0.0, 0
     while True:
@@ -937,6 +965,13 @@ def main():
                 "texts, streamed through the session tunnel"
             ),
         })
+        # int8 request transfer (per-row absmax, dequantized on device —
+        # the quality-preserving int8_transfer mode): halves the request's
+        # H2D bytes and therefore the tunnel's link floor under p50
+        p50_8, p99_8 = bench_serve_latency(jax, jnp, n_reqs=20,
+                                           transfer_dtype="int8")
+        partial["serve_int8_p50_ms"] = round(p50_8, 1)
+        partial["serve_int8_p99_ms"] = round(p99_8, 1)
     except Exception as e:
         partial["serve_latency_error"] = str(e)[:200]
 

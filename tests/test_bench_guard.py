@@ -106,6 +106,44 @@ def test_link_horizon_accepts_sustained_regression(tmp_path, monkeypatch):
     assert "last_good_link_horizon_expired" in finals[-1]
 
 
+def test_link_anchor_does_not_ratchet_down(tmp_path, monkeypatch):
+    """Round-4 failure mode: the spread anchor must be the HIGH-WATER link
+    rate, not the last-saved rate. A mildly-degraded run inside spread
+    (62.0 of 66.8) legitimately updates the link rows — but a following
+    43.0 run must be judged against the 66.8 high-water mark (out of
+    spread -> rows kept), not against 62.0-then-50-then-43 stepping stones
+    (the observed 66.8 -> 46.3 -> 42.6 ratchet across rounds 3-4)."""
+    seq = [_clear_run(), _clear_run(v=168000.0, link=62.0),
+           _clear_run(v=166000.0, link=51.0),
+           _clear_run(v=165000.0, link=43.0)]
+    rec, finals = _run_full(tmp_path, monkeypatch, seq)
+    assert rec["tunnel_h2d_mbps_best"] == 66.8  # high-water survives updates
+    # 51.0 passes vs best 66.8 (>= 75%); 43.0 does not
+    assert "last_good_link_rows_kept" not in finals[2]
+    assert "last_good_link_rows_kept" in finals[3]
+    assert rec["tunnel_h2d_mbps"] == 51.0  # rows frozen at the last in-spread run
+    assert rec["value"] == 165000.0  # compute rows still updated
+
+
+def test_link_high_water_rises_with_a_better_window(tmp_path, monkeypatch):
+    rec, _ = _run_full(tmp_path, monkeypatch,
+                       [_clear_run(link=55.0), _clear_run(link=70.0)])
+    assert rec["tunnel_h2d_mbps_best"] == 70.0
+
+
+def test_link_horizon_resets_high_water(tmp_path, monkeypatch):
+    """Accepting a sustained link regression must also reset the high-water
+    anchor, or every post-regression run re-trips the guard forever."""
+    seq = [_clear_run()] + [
+        _clear_run(v=165000.0, link=40.0)
+        for _ in range(bench._STALE_HORIZON + 1)
+    ] + [_clear_run(v=166000.0, link=41.0)]
+    rec, finals = _run_full(tmp_path, monkeypatch, seq)
+    assert rec["tunnel_h2d_mbps_best"] == 41.0
+    assert "last_good_link_rows_kept" not in finals[-1]
+    assert rec["tunnel_h2d_mbps"] == 41.0
+
+
 def test_compute_horizon_accepts_sustained_regression(tmp_path, monkeypatch):
     seq = [170000.0] + [30000.0] * (bench._STALE_HORIZON + 1)
     rec, finals = _run_full(

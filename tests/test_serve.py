@@ -218,6 +218,26 @@ def test_alignment_service_int8_serving_mode():
     np.testing.assert_allclose(q["score"], ref["score"], rtol=0.1)
 
 
+def test_alignment_service_int8_transfer():
+    """transfer_dtype='int8' (per-row absmax request upload, dequantized on
+    device — bench serve_int8_p50_ms) serves the same argmaxes and
+    noise-level score drift vs float32 transfer at these shapes."""
+    model, params = _tan()
+    rng = np.random.RandomState(6)
+    req = AlignRequest(
+        video=rng.randn(60, 24).astype(np.float32),
+        text_embeds=rng.randn(4, 16).astype(np.float32),
+    )
+    ref = AlignmentService(
+        model, params, seq_len=16, transfer_dtype="float32"
+    ).align(req)
+    q8 = AlignmentService(
+        model, params, seq_len=16, transfer_dtype="int8"
+    ).align(req)
+    assert q8["best_second"] == ref["best_second"], (q8, ref)
+    np.testing.assert_allclose(q8["score"], ref["score"], rtol=0.1)
+
+
 def test_alignment_service_score_checkpoints():
     """score_checkpoints == per-checkpoint evaluator metrics; the resident
     handle is reusable across calls."""
