@@ -1000,8 +1000,11 @@ def main():
                   "tunnel_h2d_mbps"):
             if prev_rec.get(k):
                 note[f"last_good_{k}"] = prev_rec[k]
-        if prev_rec.get("measured_at_utc"):
-            note["last_good_measured_at_utc"] = prev_rec["measured_at_utc"]
+        # the record's link rows may be older than the record itself (the
+        # per-row guard carries them forward with link_rows_from provenance)
+        when = prev_rec.get("link_rows_from", prev_rec.get("measured_at_utc"))
+        if when:
+            note["last_good_measured_at_utc"] = when
         partial.update(note)
 
     watchdog.pet("cotrain train step")

@@ -8,7 +8,8 @@ logsumexp, so the math is identical, and the whole loss (similarity scaling,
 masking, both logsumexp directions, per-layer means) fuses into one XLA
 computation on TPU.
 
-Two grid backends (selected by what the ``logits`` dict carries):
+Grid backends (selected by what the ``logits`` dict carries, then — inside
+fused feature mode — by :func:`set_grid_impl` / shape dispatch):
 
 * **volume mode** (``logits_dual``/``logits_joint`` present): the reference's
   materialized (B,S,T,Bc,N) similarity volumes (tan_model.py:112,132).
@@ -22,6 +23,11 @@ Two grid backends (selected by what the ``logits`` dict carries):
   pads 2.7x under TPU tiled layout and OOMs at bs256 (PERF.md batch-scaling
   sweep, round 3); the fused path's peak intermediate is one
   (B,S,T,block) slab per scan step, rematerialized in backward.
+  On TPU, when shapes qualify (ops/milnce_grid.py::supported), the
+  denominators route to the **Pallas grid kernel** instead: the z tile
+  lives only in VMEM — one MXU dot emits BOTH logsumexp reductions, and
+  the custom VJP recomputes the tile in backward (bs64 cotrain step
+  19.95 -> 17.23 ms, 47.7% MFU; PERF.md round-4 item 6).
 
 Structure of the reference pipeline this reproduces:
   * binary targets from (start, end) spans, cross-batch grid with eye(B)
@@ -49,6 +55,7 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
+from exoground_tpu.ops import milnce_grid
 from exoground_tpu.ops.masks import (
     mask_from_time, masked_mean as _masked_mean, masked_quantile,
     window_scan_kernel,
@@ -56,6 +63,23 @@ from exoground_tpu.ops.masks import (
 
 NEG_FILL = -6e4
 TEMP = 0.07  # contrastive temperature (loss.py:67-72)
+
+# fused-mode denominator backend: 'auto' picks the Pallas grid kernel
+# (ops/milnce_grid.py — z tiles live only in VMEM, one MXU dot + both
+# logsumexp reductions per tile) on TPU when shapes qualify, else the
+# lax.scan streamed backend below; 'scan'/'kernel' force a side (tests,
+# CPU golden comparisons).
+_GRID_IMPL = "auto"
+
+
+def set_grid_impl(impl: str) -> None:
+    global _GRID_IMPL
+    assert impl in ("auto", "scan", "kernel"), impl
+    _GRID_IMPL = impl
+
+
+def get_grid_impl() -> str:
+    return _GRID_IMPL
 
 # Fused feature mode: target number of text COLUMNS (batch x narration)
 # per streamed block. ~512 keeps the per-block einsum MXU-shaped
@@ -254,8 +278,38 @@ def _feature_two_way(
     v_num = jax.scipy.special.logsumexp(pos, axis=-1)  # (B,S,T)
     t_num_own = jax.scipy.special.logsumexp(pos, axis=2)  # (B,S,N)
 
+    # ---- denominators: Pallas grid kernel when shapes qualify ----------
+    c = video.shape[-1]
+    use_kernel = _GRID_IMPL == "kernel" or (
+        _GRID_IMPL == "auto" and milnce_grid.supported(b * t, bc * n, c)
+    )
+    if use_kernel:
+        video3 = jnp.transpose(video, (1, 0, 2, 3)).reshape(s, b * t, c)
+        text3 = (
+            jnp.transpose(text, (1, 0, 2, 3)).reshape(s, bc * n, c)
+            if text.ndim == 4 else text.reshape(1, bc * n, c)
+        )
+        v_den3, t_den = milnce_grid.grid_lse2(
+            video3, text3, col_valid2.reshape(-1), 1.0 / temp
+        )
+        v_den = v_den3.reshape(s, b, t).transpose(1, 0, 2)  # (B,S,T)
+        v_loss = jnp.transpose(v_den - v_num, (1, 0, 2)).reshape(s, b * t)
+        t_num = jax.lax.dynamic_update_slice(
+            jnp.full((s, bc, n), NEG_FILL, jnp.float32),
+            jnp.transpose(t_num_own, (1, 0, 2)),
+            (0, jnp.asarray(col_offset, jnp.int32), 0),
+        ).reshape(s, bc * n)
+        t_loss = t_den - t_num
+        return v_loss, t_loss, _vt_means(v_loss, t_loss, row_has_pos, col_has_pos)
+
     # ---- streamed denominators over column blocks ----------------------
     cb = max(1, min(bc, -(-MILNCE_BLOCK_COLS // n)))  # col batches per block
+    nblocks = -(-bc // cb)
+    # rebalance: the ceil-divided cb can pad the last block heavily (bc=64,
+    # n=12 -> cb=43, 2 blocks covering 86 col-batches = 34% wasted grid
+    # FLOPs); the same block COUNT with cb=ceil(bc/nblocks) covers bc with
+    # minimal padding (64 -> 2x32, none)
+    cb = -(-bc // nblocks)
     nblocks = -(-bc // cb)
     pad = nblocks * cb - bc
     text_p = jnp.pad(text, ((0, pad),) + ((0, 0),) * (text.ndim - 1)) if pad else text

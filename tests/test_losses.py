@@ -342,6 +342,104 @@ class TestFusedFeatureGrid:
             )
 
 
+class TestFusedGridKernel:
+    """The Pallas grid kernel backend (ops/milnce_grid.py) vs the lax.scan
+    streamed backend: same tan_loss scalars and feature gradients (the
+    kernel runs in interpret mode on CPU — Mosaic-compiled parity is
+    covered by the on-chip verification, PERF.md round 4)."""
+
+    def _world(self, seed=0, B=3, S=2, T=12, N=5, C=128, bc=None):
+        w = TestFusedFeatureGrid()
+        return w._world(B, S, T, N, C, bc=bc, seed=seed)
+
+    def _both(self, feats, s, e, vp, tp, cfg, kw=None):
+        from exoground_tpu.losses import milnce
+
+        args = (jnp.asarray(s), jnp.asarray(e))
+        masks = (jnp.asarray(vp), jnp.asarray(tp))
+        fj = {k: jnp.asarray(v) for k, v in feats.items()}
+
+        def run(impl):
+            milnce.set_grid_impl(impl)
+            try:
+                def f(lg):
+                    return tan_loss(*args, lg, *masks, cfg, **(kw or {}))
+                out = f(fj)
+                g = jax.grad(lambda lg: f(lg)["loss"])(fj)
+                return out, g
+            finally:
+                milnce.set_grid_impl("auto")
+
+        return run("scan"), run("kernel")
+
+    def _assert_close(self, scan, kernel, rtol=2e-5):
+        (out_s, g_s), (out_k, g_k) = scan, kernel
+        assert set(out_s) == set(out_k)
+        for k in out_s:
+            np.testing.assert_allclose(
+                float(out_k[k]), float(out_s[k]), rtol=rtol, atol=1e-6,
+                err_msg=f"key {k}")
+        for k in g_s:
+            a, b = np.asarray(g_s[k]), np.asarray(g_k[k])
+            np.testing.assert_allclose(
+                b, a, rtol=1e-4, atol=1e-6 * max(1.0, np.abs(a).max()),
+                err_msg=f"grad {k}")
+
+    def test_base_and_threshold(self):
+        feats, _, s, e, vp, tp = self._world(seed=21)
+        self._assert_close(*self._both(feats, s, e, vp, tp, TANLossConfig()))
+        self._assert_close(*self._both(
+            feats, s, e, vp, tp, TANLossConfig(loss_threshold=0.5)))
+
+    def test_row_and_col_padding(self):
+        # R = B*T = 36 (padded to the 512-row block), Cc = 3*5 = 15 (padded
+        # to 128 lanes): padded rows must stay out of t_den, padded cols
+        # must be NEG_FILL-filled exactly like the scan backend
+        feats, _, s, e, vp, tp = self._world(seed=22, B=3, T=12, N=5)
+        self._assert_close(*self._both(
+            feats, s, e, vp, tp,
+            TANLossConfig(learn_agreement=True,
+                          temporal_agreement_type="keep")))
+
+    def test_gathered_columns_offset(self):
+        B, N = 3, 4
+        bc = 2 * B
+        feats, _, s, e, vp, tp = self._world(seed=23, B=B, N=N, bc=bc)
+        col_pad = np.zeros((bc, N), dtype=bool)
+        col_pad[0, -1] = True
+        col_pad[4, -2:] = True
+        kw = dict(col_text_padding_mask=jnp.asarray(col_pad), col_offset=B)
+        self._assert_close(*self._both(feats, s, e, vp, tp,
+                                       TANLossConfig(), kw=kw))
+
+    def test_supported_dispatch(self):
+        from exoground_tpu.ops import milnce_grid
+
+        # CPU backend -> scan (auto); lane-misaligned C -> scan; huge
+        # column spaces -> scan
+        assert not milnce_grid.supported(64, 60, 128, backend="cpu")
+        assert milnce_grid.supported(64, 60, 128, backend="tpu")
+        assert not milnce_grid.supported(64, 60, 48, backend="tpu")
+        assert not milnce_grid.supported(
+            64, milnce_grid.MAX_COLS + 1, 128, backend="tpu")
+
+    def test_bf16_features(self):
+        # training passes bf16 features; grads come back in the feature
+        # dtype on both backends
+        feats, _, s, e, vp, tp = self._world(seed=24)
+        feats = {k: v.astype(jnp.bfloat16) for k, v in feats.items()}
+        (out_s, g_s), (out_k, g_k) = self._both(
+            feats, s, e, vp, tp, TANLossConfig())
+        np.testing.assert_allclose(float(out_k["loss"]), float(out_s["loss"]),
+                                   rtol=2e-2)
+        for k in g_s:
+            assert g_k[k].dtype == g_s[k].dtype == jnp.bfloat16
+            np.testing.assert_allclose(
+                np.asarray(g_k[k], np.float32), np.asarray(g_s[k], np.float32),
+                rtol=0.1, atol=2e-2 * max(1.0, np.abs(np.asarray(g_s[k], np.float32)).max()),
+                err_msg=f"grad {k}")
+
+
 class TestGroundingLoss:
     def test_center_duration_matches_torch(self):
         B, N = 3, 5
