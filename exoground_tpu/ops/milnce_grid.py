@@ -41,8 +41,15 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_FILL = -6e4  # matches losses/milnce.py (exp underflows to exactly 0)
 _TINY = 1e-30
 
-# dispatch limits: one col block must fit VMEM next to the z tile
-MAX_COLS = 4096
+# dispatch limit: one col block must fit VMEM next to the z tile. The
+# binding constraint is the BACKWARD kernel's scoped VMEM inside a full
+# train program: at Cc=3072 (batch 256 x N=12) the t block + the resident
+# (Cc, C) f32 dt output + the z/dz tiles measured 18.5M against the 16M
+# scoped-vmem limit (bs256 kernel-path compile failure, 2026-08-19); at
+# Cc<=2048 the same program has >5M headroom and bs128 (Cc=1536) is
+# measured working in the full cotrain step. Wider column spaces ride the
+# scan backend (bs256 full step compiles and runs there).
+MAX_COLS = 2048
 
 
 def _should_interpret() -> bool:
@@ -156,9 +163,7 @@ def _pad_axis(x, axis, multiple, value=0):
 def _block_r(cc: int) -> int:
     # keep the f32 z tile (+ its bwd dz twin + the resident (Cc, C) f32 dt
     # output block) inside VMEM as the column space grows
-    if cc <= 1024:
-        return 512
-    return 256 if cc <= 2048 else 128
+    return 512 if cc <= 1024 else 256
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
