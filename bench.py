@@ -397,6 +397,33 @@ def bench_inference(jax, jnp, pet=lambda stage: None):
     except Exception:
         pass
 
+    # scanned q=16 QUERY-BATCH sweeps (preload_queries/run_queries): 16
+    # different requests (fresh texts + timestamps, same resident corpus)
+    # scored in ONE device dispatch + ONE packed D2H per group — the
+    # high-QPS serving shape (many alignment requests against one indexed
+    # corpus), and the fewest-dispatches path for request traffic: the
+    # per-request dispatch/tunnel overhead (~25 ms floor, PERF.md) is paid
+    # once per 16 requests.
+    pet("inference: scanned q=16 query-batch sweeps")
+    fps_queries = None
+    try:
+        from exoground_tpu.evals.bench_items import make_query_batch
+
+        q_scan = 16
+        batches = [make_query_batch(items, 1000 + s) for s in range(q_scan)]
+        pq = evaluator.preload_queries(batches)
+        evaluator.run_queries(pq)  # compile + warm
+        best_q = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pendings = evaluator.dispatch_queries(pq)
+            for p in pendings:
+                evaluator.reduce_preloaded(p, pq)
+            best_q = min(best_q, (time.perf_counter() - t0) / q_scan)
+        fps_queries = total_frames / best_q
+    except Exception:
+        pass
+
     # int8 MXU compute mode (ops/quant.py, opt-in serving): same resident-
     # pipelined protocol with the WIDE matmuls (fused qkv N=1536, MLP c_fc
     # N=2048) dynamically quantized and the narrow N=512 projections kept on
@@ -432,7 +459,7 @@ def bench_inference(jax, jnp, pet=lambda stage: None):
     sweep_flops = eval_sweep_flops(items, cfg)
     return (total_frames / dt, fps_q["int8"], fps_q["int4"],
             fps_resident, fps_resident_pipe, sweep_flops / total_frames,
-            fps_int8_compute, fps_scanned)
+            fps_int8_compute, fps_scanned, fps_queries)
 
 
 def bench_serve_latency(jax, jnp, n_reqs: int = 40,
@@ -908,8 +935,8 @@ def main():
 
     watchdog.pet("inference (streamed + resident + pipelined)")
     (fps, fps_int8, fps_int4, fps_resident, fps_resident_pipe,
-     flops_per_frame, fps_int8_compute, fps_scanned) = bench_inference(
-        jax, jnp, pet=watchdog.pet)
+     flops_per_frame, fps_int8_compute, fps_scanned,
+     fps_queries) = bench_inference(jax, jnp, pet=watchdog.pet)
     partial.update({
         # HEADLINE = chip-rate serving throughput (features HBM-resident,
         # sweeps pipelined). Rationale: the A100-derived anchor's feature
@@ -942,6 +969,12 @@ def main():
         # fewest-dispatches number — per-sweep tunnel overhead paid once per
         # 16 sweeps.
         partial["resident_scanned_many_fps"] = round(fps_scanned, 1)
+    if fps_queries:
+        # q=16 DIFFERENT requests (fresh texts/timestamps) against the
+        # resident corpus in ONE dispatch + ONE packed D2H per group
+        # (preload_queries/run_queries lax.scan over the stacked query
+        # axis): the high-QPS request-serving shape.
+        partial["resident_query_batch_fps"] = round(fps_queries, 1)
     if fps_int8_compute:
         # opt-in int8 MXU serving mode (AlignEvalConfig.matmul_dtype='int8',
         # int8_min_cols=1024 selective policy): quantized math, noise-level

@@ -25,7 +25,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import math
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -227,7 +227,23 @@ def _make_video_processor(model, cfg: AlignEvalConfig):
         _, outs = jax.lax.scan(step, None, params_stack)
         return outs  # (k, 4, Ntot)
 
+    @functools.partial(jax.jit, static_argnums=(0,))
+    def _process_queries(dims, params, video, vscale, *stacked_text):
+        """lax.scan of the SAME body over a leading QUERY-BATCH axis: one
+        device dispatch scores q different text sets against the resident
+        video buffers (the high-QPS serving shape — many alignment requests
+        over one indexed corpus; per-sweep dispatch overhead is paid once
+        for q requests). The video features are read from HBM per iteration
+        exactly as a plain sweep would; only the text-side args are
+        stacked."""
+        def step(_, xs):
+            return None, _process_body(dims, params, video, vscale, *xs)
+
+        _, outs = jax.lax.scan(step, None, tuple(stacked_text))
+        return outs  # (q, 4, Ntot)
+
     _process.many = _process_many
+    _process.queries = _process_queries
     return _process
 
 
@@ -259,14 +275,17 @@ class FusedAlignEvaluator:
         self._params = params
         self._params_dev = {}
 
-    def _process(self, dims, *args, device_index: int = 0):
+    def _params_for(self, device_index: int = 0):
         if len(self._devices) == 1:
-            return self._raw(dims, self._params, *args)
+            return self._params
         if device_index not in self._params_dev:
             self._params_dev[device_index] = jax.device_put(
                 self._params, self._devices[device_index]
             )
-        return self._raw(dims, self._params_dev[device_index], *args)
+        return self._params_dev[device_index]
+
+    def _process(self, dims, *args, device_index: int = 0):
+        return self._raw(dims, self._params_for(device_index), *args)
 
     def _cfg_for(self, all_texts_active: Optional[bool]) -> AlignEvalConfig:
         """Per-call protocol override: all_texts_active only changes
@@ -317,13 +336,13 @@ class FusedAlignEvaluator:
         pending = []
         for entry in pre.entries:
             if entry[0] == "skip":
-                _, start, end, aligned, num_text = entry
-                pending.append((start, end, aligned, num_text, 0, 0, None))
+                _, idx, start, end, aligned, num_text = entry
+                pending.append((idx, start, end, aligned, num_text, 0, 0, None))
                 continue
             _, dims, dev_args, offsets, dev_idx = entry
             out = self._process(dims, *dev_args, device_index=dev_idx)
-            for start, end, aligned, num_text, t0, v0 in offsets:
-                pending.append((start, end, aligned, num_text, t0, v0, out))
+            for idx, start, end, aligned, num_text, t0, v0 in offsets:
+                pending.append((idx, start, end, aligned, num_text, t0, v0, out))
         return pending
 
     @staticmethod
@@ -390,9 +409,9 @@ class FusedAlignEvaluator:
         pendings: List[List] = [[] for _ in range(k)]
         for entry in pre.entries:
             if entry[0] == "skip":
-                _, start, end, aligned, num_text = entry
+                _, idx, start, end, aligned, num_text = entry
                 for p in pendings:
-                    p.append((start, end, aligned, num_text, 0, 0, None))
+                    p.append((idx, start, end, aligned, num_text, 0, 0, None))
                 continue
             _, dims, dev_args, offsets, dev_idx = entry
             if len(self._devices) > 1:
@@ -407,11 +426,121 @@ class FusedAlignEvaluator:
             host_cache: Dict[str, np.ndarray] = {}  # one fetch for all k rows
             for i in range(k):
                 out_i = _StackRow(outs, host_cache, i)
-                for start, end, aligned, num_text, t0, v0 in offsets:
+                for idx, start, end, aligned, num_text, t0, v0 in offsets:
                     pendings[i].append(
-                        (start, end, aligned, num_text, t0, v0, out_i)
+                        (idx, start, end, aligned, num_text, t0, v0, out_i)
                     )
         return pendings
+
+    def preload_queries(
+        self,
+        query_batches: Sequence[Iterable[Dict]],
+        all_texts_active: Optional[bool] = None,
+    ) -> "PreloadedQueries":
+        """Upload ONE video corpus + q stacked text-side query batches.
+
+        The high-QPS serving shape: many alignment requests (each a set of
+        texts with timestamps) arrive against one indexed video corpus. The
+        video buffers are uploaded once; the per-request text tables, window
+        layouts, and active-text index arrays are padded to common bucket
+        dims and stacked along a leading (q,) axis so ``run_queries`` scores
+        ALL of them in one device dispatch + one packed D2H per group
+        (lax.scan over the query axis — the ``run_many`` pattern applied to
+        requests instead of checkpoints). Per-request dispatch/tunnel
+        overhead (~25 ms floor on the session tunnel, PERF.md) is paid once
+        per q requests.
+
+        ``query_batches``: q datasets over the SAME videos in the SAME
+        order — items must carry identical ``video`` features; only the
+        text-side fields (``text_embed``/``start``/``end``/``aligned``) may
+        differ. Validated at preload time (bitwise, against batch 0's
+        packed buffers). Each result equals running that batch alone
+        (parity test in tests/test_evals.py)."""
+        cfg = self._cfg_for(all_texts_active)
+        plans = [list(_plan(ds, cfg, keep_empty=True)) for ds in query_batches]
+        if not plans:
+            raise ValueError("preload_queries needs at least one query batch")
+        q = len(plans)
+        if any(len(p) != len(plans[0]) for p in plans):
+            raise ValueError(
+                "query batches plan different group counts — the batches "
+                "must cover the same videos in the same order"
+            )
+        n_eval_dev = _n_eval_devices(cfg)
+        devices = jax.devices()[:n_eval_dev]
+        entries = []
+        for g, base in enumerate(plans[0]):
+            _, dims, base_args, _ = base
+            rows = [p[g] for p in plans]
+            if any(r[1] != dims for r in rows):
+                raise ValueError(
+                    f"group {g}: video packing differs across query batches "
+                    "(same corpus required)"
+                )
+            for i, r in enumerate(rows[1:], 1):
+                if not (
+                    np.array_equal(r[2][0], base_args[0])
+                    and np.array_equal(r[2][1], base_args[1])
+                ):
+                    raise ValueError(
+                        f"group {g}: query batch {i} packs different video "
+                        "buffers — preload_queries serves ONE corpus"
+                    )
+            # pad every batch's text-side args to the group's max bucket
+            # dims (window count / active-text width / text-table rows can
+            # differ per batch through active-text selection), then stack
+            # along the leading query axis
+            ntot_m = max(r[2][2].shape[0] for r in rows)
+            wtot_m = max(r[2][4].shape[0] for r in rows)
+            npad_m = max(r[2][6].shape[1] for r in rows)
+            int4 = cfg.transfer_dtype == "int4"
+            stacked = tuple(
+                np.stack(x)
+                for x in zip(*[
+                    (
+                        _pad_rows(a[2], ntot_m, 0x88 if int4 else 0),
+                        _pad_rows(a[3], ntot_m, 1),
+                        _pad_rows(a[4], wtot_m),
+                        _pad_rows(a[5], wtot_m),
+                        _pad_2d(a[6], wtot_m, npad_m),
+                        _pad_2d(a[7], wtot_m, npad_m),
+                    )
+                    for a in (r[2] for r in rows)
+                ])
+            )
+            dev_idx = g % n_eval_dev
+            target = devices[dev_idx] if n_eval_dev > 1 else None
+            dev_args = tuple(_upload(base_args[:2] + stacked, target))
+            entries.append(
+                ("group", dims, dev_args, tuple(r[3] for r in rows), dev_idx)
+            )
+        return PreloadedQueries(tuple(entries), cfg, q)
+
+    def dispatch_queries(self, pq: "PreloadedQueries") -> List[List]:
+        """Queue one scanned q-request sweep without any host sync (the
+        ``dispatch_many`` analog over query batches): returns q pending
+        lists, one per request, each reducible with ``reduce_preloaded``."""
+        pendings: List[List] = [[] for _ in range(pq.q)]
+        for _, dims, dev_args, offsets_list, dev_idx in pq.entries:
+            outs = self._raw.queries(
+                dims, self._params_for(dev_idx), *dev_args
+            )  # (q, 4, Ntot)
+            host_cache: Dict[str, np.ndarray] = {}  # one fetch for all q rows
+            for i in range(pq.q):
+                out_i = _StackRow(outs, host_cache, i)
+                for idx, start, end, aligned, num_text, t0, v0 in offsets_list[i]:
+                    pendings[i].append(
+                        (idx, start, end, aligned, num_text, t0, v0, out_i)
+                    )
+        return pendings
+
+    def run_queries(self, pq: "PreloadedQueries") -> List[Dict[str, float]]:
+        """Score every preloaded query batch against the resident corpus —
+        one device dispatch + one packed fetch per group for ALL q requests
+        (see ``preload_queries``). Entry i equals evaluating batch i alone."""
+        return [
+            _reduce_metrics(p, pq.cfg) for p in self.dispatch_queries(pq)
+        ]
 
     def predict(
         self, dataset: Iterable[Dict], all_texts_active: Optional[bool] = None
@@ -420,34 +549,20 @@ class FusedAlignEvaluator:
         per-text best-second 'argmax' (video-relative, clamped to >= 0) and
         max-sim 'score' / 'align_score' (NEG_FILL sentinel = the text had no
         covered window; its argmax is meaningless)."""
-        results = []
-        fetched: Dict[int, np.ndarray] = {}
-        for start, end, aligned, num_text, t0, v0, out in _prefetch(
+        return _reduce_predictions(
             _dispatch(dataset, self._process, self._cfg_for(all_texts_active))
-        ):
-            if out is None:
-                results.append({
-                    "argmax": np.zeros(num_text, np.int64),
-                    "score": np.full(num_text, NEG_FILL, np.float32),
-                    "align_score": np.full(num_text, NEG_FILL, np.float32),
-                })
-                continue
-            key = id(out)
-            if key not in fetched:
-                fetched[key] = np.asarray(out)
-            packed = fetched[key]
-            # an all-NEG_FILL row (text with no covered window) argmaxes the
-            # flat group canvas at global 0; clamp so callers never see a
-            # negative "video-relative" second
-            argmax = np.clip(
-                packed[0, t0 : t0 + num_text].astype(np.int64) - v0, 0, None
-            )
-            results.append({
-                "argmax": argmax,
-                "score": packed[1, t0 : t0 + num_text],
-                "align_score": packed[3, t0 : t0 + num_text],
-            })
-        return results
+        )
+
+    def predict_queries(self, pq: "PreloadedQueries") -> List[List[Dict]]:
+        """Raw predictions for every preloaded query batch (the serving
+        counterpart of ``run_queries``): one ``predict``-shaped result list
+        per batch, all q batches scored in one scanned device dispatch +
+        one packed D2H per group. Entry i equals ``predict(batch_i)``, with
+        one documented edge: a video none of whose texts activate a window
+        reports align_score 0 (the uncovered-text value the fused canvas
+        produces everywhere else) where ``predict``'s streaming 'skip' entry
+        reports NEG_FILL — 'score' carries the sentinel on both paths."""
+        return [_reduce_predictions(p) for p in self.dispatch_queries(pq)]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -457,6 +572,17 @@ class StackedCheckpoints:
     dispatch_many calls so the per-leaf stacking dispatch is paid once."""
     tree: object
     k: int
+
+
+@dataclasses.dataclass(frozen=True)
+class PreloadedQueries:
+    """q query batches resident against one uploaded video corpus
+    (FusedAlignEvaluator.preload_queries). entries hold, per group, the
+    device video buffers, the (q, ...)-stacked text-side args, and each
+    batch's per-video result-slicing records; params are NOT captured."""
+    entries: tuple
+    cfg: AlignEvalConfig
+    q: int
 
 
 @dataclasses.dataclass(frozen=True)
@@ -480,7 +606,7 @@ def _n_eval_devices(cfg: AlignEvalConfig) -> int:
     return max(1, min(cfg.eval_devices, len(jax.devices())))
 
 
-def _plan(dataset, cfg: AlignEvalConfig):
+def _plan(dataset, cfg: AlignEvalConfig, keep_empty: bool = False):
     """Host-side planner (phases 0-1a of the fused eval).
 
     Videos are packed ``group_videos`` at a time into ONE flat index space —
@@ -526,12 +652,32 @@ def _plan(dataset, cfg: AlignEvalConfig):
 
     group = cfg.group_videos
     for g0 in range(0, len(metas), group):
-        chunk = [m for m in metas[g0 : g0 + group] if m[5]]
-        skipped = [m for m in metas[g0 : g0 + group] if not m[5]]
-        for _, start, end, aligned, _, _ in skipped:
-            yield ("skip", start, end, aligned, len(start))
+        block = list(enumerate(metas[g0 : g0 + group], start=g0))
+        if keep_empty:
+            # query-batch scan path (preload_queries): group packing must be
+            # IDENTICAL across query batches over the same video corpus, so a
+            # video whose query batch activates zero windows stays in the
+            # group with zero valid windows instead of becoming a 'skip'
+            # entry. Metric-equivalent: its canvas stays uncovered, so every
+            # cell holds the NEG_FILL sentinel -> argmax 0 / sentinel scores,
+            # exactly the host path's zero-window semantics that the 'skip'
+            # entry reproduces (parity test in tests/test_evals.py).
+            chunk, skipped = block, []
+        else:
+            chunk = [im for im in block if im[1][5]]
+            skipped = [im for im in block if not im[1][5]]
+        # every entry carries the video's DATASET index so result reducers
+        # can restore dataset order: skips are yielded before their group,
+        # so plan order != dataset order whenever a mid-group video has
+        # zero windows (pre-round-4 predict() returned misordered results
+        # for exactly that case; metrics never noticed — they aggregate
+        # order-insensitively)
+        for idx, (_, start, end, aligned, _, _) in skipped:
+            yield ("skip", idx, start, end, aligned, len(start))
         if not chunk:
             continue
+        chunk_idx = [im[0] for im in chunk]
+        chunk = [im[1] for im in chunk]
 
         stride_ = seq_len // 4
         assert seq_len % 4 == 0 and cfg.global_len_bucket % stride_ == 0
@@ -539,10 +685,11 @@ def _plan(dataset, cfg: AlignEvalConfig):
             sum(_round_up(m[0].shape[0], stride_) for m in chunk),
             cfg.global_len_bucket,
         )
-        wtot = _round_up(sum(len(m[5]) for m in chunk), 16)
+        wtot = _round_up(max(sum(len(m[5]) for m in chunk), 1), 16)
         ntot = _round_up(sum(len(m[1]) for m in chunk), cfg.text_bucket)
         npad = _round_up(
-            max(int(msk.sum()) for m in chunk for _, msk in m[5]), cfg.text_bucket
+            max((int(msk.sum()) for m in chunk for _, msk in m[5]), default=1),
+            cfg.text_bucket,
         )
 
         dv = chunk[0][0].shape[1]
@@ -573,7 +720,9 @@ def _plan(dataset, cfg: AlignEvalConfig):
         stride = seq_len // 4
         v_off = t_off = w_off = 0
         offsets = []
-        for video, start, end, aligned, text_embed, windows in chunk:
+        for idx, (video, start, end, aligned, text_embed, windows) in zip(
+            chunk_idx, chunk
+        ):
             vlen, num_text = video.shape[0], len(start)
             if int8:
                 vb[v_off : v_off + vlen], vscale[v_off : v_off + vlen] = (
@@ -599,7 +748,7 @@ def _plan(dataset, cfg: AlignEvalConfig):
                 idxs = np.nonzero(mask)[0]
                 text_idx[wi, : len(idxs)] = t_off + idxs
                 text_valid[wi, : len(idxs)] = True
-            offsets.append((start, end, aligned, num_text, t_off, v_off))
+            offsets.append((idx, start, end, aligned, num_text, t_off, v_off))
             # videos start at stride-aligned offsets so the time fold's
             # phase decomposition (slot = start // stride) stays exact
             v_off += _round_up(vlen, stride)
@@ -656,14 +805,36 @@ def _dispatch(dataset, process, cfg: AlignEvalConfig):
     pending = []
     for entry in _placed_plan(dataset, cfg):
         if entry[0] == "skip":
-            _, start, end, aligned, num_text = entry
-            pending.append((start, end, aligned, num_text, 0, 0, None))
+            _, idx, start, end, aligned, num_text = entry
+            pending.append((idx, start, end, aligned, num_text, 0, 0, None))
             continue
         _, dims, host_args, offsets, dev_idx, target = entry
         out = process(dims, *_upload(host_args, target), device_index=dev_idx)
-        for start, end, aligned, num_text, t0, v0 in offsets:
-            pending.append((start, end, aligned, num_text, t0, v0, out))
+        for idx, start, end, aligned, num_text, t0, v0 in offsets:
+            pending.append((idx, start, end, aligned, num_text, t0, v0, out))
     return pending
+
+
+def _pad_rows(a: np.ndarray, n: int, value=0) -> np.ndarray:
+    """Pad axis 0 of ``a`` to ``n`` rows with ``value`` (no-op when equal).
+
+    Pad values only need the right dtype: padded text-table rows are never
+    indexed by a valid window (text_idx stays within each batch's real
+    rows), so 0x88 for int4-packed tables / 1 for scales are cleanliness,
+    not correctness."""
+    if a.shape[0] == n:
+        return a
+    pad = np.full((n - a.shape[0],) + a.shape[1:], value, a.dtype)
+    return np.concatenate([a, pad], axis=0)
+
+
+def _pad_2d(a: np.ndarray, n0: int, n1: int) -> np.ndarray:
+    """Zero-pad a 2-D array to (n0, n1) (padded cells carry valid=False)."""
+    if a.shape == (n0, n1):
+        return a
+    out = np.zeros((n0, n1), a.dtype)
+    out[: a.shape[0], : a.shape[1]] = a
+    return out
 
 
 def _quantize_rows(x: np.ndarray):
@@ -754,6 +925,41 @@ def _prefetch(pending):
     return pending
 
 
+def _reduce_predictions(pending) -> List[Dict]:
+    """Per-video prediction reduction over dispatched outputs (the
+    ``predict``/``predict_queries`` serving shape)."""
+    results = []
+    fetched: Dict[int, np.ndarray] = {}
+    order: List[int] = []
+    for idx, start, end, aligned, num_text, t0, v0, out in _prefetch(pending):
+        order.append(idx)
+        if out is None:
+            results.append({
+                "argmax": np.zeros(num_text, np.int64),
+                "score": np.full(num_text, NEG_FILL, np.float32),
+                "align_score": np.full(num_text, NEG_FILL, np.float32),
+            })
+            continue
+        key = id(out)
+        if key not in fetched:
+            fetched[key] = np.asarray(out)
+        packed = fetched[key]
+        # an all-NEG_FILL row (text with no covered window) argmaxes the
+        # flat group canvas at global 0; clamp so callers never see a
+        # negative "video-relative" second
+        argmax = np.clip(
+            packed[0, t0 : t0 + num_text].astype(np.int64) - v0, 0, None
+        )
+        results.append({
+            "argmax": argmax,
+            "score": packed[1, t0 : t0 + num_text],
+            "align_score": packed[3, t0 : t0 + num_text],
+        })
+    # restore DATASET order (a group's zero-window 'skip' videos are planned
+    # before the group itself, so plan order can interleave)
+    return [r for _, r in sorted(zip(order, results), key=lambda t: t[0])]
+
+
 def _run_fused(dataset, process, cfg: AlignEvalConfig) -> Dict[str, float]:
     """Dispatch + metric reduction (HTM-Align R@1 + AUC)."""
     return _reduce_metrics(_dispatch(dataset, process, cfg), cfg)
@@ -767,7 +973,7 @@ def _reduce_metrics(pending, cfg: AlignEvalConfig) -> Dict[str, float]:
 
     # phase 2: fetch tiny per-group results and slice per video
     fetched: Dict[int, tuple] = {}
-    for start, end, aligned, num_text, t0, v0, out in _prefetch(pending):
+    for _, start, end, aligned, num_text, t0, v0, out in _prefetch(pending):
         if out is None:
             # video with zero active windows: the host path's canvas is all
             # NEG_FILL -> uniform softmax -> argmax frame 0, so an aligned

@@ -184,6 +184,29 @@ class AlignmentService:
         with self._lock:
             return self._evaluator.preload(items)
 
+    def align_query_batches(
+        self, query_batches: Sequence[Sequence[Dict]]
+    ) -> List[List[Dict]]:
+        """Serve q alignment request batches against ONE video corpus in a
+        single scanned device dispatch per group
+        (FusedAlignEvaluator.preload_queries/predict_queries): the high-QPS
+        serving shape — many requests (fresh texts + coarse timestamps)
+        arrive against an indexed corpus whose features are uploaded once,
+        and the per-request dispatch/tunnel overhead is paid once per q.
+
+        Every batch must cover the same videos in the same order (items
+        follow the eval dataset schema: video/start/end/aligned/text_embed);
+        returns one ``predict``-shaped result list per batch. Entry i
+        equals ``self._evaluator.predict(query_batches[i])`` (per-text
+        best_second/score/align_score), except that a video none of whose
+        texts activate a window reports align_score 0 (the uncovered-text
+        value the fused canvas produces) where the streaming path's 'skip'
+        entry reports the NEG_FILL sentinel — its 'score' carries the
+        sentinel either way."""
+        with self._lock:
+            pq = self._evaluator.preload_queries(query_batches)
+            return self._evaluator.predict_queries(pq)
+
 
 class GroundingService:
     """ExoGround interval prediction with shape-bucketed compiled programs."""

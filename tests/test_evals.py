@@ -811,3 +811,208 @@ def test_fused_eval_int8_compute_matches_f32():
         dataclasses.replace(base, matmul_dtype="int8", int8_min_cols=4096),
     )(items)
     assert q_none == ref, (q_none, ref)
+
+
+def test_run_queries_matches_per_batch_evaluation():
+    """run_queries (one scanned dispatch per group for q query batches over
+    ONE resident corpus) == evaluating each batch alone through the skip-
+    entry streaming path — including a batch where a video activates ZERO
+    windows (all texts aligned -> keep_empty packing vs the 'skip' entry),
+    multi-group plans, varying per-batch text counts, and quantized
+    transfer dtypes."""
+    from exoground_tpu.evals import FusedAlignEvaluator
+    from exoground_tpu.evals import align_fused
+
+    def batch(seed, videos, all_aligned_video=None):
+        """Same videos, fresh texts per seed; optionally make one video's
+        texts all-aligned (zero non-alignable texts -> zero windows)."""
+        r = np.random.RandomState(seed)
+        out = []
+        for vi, video in enumerate(videos):
+            vlen = video.shape[0]
+            n = int(r.randint(4, 9))
+            if vi == all_aligned_video:
+                aligned = np.ones(n, np.int64)
+            else:
+                aligned = (r.rand(n) > 0.4).astype(np.int64)
+                aligned[0], aligned[-1] = 1, 0
+            centers = np.sort(r.rand(n)) * max(vlen - 6, 1) + 2
+            out.append({
+                "video": video,
+                "start": np.maximum(centers - 2, 0),
+                "end": np.minimum(centers + 2, vlen),
+                "aligned": aligned,
+                "text_embed": r.randn(n, 24).astype(np.float32),
+            })
+        return out
+
+    rng = np.random.RandomState(7)
+    videos = [rng.randn(v, 24).astype(np.float32) for v in (60, 6, 72, 48, 90)]
+    batches = [
+        batch(0, videos),
+        batch(1, videos, all_aligned_video=1),  # video 1: zero windows
+        batch(2, videos),
+    ]
+    model = TemporalAligner(
+        num_encoder_layers=1, num_joint_layers=1, width=32, heads=4,
+        max_pos=128, attn_impl="xla",
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 24)), jnp.zeros((1, 2, 24)),
+        jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
+    )
+    for dt in ("float32", "int8", "int4"):
+        cfg = AlignEvalConfig(seq_len=16, global_len_bucket=32, text_bucket=8,
+                              group_videos=2, transfer_dtype=dt)
+        ev = FusedAlignEvaluator(model, params, cfg)
+        pq = ev.preload_queries(batches)
+        got = ev.run_queries(pq)
+        ref = [ev(b) for b in batches]
+        for g, r, b in zip(got, ref, batches):
+            assert g["Recall"] == r["Recall"], (dt, g, r)
+            np.testing.assert_allclose(g["AUC"], r["AUC"], atol=1e-6,
+                                       err_msg=f"{dt}")
+        # distinct query batches produce distinct metrics
+        assert len({(m["Recall"], m["AUC"]) for m in got}) > 1
+    # split dispatch/reduce halves reproduce run_queries exactly
+    cfg = AlignEvalConfig(seq_len=16, global_len_bucket=32, text_bucket=8,
+                          group_videos=2)
+    ev = FusedAlignEvaluator(model, params, cfg)
+    pq = ev.preload_queries(batches)
+    got = ev.run_queries(pq)
+    pendings = ev.dispatch_queries(pq)
+    assert [ev.reduce_preloaded(p, pq) for p in pendings] == got
+    # the q pendings of one group share ONE device fetch
+    outs = {id(rec[-1]._stack) for p in pendings for rec in p
+            if rec[-1] is not None}
+    n_groups = sum(1 for e in pq.entries if e[0] == "group")
+    assert len(outs) == n_groups
+    # validation: a different corpus is rejected
+    other = [dict(it, video=it["video"] + 1.0) for it in batches[0]]
+    with pytest.raises(ValueError):
+        ev.preload_queries([batches[0], other])
+    with pytest.raises(ValueError):
+        ev.preload_queries([])
+
+
+def test_run_queries_head_mode_and_multi_device():
+    """Query-batch scan parity with the alignability-head protocol and with
+    groups round-robined over 2 devices (the virtual CPU mesh)."""
+    from exoground_tpu.evals import FusedAlignEvaluator
+
+    def batch(seed, videos):
+        r = np.random.RandomState(seed)
+        out = []
+        for video in videos:
+            vlen = video.shape[0]
+            n = 5
+            aligned = (r.rand(n) > 0.4).astype(np.int64)
+            aligned[0], aligned[-1] = 1, 0
+            centers = np.sort(r.rand(n)) * max(vlen - 6, 1) + 2
+            out.append({
+                "video": video,
+                "start": np.maximum(centers - 2, 0),
+                "end": np.minimum(centers + 2, vlen),
+                "aligned": aligned,
+                "text_embed": r.randn(n, 24).astype(np.float32),
+            })
+        return out
+
+    rng = np.random.RandomState(3)
+    videos = [rng.randn(v, 24).astype(np.float32) for v in (60, 48, 72, 36)]
+    batches = [batch(s, videos) for s in range(3)]
+    model = TemporalAligner(
+        num_encoder_layers=1, num_joint_layers=1, width=32, heads=4,
+        max_pos=128, attn_impl="xla", use_alignability_head=1,
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 24)), jnp.zeros((1, 2, 24)),
+        jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
+    )
+    for head in (True, False):
+        for n_dev in (1, 2):
+            cfg = AlignEvalConfig(
+                seq_len=16, global_len_bucket=32, text_bucket=8,
+                group_videos=2, use_alignability_head=head,
+                eval_devices=n_dev,
+            )
+            ev = FusedAlignEvaluator(model, params, cfg)
+            got = ev.run_queries(ev.preload_queries(batches))
+            ref = [ev(b) for b in batches]
+            for g, r in zip(got, ref):
+                assert g["Recall"] == r["Recall"], (head, n_dev, g, r)
+                np.testing.assert_allclose(g["AUC"], r["AUC"], atol=1e-6)
+
+
+def test_predict_queries_matches_streaming_predict():
+    """predict_queries (scanned q-request predictions over the resident
+    corpus) == predict(batch) per batch — including the documented
+    align_score edge on a zero-window video (fused canvas 0 vs the
+    streaming skip entry's NEG_FILL sentinel; 'score' carries the sentinel
+    on both paths). Also exercises AlignmentService.align_query_batches."""
+    from exoground_tpu.evals import FusedAlignEvaluator
+    from exoground_tpu.evals.align import NEG_FILL
+    from exoground_tpu.serve import AlignmentService
+
+    rng = np.random.RandomState(11)
+    videos = [rng.randn(v, 24).astype(np.float32) for v in (60, 6, 72)]
+
+    def batch(seed, zero_window_video=None):
+        r = np.random.RandomState(seed)
+        out = []
+        for vi, video in enumerate(videos):
+            vlen, n = video.shape[0], 5
+            if vi == zero_window_video:
+                aligned = np.ones(n, np.int64)  # no non-alignable -> no windows
+            else:
+                aligned = np.array([1, 0, 1, 1, 0])
+            centers = np.sort(r.rand(n)) * max(vlen - 6, 1) + 2
+            out.append({
+                "video": video,
+                "start": np.maximum(centers - 2, 0),
+                "end": np.minimum(centers + 2, vlen),
+                "aligned": aligned,
+                "text_embed": r.randn(n, 24).astype(np.float32),
+            })
+        return out
+
+    batches = [batch(0), batch(1, zero_window_video=1), batch(2)]
+    model = TemporalAligner(
+        num_encoder_layers=1, num_joint_layers=1, width=32, heads=4,
+        max_pos=128, attn_impl="xla",
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 24)), jnp.zeros((1, 2, 24)),
+        jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
+    )
+    cfg = AlignEvalConfig(seq_len=16, global_len_bucket=32, text_bucket=8,
+                          group_videos=2)
+    ev = FusedAlignEvaluator(model, params, cfg)
+    got = ev.predict_queries(ev.preload_queries(batches))
+    assert len(got) == 3 and all(len(g) == len(videos) for g in got)
+    for bi, b in enumerate(batches):
+        ref = ev.predict(b)
+        for vi, (g, r) in enumerate(zip(got[bi], ref)):
+            sentinel = r["score"] <= NEG_FILL * 0.5
+            np.testing.assert_allclose(g["score"], r["score"], atol=1e-5,
+                                       err_msg=f"{bi=} {vi=}")
+            # argmax: meaningful only off the sentinel (docstring contract)
+            np.testing.assert_array_equal(
+                g["argmax"][~sentinel], r["argmax"][~sentinel])
+            if bi == 1 and vi == 1:  # zero-window video: documented edge
+                assert np.all(sentinel)
+                np.testing.assert_array_equal(g["align_score"], 0.0)
+                np.testing.assert_array_equal(r["align_score"], NEG_FILL)
+            else:
+                np.testing.assert_allclose(
+                    g["align_score"], r["align_score"], atol=1e-5)
+    # the AlignmentService wrapper serves the same shape
+    svc = AlignmentService(model, params, seq_len=16,
+                           transfer_dtype="float32")
+    svc.cfg = cfg
+    from exoground_tpu.evals import FusedAlignEvaluator as _FE
+    svc._evaluator = _FE(model, params, cfg)
+    out = svc.align_query_batches(batches)
+    for a, b in zip(out, got):
+        for da, db in zip(a, b):
+            np.testing.assert_allclose(da["score"], db["score"], atol=1e-5)
