@@ -121,6 +121,20 @@ class AlignEvalConfig:
     # 1 = single-device (default). Multi-chip eval sharding for the alignment
     # protocol, the inference-side analog of the sharded eval steps.
     eval_devices: int = 1
+    # resident-serving fast path: run the position-independent input stages
+    # (ln∘pre_proj for video AND text, models/aligner.py preproject_video/
+    # preproject_text) ONCE at preload instead of per window per sweep. The
+    # stitcher otherwise re-projects every corpus frame 8x per sweep (4x
+    # window overlap x dual+joint towers) and every text ~2x per active
+    # window slot — ~10% of sweep FLOPs amortized to index time, and the
+    # resident buffers shrink 4096-d -> width-d. Same math, reordered
+    # (f32-exact; bf16 noise-level vs the unsplit program). Resident paths
+    # only (preload/run_preloaded/preload_queries/...): streaming one-shot
+    # calls raise — there is nothing to amortize across. Preprojected
+    # buffers BAKE IN the input-stage params: the preload handle is pinned
+    # to the params object it was built with (re-preload after
+    # update_params; run_many rejects preprojected handles).
+    preproject: bool = False
 
 
 from exoground_tpu.utils.shapes import round_up as _round_up  # noqa: E402

@@ -132,6 +132,7 @@ def _make_video_processor(model, cfg: AlignEvalConfig):
                 params, vb, tb,
                 video_padding_mask=vmask, lang_padding_mask=tmask,
                 method=type(model).text_visual_sim,
+                preprojected=cfg.preproject,
             )
         out = {k: v.astype(jnp.float32) for k, v in out.items()}
         sim = jnp.transpose(out["sim"][:, -1], (0, 2, 1)) * cfg.sim_scale  # (W,K,L)
@@ -242,8 +243,33 @@ def _make_video_processor(model, cfg: AlignEvalConfig):
         _, outs = jax.lax.scan(step, None, tuple(stacked_text))
         return outs  # (q, 4, Ntot)
 
+    @jax.jit
+    def _preproject_fn(params, video, vscale, text, tscale):
+        """Index-time half of the serving split (cfg.preproject): dequant
+        the uploaded buffers once and run the position-independent input
+        stages (models/aligner.py preproject_video/preproject_text) over the
+        whole corpus — per-sweep programs then gather width-d rows and skip
+        straight to the positional adds. Accepts any leading dims (the
+        query-batch path preprojects a (q, Ntot, D) text stack in one
+        call)."""
+        def dq(x, sc):
+            if x.dtype == jnp.int8:
+                return x.astype(jnp.float32) * sc[..., None]
+            if x.dtype == jnp.uint8:
+                return _dequant_int4(x, sc)
+            return x
+
+        if dtype != jnp.float32:
+            params = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
+        zv = model.apply(params, dq(video, vscale).astype(dtype),
+                         method=type(model).preproject_video)
+        zt = model.apply(params, dq(text, tscale).astype(dtype),
+                         method=type(model).preproject_text)
+        return zv.astype(dtype), zt.astype(dtype)
+
     _process.many = _process_many
     _process.queries = _process_queries
+    _process.preproject = _preproject_fn
     return _process
 
 
@@ -298,7 +324,25 @@ class FusedAlignEvaluator:
     def __call__(
         self, dataset: Iterable[Dict], all_texts_active: Optional[bool] = None
     ) -> Dict[str, float]:
+        self._check_not_preproject("streaming evaluation")
         return _run_fused(dataset, self._process, self._cfg_for(all_texts_active))
+
+    def _check_not_preproject(self, what: str):
+        if self.cfg.preproject:
+            raise ValueError(
+                f"cfg.preproject is a resident-serving mode; {what} has no "
+                "preload to amortize the input stages into — build this "
+                "evaluator with preproject=False (or use preload/"
+                "run_preloaded / preload_queries/run_queries)"
+            )
+
+    def _check_params_pin(self, pre):
+        if pre.params_ref is not None and pre.params_ref is not self._params:
+            raise ValueError(
+                "this preload was preprojected with DIFFERENT params "
+                "(cfg.preproject bakes the input-stage weights into the "
+                "resident buffers) — re-preload after update_params"
+            )
 
     def preload(
         self, dataset: Iterable[Dict], all_texts_active: Optional[bool] = None
@@ -321,10 +365,21 @@ class FusedAlignEvaluator:
                 entries.append(entry)
                 continue
             _, dims, host_args, offsets, dev_idx, target = entry
-            entries.append(
-                ("group", dims, tuple(_upload(host_args, target)), offsets, dev_idx)
-            )
-        return PreloadedEval(tuple(entries), cfg)
+            dev_args = tuple(_upload(host_args, target))
+            if cfg.preproject:
+                # index-time split: run the position-independent input
+                # stages over the whole group buffer ONCE; the resident
+                # buffers become width-d (scale args stay as ignored jit
+                # operands so every transfer dtype shares the plumbing)
+                zv, zt = self._raw.preproject(
+                    self._params_for(dev_idx), *dev_args[:4]
+                )
+                dev_args = (zv, dev_args[1], zt) + dev_args[3:]
+            entries.append(("group", dims, dev_args, offsets, dev_idx))
+        return PreloadedEval(
+            tuple(entries), cfg,
+            params_ref=self._params if cfg.preproject else None,
+        )
 
     def dispatch_preloaded(self, pre: "PreloadedEval") -> List:
         """Queue one sweep's device work over HBM-resident features WITHOUT
@@ -333,6 +388,7 @@ class FusedAlignEvaluator:
         reducing sweep k and the chip never idles between sweeps (the
         steady-state serving shape — e.g. scoring many checkpoints against
         one resident corpus)."""
+        self._check_params_pin(pre)
         pending = []
         for entry in pre.entries:
             if entry[0] == "skip":
@@ -404,6 +460,13 @@ class FusedAlignEvaluator:
         Under continuous load, dispatch batch j+1 before reducing batch j —
         the per-dispatch host/tunnel overhead is then paid once per k sweeps
         (PERF.md round-4 dispatch-tail measurement)."""
+        if pre.params_ref is not None:
+            raise ValueError(
+                "run_many/dispatch_many need a non-preprojected preload: "
+                "cfg.preproject bakes ONE checkpoint's input stages into "
+                "the resident buffers, so scanning k different checkpoints "
+                "over them is wrong by construction"
+            )
         stack, k = stacked.tree, stacked.k
         stacks_dev: Dict[int, object] = {}
         pendings: List[List] = [[] for _ in range(k)]
@@ -511,15 +574,26 @@ class FusedAlignEvaluator:
             dev_idx = g % n_eval_dev
             target = devices[dev_idx] if n_eval_dev > 1 else None
             dev_args = tuple(_upload(base_args[:2] + stacked, target))
+            if cfg.preproject:
+                # index-time split: corpus video once, the whole (q, Ntot,
+                # D) text stack in one call (see preload)
+                zv, zt = self._raw.preproject(
+                    self._params_for(dev_idx), *dev_args[:4]
+                )
+                dev_args = (zv, dev_args[1], zt) + dev_args[3:]
             entries.append(
                 ("group", dims, dev_args, tuple(r[3] for r in rows), dev_idx)
             )
-        return PreloadedQueries(tuple(entries), cfg, q)
+        return PreloadedQueries(
+            tuple(entries), cfg, q,
+            params_ref=self._params if cfg.preproject else None,
+        )
 
     def dispatch_queries(self, pq: "PreloadedQueries") -> List[List]:
         """Queue one scanned q-request sweep without any host sync (the
         ``dispatch_many`` analog over query batches): returns q pending
         lists, one per request, each reducible with ``reduce_preloaded``."""
+        self._check_params_pin(pq)
         pendings: List[List] = [[] for _ in range(pq.q)]
         for _, dims, dev_args, offsets_list, dev_idx in pq.entries:
             outs = self._raw.queries(
@@ -549,6 +623,7 @@ class FusedAlignEvaluator:
         per-text best-second 'argmax' (video-relative, clamped to >= 0) and
         max-sim 'score' / 'align_score' (NEG_FILL sentinel = the text had no
         covered window; its argmax is meaningless)."""
+        self._check_not_preproject("predict() (one-shot streaming)")
         return _reduce_predictions(
             _dispatch(dataset, self._process, self._cfg_for(all_texts_active))
         )
@@ -583,15 +658,21 @@ class PreloadedQueries:
     entries: tuple
     cfg: AlignEvalConfig
     q: int
+    # cfg.preproject pins the handle to the params object whose input
+    # stages are baked into the resident buffers (None otherwise)
+    params_ref: object = None
 
 
 @dataclasses.dataclass(frozen=True)
 class PreloadedEval:
     """HBM-resident eval handle (FusedAlignEvaluator.preload). Holds the
-    uploaded group buffers + slicing records; params are NOT captured, so
-    one preload serves many checkpoints via evaluator.update_params."""
+    uploaded group buffers + slicing records; params are NOT captured
+    (one preload serves many checkpoints via evaluator.update_params) —
+    EXCEPT under cfg.preproject, where the input stages are baked in and
+    ``params_ref`` pins the handle to its checkpoint."""
     entries: tuple
     cfg: AlignEvalConfig
+    params_ref: object = None
 
 
 def test_alignment_htm_fused(

@@ -105,8 +105,14 @@ class TemporalAligner(nn.Module):
         )
 
     def _video_with_time(self, video_embed, interpolate_from, deterministic,
-                         pos_interp_len=None):
-        x = self.ln_video_init(self.video_pre_proj(video_embed))
+                         pos_interp_len=None, preprojected=False):
+        if preprojected:
+            # serving fast path: the caller already ran preproject_video on
+            # the full corpus (once, at index time); only the
+            # position-DEPENDENT part remains per window
+            x = video_embed
+        else:
+            x = self.ln_video_init(self.video_pre_proj(video_embed))
         t = x.shape[1]
         pos = self._pos_slice(
             self.temporal_pos_embed, t, interpolate_from, deterministic,
@@ -114,17 +120,45 @@ class TemporalAligner(nn.Module):
         )
         return x + self.ln_position_init(pos)[None]
 
+    def preproject_video(self, video_embed):
+        """Position-independent half of the video input stage:
+        ``ln_video_init(video_pre_proj(x))``, i.e. everything in
+        `_video_with_time` before the positional add.
+
+        Serving (index-time vs query-time split): the overlap-seq stitcher
+        re-runs the (4096 -> width) pre-projection on every frame of every
+        64-frame window — 4x window overlap x 2 towers (dual + joint both
+        call `_video_with_time`) = 8 projections per corpus frame per sweep.
+        Both are per-frame maps, so a resident corpus can be projected ONCE
+        at preload (evals/align_fused.py AlignEvalConfig.preproject) and the
+        per-sweep programs gather width-d rows and skip straight to the
+        positional add. The reference recomputes per window by construction
+        (tan_model.py:148-156 inside the per-chunk eval loop)."""
+        return self.ln_video_init(self.video_pre_proj(video_embed))
+
+    def preproject_text(self, lang_embed):
+        """Position-independent text input stage == get_textual_feature
+        (``ln_text_init(text_pre_proj(x))``); alias named for the serving
+        split. The stitcher projects each text once per WINDOW SLOT it is
+        active in (~20-30 windows per text), twice per window (raw + with-
+        time); preprojecting the corpus text table pays it once per text."""
+        return self.get_textual_feature(lang_embed)
+
     # ------------------------------------------------------------------
     # feature extractors (reference tan_model.py:146-228)
     # ------------------------------------------------------------------
 
     def get_visual_feature(
         self, video_embed, video_padding_mask, interpolate_from=None,
-        deterministic=True, pos_interp_len=None,
+        deterministic=True, pos_interp_len=None, preprojected=False,
     ):
-        """Dual-encoder video tower -> per-stage features (B, Stage, T, C)."""
+        """Dual-encoder video tower -> per-stage features (B, Stage, T, C).
+
+        ``preprojected=True``: ``video_embed`` already went through
+        ``preproject_video`` (the resident-corpus serving split)."""
         x = self._video_with_time(
-            video_embed, interpolate_from, deterministic, pos_interp_len
+            video_embed, interpolate_from, deterministic, pos_interp_len,
+            preprojected=preprojected,
         )
         if self.num_encoder_layers == 0:
             return x[:, None]  # (B, 1, T, C); degenerate config used by baselines
@@ -136,10 +170,11 @@ class TemporalAligner(nn.Module):
         return self.ln_text_init(self.text_pre_proj(lang_embed))
 
     def get_textual_feature_with_time(
-        self, lang_embed, interpolate_from=None, deterministic=True
+        self, lang_embed, interpolate_from=None, deterministic=True,
+        preprojected=False,
     ):
         """Text features + temporal pos-emb (tan_model.py:206-222)."""
-        x = self.get_textual_feature(lang_embed)
+        x = lang_embed if preprojected else self.get_textual_feature(lang_embed)
         n = x.shape[1]
         pos = self._pos_slice(self.text_temporal_pos_embed, n, interpolate_from, deterministic)
         return x + self.ln_position_init(pos)[None]
@@ -153,6 +188,7 @@ class TemporalAligner(nn.Module):
         interpolate_from=None,
         deterministic=True,
         pos_interp_len=None,
+        preprojected=False,
     ):
         """Joint encoder over [video ⊕ text]; returns (video, text) stage stacks.
 
@@ -160,7 +196,8 @@ class TemporalAligner(nn.Module):
         its own (independent) random pos start.
         """
         x = self._video_with_time(
-            video_embed, interpolate_from, deterministic, pos_interp_len
+            video_embed, interpolate_from, deterministic, pos_interp_len,
+            preprojected=preprojected,
         )
         t = x.shape[1]
         joint = jnp.concatenate([x, lang_embed_with_time], axis=1)
@@ -239,8 +276,14 @@ class TemporalAligner(nn.Module):
         video_padding_mask=None,
         lang_padding_mask=None,
         pos_interp_len=None,
+        preprojected=False,
     ):
         """Per-video similarity dict used by the overlap-seq/global stitchers.
+
+        ``preprojected=True``: both inputs already went through
+        preproject_video / preproject_text (the resident-corpus serving
+        split — evals/align_fused.py AlignEvalConfig.preproject); only the
+        position-dependent adds + encoders run per window.
 
         ``pos_interp_len`` (traced scalar): when the video axis is a padded
         length bucket in global mode, the pos table interpolates to THIS real
@@ -276,20 +319,27 @@ class TemporalAligner(nn.Module):
         )
 
         if self.use_text_pos_enc:
-            lang_with_time = self.get_textual_feature_with_time(lang_embed, text_if)
+            lang_with_time = self.get_textual_feature_with_time(
+                lang_embed, text_if, preprojected=preprojected
+            )
+        elif preprojected:
+            lang_with_time = lang_embed
         else:
             lang_with_time = self.get_textual_feature(lang_embed)
 
         joint_video, joint_text = self.get_joint_feature(
             video_embed, vmask, lang_with_time, lmask, video_if,
-            pos_interp_len=pos_interp_len,
+            pos_interp_len=pos_interp_len, preprojected=preprojected,
         )
         sim_joint = jnp.einsum("bstc,bskc->bstk", _l2norm(joint_video), _l2norm(joint_text))
 
         video_out = self.get_visual_feature(
-            video_embed, vmask, video_if, pos_interp_len=pos_interp_len
+            video_embed, vmask, video_if, pos_interp_len=pos_interp_len,
+            preprojected=preprojected,
         )
-        lang_raw = self.get_textual_feature(lang_embed)
+        lang_raw = (
+            lang_embed if preprojected else self.get_textual_feature(lang_embed)
+        )
         sim_dual = jnp.einsum("bstc,bkc->bstk", _l2norm(video_out), _l2norm(lang_raw))
 
         out = {"sim": sim_joint, "dual-sim": sim_dual}

@@ -1016,3 +1016,103 @@ def test_predict_queries_matches_streaming_predict():
     for a, b in zip(out, got):
         for da, db in zip(a, b):
             np.testing.assert_allclose(da["score"], db["score"], atol=1e-5)
+
+
+def test_preproject_resident_matches_unsplit():
+    """cfg.preproject (position-independent input stages run once at
+    preload, resident buffers become width-d) == the unsplit evaluator on
+    metrics and predictions, for every transfer dtype, head on/off, and the
+    query-batch path; params-pinning and streaming guards raise."""
+    from exoground_tpu.evals import FusedAlignEvaluator
+    from exoground_tpu.evals.bench_items import make_query_batch
+
+    def items_for(head):
+        r = np.random.RandomState(5 + head)
+        out = []
+        for vlen in (60, 6, 72, 48, 90):
+            n = 6
+            aligned = np.array([1, 0, 1, 1, 0, 1])
+            centers = np.sort(r.rand(n)) * max(vlen - 6, 1) + 2
+            out.append({
+                "video": r.randn(vlen, 24).astype(np.float32),
+                "start": np.maximum(centers - 2, 0),
+                "end": np.minimum(centers + 2, vlen),
+                "aligned": aligned,
+                "text_embed": r.randn(n, 24).astype(np.float32),
+            })
+        return out
+
+    for head in (0, 1):
+        model = TemporalAligner(
+            num_encoder_layers=1, num_joint_layers=1, width=32, heads=4,
+            max_pos=128, attn_impl="xla", use_alignability_head=head,
+        )
+        params = model.init(
+            jax.random.PRNGKey(head), jnp.zeros((1, 8, 24)),
+            jnp.zeros((1, 2, 24)), jnp.zeros((1, 8), bool),
+            jnp.zeros((1, 2), bool),
+        )
+        items = items_for(head)
+        for dt in ("float32", "float16", "int8", "int4"):
+            base = AlignEvalConfig(
+                seq_len=16, global_len_bucket=32, text_bucket=8,
+                group_videos=2, transfer_dtype=dt,
+                use_alignability_head=bool(head),
+            )
+            ev = FusedAlignEvaluator(model, params, base)
+            pp = FusedAlignEvaluator(
+                model, params, dataclasses.replace(base, preproject=True)
+            )
+            ref = ev.run_preloaded(ev.preload(items))
+            got = pp.run_preloaded(pp.preload(items))
+            assert got["Recall"] == ref["Recall"], (head, dt, got, ref)
+            np.testing.assert_allclose(got["AUC"], ref["AUC"], atol=1e-5,
+                                       err_msg=f"{head=} {dt=}")
+    # predictions + query batches (f32)
+    model = TemporalAligner(num_encoder_layers=1, num_joint_layers=1,
+                            width=32, heads=4, max_pos=128, attn_impl="xla")
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 8, 24)), jnp.zeros((1, 2, 24)),
+        jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
+    )
+    items = items_for(0)
+    base = AlignEvalConfig(seq_len=16, global_len_bucket=32, text_bucket=8,
+                           group_videos=2)
+    ev = FusedAlignEvaluator(model, params, base)
+    pp = FusedAlignEvaluator(model, params,
+                             dataclasses.replace(base, preproject=True))
+    qb = [make_query_batch(items, s) for s in range(3)]
+    got_q = pp.run_queries(pp.preload_queries(qb))
+    ref_q = ev.run_queries(ev.preload_queries(qb))
+    for g, r in zip(got_q, ref_q):
+        assert g["Recall"] == r["Recall"], (g, r)
+        np.testing.assert_allclose(g["AUC"], r["AUC"], atol=1e-5)
+    preds_pp = pp.predict_queries(pp.preload_queries(qb))
+    preds = ev.predict_queries(ev.preload_queries(qb))
+    for bp, br in zip(preds_pp, preds):
+        for dp, dr in zip(bp, br):
+            np.testing.assert_allclose(dp["score"], dr["score"],
+                                       atol=1e-4, rtol=1e-4)
+            np.testing.assert_array_equal(dp["argmax"], dr["argmax"])
+    # guards: streaming paths have no preload to amortize into
+    with pytest.raises(ValueError):
+        pp(items)
+    with pytest.raises(ValueError):
+        pp.predict(items)
+    # params pin: preprojected buffers bake in the checkpoint
+    pre = pp.preload(items)
+    params2 = model.init(
+        jax.random.PRNGKey(9), jnp.zeros((1, 8, 24)), jnp.zeros((1, 2, 24)),
+        jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
+    )
+    pp.update_params(params2)
+    with pytest.raises(ValueError):
+        pp.run_preloaded(pre)
+    pp.update_params(params)
+    pp.run_preloaded(pre)  # original params: still valid
+    # run_many rejects preprojected handles outright
+    with pytest.raises(ValueError):
+        pp.run_many(pre, [params, params2])
+    # non-preprojected preloads stay params-agnostic
+    ev.update_params(params2)
+    ev.run_preloaded(ev.preload(items))
