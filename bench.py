@@ -547,6 +547,44 @@ def measure_link_bandwidth(jax, jnp, mb: int = 24) -> float:
     return arr.nbytes / 1e6 / best
 
 
+def _probe_link_mbps_subprocess(timeout_s: float = 150.0) -> float:
+    """measure_link_bandwidth in a fresh subprocess under ``timeout``.
+
+    A wedged upload (full-stall tunnel regime) blocks an in-process probe
+    indefinitely — the r4 bench run that died at watchdog stage 'link
+    pre-flight' hung inside a single measure_link_bandwidth call, so the
+    wait loop never saw its own 600 s deadline. Subprocess probes return
+    0.0 on hang/failure instead, keeping this process's device client
+    untouched until the link is actually responsive."""
+    import subprocess
+    import sys
+
+    code = (
+        "import numpy as np, time, jax, jax.numpy as jnp\n"
+        "arr = np.random.RandomState(0).randn(24*1024*1024//2)"
+        ".astype(np.float16)\n"
+        "sum_fn = jax.jit(lambda x: jnp.float32(x.astype(jnp.float32)"
+        ".sum()))\n"
+        "float(np.asarray(sum_fn(jax.device_put(arr))))\n"
+        "best = float('inf')\n"
+        "for _ in range(3):\n"
+        "    t0 = time.perf_counter()\n"
+        "    float(np.asarray(sum_fn(jax.device_put(arr))))\n"
+        "    best = min(best, time.perf_counter() - t0)\n"
+        "print(arr.nbytes / 1e6 / best)\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            timeout=timeout_s,
+        )
+        if r.returncode == 0:
+            return float(r.stdout.decode().strip().splitlines()[-1])
+    except Exception:
+        pass
+    return 0.0
+
+
 def _wait_for_clear_link(jax, jnp, budget_s: float = 600.0):
     """Bounded wait for an in-spread H2D link before the streamed rows.
 
@@ -572,18 +610,26 @@ def _wait_for_clear_link(jax, jnp, budget_s: float = 600.0):
     rate, attempt = 0.0, 0
     while True:
         attempt += 1
-        rate = measure_link_bandwidth(jax, jnp)
+        # subprocess probes (bounded): a full-stall upload cannot block the
+        # loop past its own budget (see _probe_link_mbps_subprocess)
+        rate = _probe_link_mbps_subprocess()
         if rate >= target:
-            if attempt > 1:
-                print(f"# link clear after {attempt} probes: "
-                      f"{rate:.1f} MB/s", flush=True)
-            return rate, True, target
+            # confirm from THIS process's client — the streamed rows run
+            # through it, and the probe just showed the link responsive
+            rate = measure_link_bandwidth(jax, jnp)
+            if rate >= target:
+                if attempt > 1:
+                    print(f"# link clear after {attempt} probes: "
+                          f"{rate:.1f} MB/s", flush=True)
+                return rate, True, target
         if time.monotonic() > deadline:
             print(
                 f"# link still degraded after {attempt} probes / "
                 f"{int(budget_s)}s ({rate:.1f} < {target:.1f} MB/s); "
                 "streamed rows will be annotated degraded-link", flush=True,
             )
+            if rate > 0:  # responsive: measure in-process for the annotation
+                rate = measure_link_bandwidth(jax, jnp)
             return rate, False, target
         time.sleep(30.0)
 

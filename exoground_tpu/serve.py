@@ -184,8 +184,106 @@ class AlignmentService:
         with self._lock:
             return self._evaluator.preload(items)
 
+    def _preproject_evaluator(self):
+        """Lazily-built twin evaluator with cfg.preproject=True (resident
+        paths only; `align()` keeps the streaming evaluator). Shares model/
+        params; compiled buckets are independent per cfg."""
+        if getattr(self, "_pp_evaluator", None) is None:
+            import dataclasses
+
+            from exoground_tpu.evals import FusedAlignEvaluator
+
+            self._pp_evaluator = FusedAlignEvaluator(
+                self.model, self.params,
+                dataclasses.replace(self.cfg, preproject=True),
+            )
+        return self._pp_evaluator
+
+    def align_batch_requests(
+        self,
+        videos: Sequence[np.ndarray],
+        text_batches: Sequence[Sequence[Dict]],
+        preproject: bool = False,
+    ) -> List[List[Dict]]:
+        """q request batches over one corpus of V videos -> one
+        ``align()``-shaped response per (batch, video), all batches scored
+        in a single scanned device dispatch per group (the request-level
+        front of :meth:`align_query_batches`).
+
+        ``text_batches[i]`` has V entries aligned with ``videos``, each
+        {'text_embeds' (K, Dt) or 'texts', optional 'start'/'end' coarse
+        per-text timestamps}. Timestamp presence must be uniform across the
+        whole call: with timestamps the HTM-Align active-text window
+        protocol runs (texts sorted by midpoint per video, results
+        unsorted back, same as ``align()``); without, every text scores in
+        every window."""
+        has_ts = None
+        item_batches, orders = [], []
+        for batch in text_batches:
+            if len(batch) != len(videos):
+                raise ValueError(
+                    f"each batch needs one entry per corpus video "
+                    f"({len(batch)} != {len(videos)})"
+                )
+            items, border = [], []
+            for video, req in zip(videos, batch):
+                te = (
+                    np.asarray(req["text_embeds"], np.float32)
+                    if req.get("text_embeds") is not None
+                    else self._embed_texts(req["texts"])
+                )
+                k, vlen = te.shape[0], video.shape[0]
+                ts = req.get("start") is not None
+                if has_ts is None:
+                    has_ts = ts
+                elif ts != has_ts:
+                    raise ValueError(
+                        "timestamp presence must be uniform across an "
+                        "align_batch_requests call (the active-text "
+                        "protocol is a per-call mode)"
+                    )
+                if ts:
+                    start = np.asarray(req["start"], np.float64)
+                    end = np.asarray(req["end"], np.float64)
+                    order = np.argsort((start + end) / 2.0, kind="stable")
+                    start, end, te = start[order], end[order], te[order]
+                else:
+                    start = np.zeros(k)
+                    end = np.full(k, float(vlen))
+                    order = np.arange(k)
+                items.append({
+                    "video": np.asarray(video, np.float32),
+                    "start": start, "end": end,
+                    "aligned": np.zeros(k, np.int64),
+                    "text_embed": te,
+                })
+                border.append(order)
+            item_batches.append(items)
+            orders.append(border)
+        preds = self.align_query_batches(
+            item_batches, preproject=preproject,
+            all_texts_active=not has_ts,
+        )
+        out = []
+        for bi, batch_preds in enumerate(preds):
+            rows = []
+            for vi, p in enumerate(batch_preds):
+                order = orders[bi][vi]
+                inv = np.empty(len(order), np.int64)
+                inv[order] = np.arange(len(order))
+                rows.append({
+                    "best_second": p["argmax"][inv].tolist(),
+                    "score": p["score"][inv].tolist(),
+                    "align_score": p["align_score"][inv].tolist(),
+                })
+            out.append(rows)
+        return out
+
     def align_query_batches(
-        self, query_batches: Sequence[Sequence[Dict]]
+        self,
+        query_batches: Sequence[Sequence[Dict]],
+        preproject: bool = False,
+        all_texts_active: Optional[bool] = None,
     ) -> List[List[Dict]]:
         """Serve q alignment request batches against ONE video corpus in a
         single scanned device dispatch per group
@@ -202,10 +300,16 @@ class AlignmentService:
         texts activate a window reports align_score 0 (the uncovered-text
         value the fused canvas produces) where the streaming path's 'skip'
         entry reports the NEG_FILL sentinel — its 'score' carries the
-        sentinel either way."""
+        sentinel either way.
+
+        ``preproject=True`` routes through a twin evaluator with
+        AlignEvalConfig.preproject: the corpus input stages run once at
+        preload (measured +7% pipelined throughput, PERF.md round-4
+        item 9); math identical up to bf16 noise."""
         with self._lock:
-            pq = self._evaluator.preload_queries(query_batches)
-            return self._evaluator.predict_queries(pq)
+            ev = self._preproject_evaluator() if preproject else self._evaluator
+            pq = ev.preload_queries(query_batches, all_texts_active)
+            return ev.predict_queries(pq)
 
 
 class GroundingService:
@@ -300,6 +404,64 @@ class GroundingService:
             s, e = preds[:, 0], preds[:, 1]
         return {"start": s.tolist(), "end": e.tolist()}
 
+    def ground_batch(
+        self,
+        requests: Sequence[Dict],
+        use_center_duration: bool = True,
+    ) -> List[Dict]:
+        """Ground many requests in bucket-batched device dispatches.
+
+        ``ground()`` runs each request at batch 1 — wasting the MXU batch
+        dimension and paying one dispatch round trip per request. Here
+        requests ({'video' (T,Dv), 'narration_embeds' (K,Dt)}) are grouped
+        by their padded narration bucket (the video axis always pads to
+        seq_len, so requests in a bucket share one compiled shape), stacked
+        on the batch axis, and each bucket runs as ONE device call. Results
+        come back in request order; entry i equals ``ground()`` on request
+        i exactly (same compiled program, batch rows are independent)."""
+        from exoground_tpu.utils.shapes import round_up
+
+        buckets: Dict[int, List[int]] = {}
+        for i, req in enumerate(requests):
+            t = req["video"].shape[0]
+            if t > self.seq_len:
+                raise ValueError(
+                    f"request {i}: video has {t} frames but the grounding "
+                    f"model's window is {self.seq_len}; split upstream"
+                )
+            kpad = round_up(req["narration_embeds"].shape[0], self.text_bucket)
+            buckets.setdefault(kpad, []).append(i)
+        results: List[Optional[Dict]] = [None] * len(requests)
+        with self._lock:
+            for kpad, idxs in buckets.items():
+                b = len(idxs)
+                dv = requests[idxs[0]]["video"].shape[1]
+                dt = requests[idxs[0]]["narration_embeds"].shape[1]
+                vb = np.zeros((b, self.seq_len, dv), np.float32)
+                nb = np.zeros((b, kpad, dt), np.float32)
+                vmask = np.ones((b, self.seq_len), bool)
+                nmask = np.ones((b, kpad), bool)
+                for row, i in enumerate(idxs):
+                    video = requests[i]["video"]
+                    narr = requests[i]["narration_embeds"]
+                    vb[row, : video.shape[0]] = video
+                    nb[row, : narr.shape[0]] = narr
+                    vmask[row, : video.shape[0]] = False
+                    nmask[row, : narr.shape[0]] = False
+                with self._quant.matmul_impl(self.matmul_dtype):
+                    preds = np.asarray(
+                        self._run(self.params, vb, nb, vmask, nmask)
+                    )
+                for row, i in enumerate(idxs):
+                    k = requests[i]["narration_embeds"].shape[0]
+                    p = preds[row, :k]
+                    if use_center_duration:
+                        s, e = p[:, 0] - p[:, 1] / 2, p[:, 0] + p[:, 1] / 2
+                    else:
+                        s, e = p[:, 0], p[:, 1]
+                    results[i] = {"start": s.tolist(), "end": e.tolist()}
+        return results
+
 
 def _encode_npz(arrays: Dict[str, np.ndarray]) -> bytes:
     buf = io.BytesIO()
@@ -321,7 +483,16 @@ def serve_http(
     """Minimal stdlib HTTP front.
 
     POST /align  body: npz {video (T,Dv), text_embed (K,Dt)[, start, end]}
+    POST /align_batch body: npz {video_{j} (Tj,Dv) for j in 0..V-1,
+        text_embed_{i}_{j} (Kij,Dt) for batch i / video j
+        [, start_{i}_{j}, end_{i}_{j}]} — q request batches over one video
+        corpus, scored in one scanned device dispatch per group
+        (AlignmentService.align_batch_requests); response
+        {"batches": [[per-video {best_second, score, align_score}]]}
     POST /ground body: npz {video (T,Dv), narration (K,Dt)}
+    POST /ground_batch body: npz {video_{i} (Ti,Dv), narration_{i} (Ki,Dt)}
+        — n grounding requests, bucket-batched on the device batch axis
+        (GroundingService.ground_batch); response {"requests": [...]}.
     Responses are JSON. Returns the server object (call .shutdown()).
     """
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -339,7 +510,8 @@ def serve_http(
             self.wfile.write(body)
 
         def do_POST(self):
-            if self.path not in ("/align", "/ground"):
+            if self.path not in ("/align", "/align_batch", "/ground",
+                                 "/ground_batch"):
                 self.rfile.read(int(self.headers.get("Content-Length", 0)))
                 self._reply(404, {"error": f"no handler for {self.path}"})
                 return
@@ -354,10 +526,52 @@ def serve_http(
                         end=arrays.get("end"),
                     )
                     self._reply(200, align_service.align(req))
+                elif self.path == "/align_batch" and align_service is not None:
+                    videos = []
+                    while f"video_{len(videos)}" in arrays:
+                        videos.append(arrays[f"video_{len(videos)}"])
+                    batches = []
+                    while f"text_embed_{len(batches)}_0" in arrays:
+                        i = len(batches)
+                        batches.append([
+                            {
+                                "text_embeds": arrays[f"text_embed_{i}_{j}"],
+                                "start": arrays.get(f"start_{i}_{j}"),
+                                "end": arrays.get(f"end_{i}_{j}"),
+                            }
+                            for j in range(len(videos))
+                        ])
+                    if not videos or not batches:
+                        self._reply(400, {"error": (
+                            "align_batch needs video_{j} and "
+                            "text_embed_{i}_{j} arrays"
+                        )})
+                        return
+                    self._reply(200, {"batches": (
+                        align_service.align_batch_requests(videos, batches)
+                    )})
                 elif self.path == "/ground" and ground_service is not None:
                     self._reply(200, ground_service.ground(
                         arrays["video"], arrays["narration"]
                     ))
+                elif (self.path == "/ground_batch"
+                        and ground_service is not None):
+                    reqs = []
+                    while f"video_{len(reqs)}" in arrays:
+                        i = len(reqs)
+                        reqs.append({
+                            "video": arrays[f"video_{i}"],
+                            "narration_embeds": arrays[f"narration_{i}"],
+                        })
+                    if not reqs:
+                        self._reply(400, {"error": (
+                            "ground_batch needs video_{i}/narration_{i} "
+                            "arrays"
+                        )})
+                        return
+                    self._reply(200, {
+                        "requests": ground_service.ground_batch(reqs)
+                    })
                 else:
                     self._reply(404, {"error": f"no handler for {self.path}"})
             except Exception as e:  # surface, don't kill the server

@@ -340,3 +340,155 @@ def test_alignment_service_multi_device_parity():
         text_embeds=np.random.RandomState(10).randn(3, 16).astype(np.float32),
     )
     assert svc1.align(req) == svc4.align(req)
+
+
+def test_align_batch_requests_matches_per_request_align():
+    """align_batch_requests (q request batches over one corpus, one scanned
+    dispatch per group) == align() per request — timestamped (active-text
+    protocol with per-video midpoint sort/unsort) and all-texts modes, plus
+    the preproject twin evaluator and input validation."""
+    model, params = _tan()
+    svc = AlignmentService(model, params, seq_len=16, transfer_dtype="float32")
+    rng = np.random.RandomState(3)
+    videos = [rng.randn(v, 24).astype(np.float32) for v in (60, 40, 72)]
+
+    def tb(seed, with_ts):
+        r = np.random.RandomState(seed)
+        batch = []
+        for video in videos:
+            k, vlen = 5, video.shape[0]
+            entry = {"text_embeds": r.randn(k, 16).astype(np.float32)}
+            if with_ts:
+                centers = r.rand(k) * (vlen - 6) + 2  # deliberately unsorted
+                entry["start"] = np.maximum(centers - 2, 0)
+                entry["end"] = np.minimum(centers + 2, vlen)
+            batch.append(entry)
+        return batch
+
+    for with_ts in (True, False):
+        batches = [tb(10 + s, with_ts) for s in range(3)]
+        got = svc.align_batch_requests(videos, batches)
+        assert len(got) == 3 and all(len(g) == 3 for g in got)
+        for bi, batch in enumerate(batches):
+            for vi, entry in enumerate(batch):
+                ref = svc.align(AlignRequest(
+                    video=videos[vi], text_embeds=entry["text_embeds"],
+                    start=entry.get("start"), end=entry.get("end"),
+                ))
+                g = got[bi][vi]
+                assert g["best_second"] == ref["best_second"], (with_ts, bi, vi)
+                np.testing.assert_allclose(g["score"], ref["score"],
+                                           atol=1e-5)
+                np.testing.assert_allclose(g["align_score"],
+                                           ref["align_score"], atol=1e-5)
+    # preproject twin evaluator: same predictions (f32-exact here)
+    batches = [tb(10 + s, True) for s in range(2)]
+    plain = svc.align_batch_requests(videos, batches)
+    pp = svc.align_batch_requests(videos, batches, preproject=True)
+    for a, b in zip(plain, pp):
+        for da, db in zip(a, b):
+            assert da["best_second"] == db["best_second"]
+            np.testing.assert_allclose(da["score"], db["score"], atol=1e-4)
+    # validation: mixed timestamp presence / wrong batch width
+    mixed = [tb(1, True), tb(2, False)]
+    with pytest.raises(ValueError):
+        svc.align_batch_requests(videos, mixed)
+    with pytest.raises(ValueError):
+        svc.align_batch_requests(videos, [tb(1, True)[:2]])
+
+
+def test_http_align_batch_endpoint():
+    """POST /align_batch round trip == align_batch_requests."""
+    model, params = _tan()
+    svc = AlignmentService(model, params, seq_len=16, transfer_dtype="float32")
+    server = serve_http(align_service=svc, host="127.0.0.1", port=0, block=False)
+    try:
+        port = server.server_address[1]
+        rng = np.random.RandomState(7)
+        videos = [rng.randn(v, 24).astype(np.float32) for v in (48, 64)]
+        arrays = {f"video_{j}": v for j, v in enumerate(videos)}
+        batches = []
+        for i in range(2):
+            batch = []
+            for j, video in enumerate(videos):
+                k, vlen = 4, video.shape[0]
+                te = rng.randn(k, 16).astype(np.float32)
+                centers = rng.rand(k) * (vlen - 6) + 2
+                s = np.maximum(centers - 2, 0)
+                e = np.minimum(centers + 2, vlen)
+                arrays[f"text_embed_{i}_{j}"] = te
+                arrays[f"start_{i}_{j}"] = s
+                arrays[f"end_{i}_{j}"] = e
+                batch.append({"text_embeds": te, "start": s, "end": e})
+            batches.append(batch)
+        buf = io.BytesIO()
+        np.savez_compressed(buf, **arrays)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/align_batch", data=buf.getvalue(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            payload = json.loads(resp.read())
+        ref = svc.align_batch_requests(videos, batches)
+        assert payload["batches"] == ref
+    finally:
+        server.shutdown()
+
+
+def test_ground_batch_matches_per_request():
+    """ground_batch (bucket-grouped, batched on the device batch axis) ==
+    ground() per request, across mixed narration buckets and video lengths;
+    the HTTP /ground_batch endpoint round-trips the same results."""
+    c = 24
+    model = ExoGroundingTransformer(
+        num_encoder_layers=1, num_decoder_layers=1,
+        video_embed_dim=c, text_embed_dim=c, feature_dim=32, attn_impl="xla",
+    )
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 16, c)), jnp.zeros((1, 8, c)),
+        jnp.zeros((1, 16), bool), jnp.zeros((1, 8), bool),
+    )
+    svc = GroundingService(model, params, seq_len=16, text_bucket=8)
+    rng = np.random.RandomState(2)
+    # mixed buckets: k in {3,5} -> kpad 8; k=11 -> kpad 16; varied T
+    reqs = [
+        {"video": rng.randn(t, c).astype(np.float32),
+         "narration_embeds": rng.randn(k, c).astype(np.float32)}
+        for t, k in ((16, 3), (12, 11), (9, 5), (16, 11), (7, 3))
+    ]
+    got = svc.ground_batch(reqs)
+    for g, req in zip(got, reqs):
+        ref = svc.ground(req["video"], req["narration_embeds"])
+        np.testing.assert_allclose(g["start"], ref["start"], atol=1e-5)
+        np.testing.assert_allclose(g["end"], ref["end"], atol=1e-5)
+    # use_center_duration=False passthrough parity
+    got_raw = svc.ground_batch(reqs, use_center_duration=False)
+    ref_raw = svc.ground(reqs[0]["video"], reqs[0]["narration_embeds"],
+                         use_center_duration=False)
+    np.testing.assert_allclose(got_raw[0]["start"], ref_raw["start"], atol=1e-5)
+    # over-long video rejected with the request index
+    with pytest.raises(ValueError):
+        svc.ground_batch([{
+            "video": rng.randn(17, c).astype(np.float32),
+            "narration_embeds": rng.randn(3, c).astype(np.float32),
+        }])
+    # HTTP endpoint round trip
+    server = serve_http(ground_service=svc, host="127.0.0.1", port=0,
+                        block=False)
+    try:
+        port = server.server_address[1]
+        arrays = {}
+        for i, r in enumerate(reqs):
+            arrays[f"video_{i}"] = r["video"]
+            arrays[f"narration_{i}"] = r["narration_embeds"]
+        buf = io.BytesIO()
+        np.savez_compressed(buf, **arrays)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/ground_batch", data=buf.getvalue(),
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=120) as resp:
+            payload = json.loads(resp.read())
+        assert payload["requests"] == got
+    finally:
+        server.shutdown()
