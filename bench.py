@@ -220,10 +220,20 @@ def _maybe_save_last_good(final: dict):
     # until any degraded window counts as in-spread. The high-water mark only
     # moves up — or resets when the staleness horizon accepts a sustained
     # regime change.
-    new_link, prev_link = final.get("tunnel_h2d_mbps"), prev.get("tunnel_h2d_mbps")
+    # Judge the regime by the WORST rate bracketing the streamed reps, not
+    # just the trailing measurement: the tunnel can recover mid-run (observed
+    # 2026-08-20: pre-flight 0.0 MB/s, trailing 50.7 — the streamed rows were
+    # measured inside the stalled window but the trailing rate alone sat
+    # in-spread and overwrote the clear-window record). Explicit None checks:
+    # a fully-stalled probe legitimately measures 0.0, which is falsy.
+    trailing = final.get("tunnel_h2d_mbps")
+    bracket = list(final.get("streamed_rows_h2d_mbps") or [])
+    rates = [v for v in bracket + [trailing] if v is not None]
+    new_link = min(rates) if rates else None
+    prev_link = prev.get("tunnel_h2d_mbps")
     cands = [v for v in (prev.get("tunnel_h2d_mbps_best"), prev_link) if v]
     best_link = max(cands) if cands else None
-    if new_link and best_link and new_link < _LINK_SPREAD * best_link:
+    if new_link is not None and best_link and new_link < _LINK_SPREAD * best_link:
         n = prev.get("degraded_link_runs_since_save", 0) + 1
         if n <= _STALE_HORIZON:
             kept = [k for k in _LINK_BOUND_KEYS if k in prev]
@@ -242,7 +252,8 @@ def _maybe_save_last_good(final: dict):
             )
         else:
             rec["degraded_link_runs_since_save"] = 0
-            rec["tunnel_h2d_mbps_best"] = new_link  # accept the regime change
+            # accept the regime change at the run's best observed rate
+            rec["tunnel_h2d_mbps_best"] = max(rates)
             final["last_good_link_horizon_expired"] = (
                 f"{n} consecutive out-of-spread link runs: accepting the new "
                 "link-bound rows as a real sustained change"
@@ -250,7 +261,7 @@ def _maybe_save_last_good(final: dict):
     else:
         rec["degraded_link_runs_since_save"] = 0
         rec["tunnel_h2d_mbps_best"] = max(
-            [v for v in (best_link, new_link) if v] or [0]) or None
+            [v for v in [best_link] + rates if v] or [0]) or None
     _save_last_good(rec)
 
 
@@ -482,10 +493,38 @@ def bench_inference(jax, jnp, pet=lambda stage: None):
     except Exception:
         pass
 
+    # combined fastest serving mode: preprojected resident buffers AND the
+    # selective int8 policy together (PERF.md round-4 item 9 measured
+    # 201.4k f/s = 24.1 ms/sweep on-chip, at the ~25 ms per-dispatch tunnel
+    # floor). Same pipelined protocol; reported separately — preproject is
+    # exact-math reordering but int8 quantizes the wide matmuls, so the
+    # lossless headline stays on plain bf16.
+    pet("inference: preproject + int8 resident")
+    fps_preproj_int8 = None
+    try:
+        evc = FusedAlignEvaluator(
+            model, params,
+            _dc.replace(cfg, preproject=True, matmul_dtype="int8",
+                        int8_min_cols=1024),
+        )
+        prec = evc.preload(items)
+        evc.run_preloaded(prec)  # compile + warm
+        bestc = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            batches = [evc.dispatch_preloaded(prec) for _ in range(n_sweeps)]
+            for p in batches:
+                evc.reduce_preloaded(p, prec)
+            bestc = min(bestc, (time.perf_counter() - t0) / n_sweeps)
+        fps_preproj_int8 = total_frames / bestc
+    except Exception:
+        pass
+
     sweep_flops = eval_sweep_flops(items, cfg)
     return (total_frames / dt, fps_q["int8"], fps_q["int4"],
             fps_resident, fps_resident_pipe, sweep_flops / total_frames,
-            fps_int8_compute, fps_scanned, fps_queries, fps_preproj)
+            fps_int8_compute, fps_scanned, fps_queries, fps_preproj,
+            fps_preproj_int8)
 
 
 def bench_serve_latency(jax, jnp, n_reqs: int = 40,
@@ -1008,7 +1047,8 @@ def main():
     watchdog.pet("inference (streamed + resident + pipelined)")
     (fps, fps_int8, fps_int4, fps_resident, fps_resident_pipe,
      flops_per_frame, fps_int8_compute, fps_scanned, fps_queries,
-     fps_preproj) = bench_inference(jax, jnp, pet=watchdog.pet)
+     fps_preproj, fps_preproj_int8) = bench_inference(jax, jnp,
+                                                      pet=watchdog.pet)
     partial.update({
         # HEADLINE = chip-rate serving throughput (features HBM-resident,
         # sweeps pipelined). Rationale: the A100-derived anchor's feature
@@ -1061,6 +1101,12 @@ def main():
         partial["resident_int8_compute_policy"] = (
             "selective int8_min_cols=1024 (wide matmuls only; ops/quant.py)"
         )
+    if fps_preproj_int8:
+        # the two serving optimizations composed (preproject + selective
+        # int8): the fastest measured serving mode — PERF.md round-4 item 9
+        # recorded 201.4k f/s (24.1 ms/sweep, at the per-dispatch tunnel
+        # floor). Quantized math, so reported beside (not as) the headline.
+        partial["resident_preproj_int8_fps"] = round(fps_preproj_int8, 1)
 
     # single-request serving latency (VERDICT r3 item 7): streamed, so it
     # belongs to the link regime annotated below alongside the streamed rows

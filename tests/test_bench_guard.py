@@ -157,6 +157,34 @@ def test_compute_horizon_accepts_sustained_regression(tmp_path, monkeypatch):
     assert rec["degraded_runs_since_save"] == 0
 
 
+def test_mid_run_link_recovery_still_guards(tmp_path, monkeypatch):
+    """2026-08-20 failure mode: the streamed reps ran inside a stalled
+    window (pre-flight bracket 0.0 MB/s) but the tunnel recovered before the
+    trailing link measurement (50.7, inside spread of best 66.8) — judging
+    by the trailing rate alone overwrote the record's clear-window streamed
+    rows. The guard must judge by the WORST rate bracketing the streamed
+    reps (streamed_rows_h2d_mbps)."""
+    clear = _clear_run()
+    recovered = {**_clear_run(v=178000.0, link=50.7),
+                 "streamed_rows_h2d_mbps": [0.0, 50.7]}
+    rec, finals = _run_full(tmp_path, monkeypatch, [clear, recovered])
+    assert rec["value"] == 178000.0  # compute rows updated
+    assert rec["tunnel_h2d_mbps"] == 66.8  # link rows kept
+    assert rec["streamed_fp16_e2e_fps"] == clear["streamed_fp16_e2e_fps"]
+    assert "last_good_link_rows_kept" in finals[1]
+
+
+def test_fully_stalled_zero_link_guards(tmp_path, monkeypatch):
+    """A fully-stalled probe legitimately measures 0.0 MB/s — falsy, so the
+    old `if new_link and ...` skipped the guard entirely and saved the
+    stalled-window rows."""
+    clear = _clear_run()
+    stalled = _clear_run(v=169000.0, link=0.0)
+    rec, finals = _run_full(tmp_path, monkeypatch, [clear, stalled])
+    assert rec["tunnel_h2d_mbps"] == 66.8  # link rows kept
+    assert "last_good_link_rows_kept" in finals[1]
+
+
 def test_force_env_overwrites_unconditionally(tmp_path, monkeypatch):
     clear = _clear_run()
     degraded = {"metric": "m", "value": 9000.0, "tunnel_h2d_mbps": 20.0}

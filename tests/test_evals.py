@@ -1116,3 +1116,48 @@ def test_preproject_resident_matches_unsplit():
     # non-preprojected preloads stay params-agnostic
     ev.update_params(params2)
     ev.run_preloaded(ev.preload(items))
+
+
+def test_preproject_int8_compute_combined():
+    """preproject + matmul_dtype='int8' composed (bench.py's
+    resident_preproj_int8_fps row — the fastest measured serving mode,
+    PERF.md round-4 item 9): R@1 must match the exact run and AUC stay
+    within int8 noise (2%), same bars as the int8-alone test; and with
+    int8_min_cols above every width the combined evaluator falls back to
+    exact math == the preproject-alone metrics bit-for-bit."""
+    from exoground_tpu.evals import FusedAlignEvaluator
+
+    model = TemporalAligner(
+        num_encoder_layers=2, num_joint_layers=2, width=32, heads=4,
+        max_pos=128, attn_impl="xla",
+    )
+    items = [_synthetic_video_item(s, vlen=120 + 11 * s, dim=24)
+             for s in range(4)]
+    params = model.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8, 24)), jnp.zeros((1, 2, 24)),
+        jnp.zeros((1, 8), bool), jnp.zeros((1, 2), bool),
+    )
+    base = AlignEvalConfig(group_videos=2)
+    ev = FusedAlignEvaluator(model, params, base)
+    ref = ev.run_preloaded(ev.preload(items))
+    both = FusedAlignEvaluator(
+        model, params,
+        dataclasses.replace(base, preproject=True, matmul_dtype="int8"),
+    )
+    got = both.run_preloaded(both.preload(items))
+    assert got["Recall"] == ref["Recall"], (got, ref)
+    assert abs(got["AUC"] - ref["AUC"]) < 0.02, (got, ref)
+    assert got["AUC"] != ref["AUC"]  # the math really is quantized
+    # selective fall-through: min_cols above the widest matmul = exact
+    # lowering everywhere -> bit-identical to preproject-alone
+    pp = FusedAlignEvaluator(
+        model, params, dataclasses.replace(base, preproject=True)
+    )
+    pp_ref = pp.run_preloaded(pp.preload(items))
+    none = FusedAlignEvaluator(
+        model, params,
+        dataclasses.replace(base, preproject=True, matmul_dtype="int8",
+                            int8_min_cols=4096),
+    )
+    got_none = none.run_preloaded(none.preload(items))
+    assert got_none == pp_ref, (got_none, pp_ref)
