@@ -44,9 +44,9 @@ _DEFAULT_IMPL = "auto"  # 'auto' | 'xla' | 'flash'
 
 
 def set_default_attention_impl(impl: str) -> None:
-    """Set the process-wide attention implementation ('auto'|'xla'|'flash')."""
+    """Set the process-wide attention impl ('auto'|'xla'|'flash'|'small')."""
     global _DEFAULT_IMPL
-    assert impl in ("auto", "xla", "flash"), impl
+    assert impl in ("auto", "xla", "flash", "small"), impl
     _DEFAULT_IMPL = impl
 
 
@@ -414,6 +414,167 @@ def flash_attention(
     return o[:, :sq].reshape(b, h, sq, d)
 
 
+# ---------------------------------------------------------------------------
+# Pallas small-sequence (window) attention
+# ---------------------------------------------------------------------------
+#
+# The overlap-seq serving workhorse is W-batched 64-token window attention
+# (reference: eval_zeroshot_align.py:127-205 windows through
+# model/tfm_model.py:21): hundreds of independent (64, 64) score matmuls per
+# layer. Two inefficiencies in the stock XLA path at this shape:
+#   * MXU row utilization: a 64-row matmul fills half the 128-wide systolic
+#     array's rows (and D=64 halves its depth) — the kernel packs TWO
+#     64-token windows per 128-row tile with a block-diagonal mask, doubling
+#     row utilization for 2x score FLOPs that the half-empty MXU was already
+#     paying as bubbles;
+#   * HBM traffic: XLA materializes the (BH, S, S) f32 scores and
+#     probabilities between the two batched matmuls (~40 MB per layer at the
+#     bench shapes); the kernel keeps scores/softmax in VMEM — its only HBM
+#     traffic is q/k/v in and o out.
+#
+# Differentiation falls back to pure XLA (the custom-VJP fwd RULE computes
+# attention_xla, so under jax.grad neither direction touches the kernel):
+# training keeps its measured XLA behavior; the kernel serves inference.
+
+_SMALL_TILE = 128  # MXU tile rows: windows are packed to fill all 128
+_SMALL_M = 8  # tiles processed per grid step (unrolled in-kernel loop)
+
+
+def _small_kernel(kpad_ref, q_ref, k_ref, v_ref, o_ref, *, s_pad: int):
+    """One grid step: M packed tiles of (128, D) q/k/v.
+
+    Each tile holds P = 128 // s_pad windows stacked on rows; scores are one
+    (128, 128) MXU dot masked block-diagonally (row i attends col j iff
+    i // s_pad == j // s_pad and key j is not padded). Softmax runs in VMEM
+    f32; the caller pre-scales q by 1/sqrt(d)."""
+    rows = jax.lax.broadcasted_iota(jnp.int32, (_SMALL_TILE, _SMALL_TILE), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (_SMALL_TILE, _SMALL_TILE), 1)
+    same_window = (rows // s_pad) == (cols // s_pad)
+    for m in range(_SMALL_M):
+        q = q_ref[m]  # (128, D), pre-scaled
+        k = k_ref[m]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (128, 128)
+        valid = same_window & (kpad_ref[m] == 0)  # (1,128) key mask broadcast
+        s = jnp.where(valid, s, NEG_INF)
+        m_row = jnp.max(s, axis=-1, keepdims=True)
+        # masked cols underflow to 0 (exp(NEG_INF - m_row)); a fully-masked
+        # row degenerates to uniform weights exactly like the XLA path's
+        # softmax-over-NEG_INF, so l > 0 always — no epsilon needed
+        p = jnp.exp(s - m_row)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[m], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[m] = (o / l).astype(o_ref.dtype)
+
+
+def _small_impl(q, k, v, kpad):
+    """q,k,v: (B, H, S, D) with S == Sk, q pre-scaled; kpad: (B, S) int32."""
+    b, h, s, d = q.shape
+    s_pad = 64 if s <= 64 else 128
+    p_pack = _SMALL_TILE // s_pad
+
+    def flatten(x):
+        x = x.reshape(b * h, s, d)
+        return _pad_to(x, 1, s_pad)
+
+    qf, kf, vf = flatten(q), flatten(k), flatten(v)
+    # key padding per (b, h) row: heads share their window's mask; padded
+    # key slots (s -> s_pad) are masked like torch pad keys
+    kpad_bh = jnp.broadcast_to(kpad[:, None, :], (b, h, s)).reshape(b * h, s)
+    kpad_bh = _pad_to(kpad_bh, 1, s_pad, value=1)
+
+    bh = b * h
+    n_tiles = -(-bh // p_pack)
+    n_groups = -(-n_tiles // _SMALL_M)
+    bh_pad = n_groups * _SMALL_M * p_pack
+    if bh_pad != bh:
+        qf = _pad_to(qf, 0, bh_pad)
+        kf = _pad_to(kf, 0, bh_pad)
+        vf = _pad_to(vf, 0, bh_pad)
+        kpad_bh = _pad_to(kpad_bh, 0, bh_pad, value=1)
+    n_tiles = bh_pad // p_pack
+
+    qt = qf.reshape(n_tiles, _SMALL_TILE, d)
+    kt = kf.reshape(n_tiles, _SMALL_TILE, d)
+    vt = vf.reshape(n_tiles, _SMALL_TILE, d)
+    kpad_t = kpad_bh.reshape(n_tiles, 1, _SMALL_TILE)
+
+    o = pl.pallas_call(
+        functools.partial(_small_kernel, s_pad=s_pad),
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((_SMALL_M, 1, _SMALL_TILE), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SMALL_M, _SMALL_TILE, d), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SMALL_M, _SMALL_TILE, d), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((_SMALL_M, _SMALL_TILE, d), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_SMALL_M, _SMALL_TILE, d), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, _SMALL_TILE, d), q.dtype),
+        interpret=_should_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_tiles * _SMALL_TILE * _SMALL_TILE * d,
+            bytes_accessed=4 * n_tiles * _SMALL_TILE * d * q.dtype.itemsize,
+            transcendentals=n_tiles * _SMALL_TILE * _SMALL_TILE,
+        ),
+    )(kpad_t, qt, kt, vt)
+
+    o = o.reshape(bh_pad, s_pad, d)[:bh, :s]
+    return o.reshape(b, h, s, d)
+
+
+@jax.custom_vjp
+def _small(q, k, v, kpad):
+    d = q.shape[-1]
+    return _small_impl(q * (1.0 / math.sqrt(d)), k, v, kpad)
+
+
+def _small_fwd_rule(q, k, v, kpad):
+    # under differentiation BOTH directions are the stock XLA path — the
+    # kernel is inference-only by construction (training keeps its measured
+    # XLA behavior; fwd/bwd numerics stay mutually consistent)
+    out = attention_xla(q, k, v, kpad)
+    return out, (q, k, v, kpad)
+
+
+def _small_bwd_rule(res, do):
+    q, k, v, kpad = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: attention_xla(q_, k_, v_, kpad), q, k, v)
+    dq, dk, dv = vjp(do)
+    return dq, dk, dv, None
+
+
+_small.defvjp(_small_fwd_rule, _small_bwd_rule)
+
+
+def small_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    key_padding_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Fused window attention over (B, H, S, D), S == Sk <= 128.
+
+    Numerics match ``attention_xla`` to bf16 noise (f32 softmax, f32 MXU
+    accumulation; the normalize-after-matmul order differs in rounding
+    only). See the design note above ``_small_kernel``.
+    """
+    b, h, sq, d = q.shape
+    assert sq == k.shape[2] <= _SMALL_TILE, (
+        f"small_attention serves self-attention with S <= {_SMALL_TILE}; "
+        f"got Sq={sq}, Sk={k.shape[2]}"
+    )
+    if key_padding_mask is None:
+        kpad = jnp.zeros((b, sq), dtype=jnp.int32)
+    else:
+        kpad = key_padding_mask.astype(jnp.int32)
+    return _small(q, k, v, kpad)
+
+
 def scaled_dot_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -421,10 +582,15 @@ def scaled_dot_attention(
     key_padding_mask: Optional[jnp.ndarray] = None,
     impl: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Dispatch between the flash kernel and the XLA path."""
-    impl = _resolve_impl(impl, q.shape[2], k.shape[2])
+    """Dispatch between the flash/window kernels and the XLA path."""
+    sq, sk = q.shape[2], k.shape[2]
+    impl = _resolve_impl(impl, sq, sk)
+    if impl == "small" and not (sq == sk and sq <= _SMALL_TILE):
+        impl = "xla"  # e.g. decoder cross-attention under a model-wide impl
     if impl == "flash":
         return flash_attention(q, k, v, key_padding_mask)
+    if impl == "small":
+        return small_attention(q, k, v, key_padding_mask)
     return attention_xla(q, k, v, key_padding_mask)
 
 

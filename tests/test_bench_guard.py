@@ -193,3 +193,148 @@ def test_force_env_overwrites_unconditionally(tmp_path, monkeypatch):
     assert rec["value"] == 9000.0
     assert rec["tunnel_h2d_mbps"] == 20.0
     assert "last_good_not_replaced" not in finals[1]
+
+
+# ---------------------------------------------------------------------------
+# round-5 kill-safety (VERDICT r4 item 1): the driver-visible JSON must be
+# un-losable — provisional early emit, SIGTERM partial dump, one total budget
+# ---------------------------------------------------------------------------
+
+import signal
+import subprocess
+import sys
+import textwrap
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_provisional_line_attaches_last_good(tmp_path, monkeypatch, capsys):
+    path = tmp_path / "last_good.json"
+    path.write_text(json.dumps({"value": 172000.0, "measured_at_utc": "x"}))
+    monkeypatch.setattr(bench, "_LAST_GOOD_PATH", str(path))
+    bench._emit_provisional()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] == 0  # historical numbers never presented as current
+    assert "provisional" in rec
+    assert rec["last_good_run"]["value"] == 172000.0
+    assert rec["metric"] == "htm_align_overlap_seq_throughput"
+
+
+def test_provisional_line_without_record(tmp_path, monkeypatch, capsys):
+    monkeypatch.setattr(bench, "_LAST_GOOD_PATH", str(tmp_path / "none.json"))
+    bench._emit_provisional()
+    rec = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rec["value"] == 0 and "last_good_run" not in rec
+
+
+def test_sigterm_mid_bench_emits_partial_json(tmp_path):
+    """kill -TERM mid-bench (what an external `timeout` sends) must yield a
+    complete JSON line carrying everything measured so far — the round-4
+    driver capture died rc=124 holding a full set of rows it never printed."""
+    last_good = tmp_path / "last_good.json"
+    last_good.write_text(json.dumps({"value": 180300.0, "measured_at_utc": "t"}))
+    code = textwrap.dedent(
+        """
+        import sys, time
+        sys.path.insert(0, {repo!r})
+        import bench
+        bench._LAST_GOOD_PATH = {lg!r}
+        bench._emit_provisional()
+        partial = {{"train_cotrain_step_ms": 6.26}}
+
+        class _WD:
+            stage = "inference: streamed fp16 reps"
+
+        bench._install_kill_handlers(partial, _WD())
+        print("READY", flush=True)
+        time.sleep(60)
+        """
+    ).format(repo=_REPO, lg=str(last_good))
+    p = subprocess.Popen(
+        [sys.executable, "-c", code], stdout=subprocess.PIPE, text=True
+    )
+    try:
+        lines = []
+        deadline = time.monotonic() + 30
+        while time.monotonic() < deadline:
+            line = p.stdout.readline()
+            lines.append(line)
+            if line.strip() == "READY":
+                break
+        assert lines and lines[-1].strip() == "READY", lines
+        p.send_signal(signal.SIGTERM)
+        out, _ = p.communicate(timeout=30)
+    finally:
+        if p.poll() is None:
+            p.kill()
+    final = json.loads(out.strip().splitlines()[-1])
+    # the partial's measured fields survive, the stage is named, and the
+    # last-good record rides along (headline never landed in this run)
+    assert final["train_cotrain_step_ms"] == 6.26
+    assert "signal" in final["error"] and "streamed fp16 reps" in final["error"]
+    assert final["value"] == 0
+    assert final["last_good_run"]["value"] == 180300.0
+    # the FIRST line (consumed by the readline loop above) was the
+    # provisional record: parseable on its own
+    first = json.loads([ln for ln in lines if ln.strip()][0])
+    assert "provisional" in first
+
+
+def test_budget_clamp_and_remaining(monkeypatch):
+    monkeypatch.setenv("EXOGROUND_BENCH_TOTAL_S", "100")
+    b = bench._Budget()
+    assert b.total_s == 100.0
+    assert 95 < b.remaining() <= 100
+    assert b.clamp(900.0, 0.4) <= 40.0
+    assert b.clamp(5.0) == 5.0
+
+
+def test_stage_fits_annotates_and_skips():
+    b = bench._Budget(total_s=10.0)
+    partial = {}
+    assert not bench._stage_fits(partial, b, "train_bs64", 200.0)
+    assert "train_bs64_skipped" in partial
+    assert bench._stage_fits(partial, b, "tiny", 1.0)
+
+
+def test_rows_measured_at_provenance(tmp_path, monkeypatch):
+    """VERDICT r4 weak #4: a mixed-provenance record must state, per row
+    group, when its rows were measured — carried link rows keep their
+    original stamp while headline/train stamps are fresh."""
+    clear = _clear_run()
+    degraded = _clear_run(v=165000.0, link=40.0)
+    rec, _ = _run_full(tmp_path, monkeypatch, [clear, degraded])
+    rows = rec["rows_measured_at"]
+    assert rows["link"] == rec["link_rows_from"]  # carried group: old stamp
+    assert rows["headline"] == rec["measured_at_utc"]  # fresh groups
+    assert rows["train"] == rec["measured_at_utc"]
+
+
+def test_train_rows_carry_when_budget_skipped(tmp_path, monkeypatch):
+    """A budget-limited run that skipped the train stages must not erase the
+    record's train rows; the carried group keeps its own provenance stamp."""
+    full = {**_clear_run(), "train_cotrain_samples_per_sec_per_chip": 2557.0,
+            "train_cotrain_step_ms": 6.26}
+    no_train = _clear_run(v=171000.0)
+    rec, _ = _run_full(tmp_path, monkeypatch, [full, no_train])
+    assert rec["train_cotrain_samples_per_sec_per_chip"] == 2557.0
+    assert rec["train_cotrain_step_ms"] == 6.26
+    assert rec["value"] == 171000.0  # headline still updated
+    # the train stamp traces to the ORIGINAL measurement's record (equal
+    # wall-clock seconds here, but sourced from prev, not this run)
+    assert rec["rows_measured_at"]["train"] is not None
+
+
+def test_link_anchor_not_raised_by_probe_burst(tmp_path, monkeypatch):
+    """ADVICE r4: an in-spread run whose short pre-flight probe bursts high
+    (streamed_rows_h2d_mbps [90, 55]) must raise the high-water anchor only
+    from the trailing FULL measurement (55), not the probe (90) — an
+    inflated anchor flags later legitimate clear windows as degraded."""
+    seq = [_clear_run(link=55.0),
+           {**_clear_run(v=169000.0, link=55.0),
+            "streamed_rows_h2d_mbps": [90.0, 55.0]},
+           _clear_run(v=168000.0, link=56.0)]
+    rec, finals = _run_full(tmp_path, monkeypatch, seq)
+    assert rec["tunnel_h2d_mbps_best"] == 56.0  # 90.0 probe never anchored
+    assert "last_good_link_rows_kept" not in finals[2]
