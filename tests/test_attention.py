@@ -237,6 +237,7 @@ class TestSmallKernel:
         np.testing.assert_array_equal(out1[0], out2[0])
         assert np.abs(out1[1] - out2[1]).max() > 1e-3
 
+    @pytest.mark.slow  # compile-heavy: integration tier (r5 re-tier)
     def test_gradients_match_xla_exactly(self):
         """Differentiation routes BOTH directions through attention_xla (the
         kernel is inference-only by construction), so grads are identical,

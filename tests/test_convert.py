@@ -87,6 +87,7 @@ def _assert_same_structure(converted, reference_params):
 
 
 class TestTANConverter:
+    @pytest.mark.slow  # compile-heavy: integration tier (r5 re-tier)
     def test_structure_and_values(self):
         c, dv = 32, 48
         rng = np.random.RandomState(0)

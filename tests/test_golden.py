@@ -33,6 +33,7 @@ def tan_fixture():
     return z, state
 
 
+@pytest.mark.slow  # compile-heavy: integration tier (r5 re-tier)
 def test_golden_tan_forward(tan_fixture):
     import jax.numpy as jnp
 
@@ -58,6 +59,7 @@ def test_golden_tan_forward(tan_fixture):
         assert _rel(a, r) < 2e-4, (key, _rel(a, r))
 
 
+@pytest.mark.slow  # compile-heavy: integration tier (r5 re-tier)
 def test_golden_tan_eval_entry_points(tan_fixture):
     import jax.numpy as jnp
 
@@ -132,6 +134,7 @@ def test_golden_tan_forward_fullscale():
         assert _rel(a, r) < 2e-4, (ours_key, _rel(a, r))
 
 
+@pytest.mark.slow  # compile-heavy: integration tier (r5 re-tier)
 def test_golden_exoground_forward():
     import jax.numpy as jnp
 

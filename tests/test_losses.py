@@ -239,6 +239,7 @@ class TestFusedFeatureGrid:
                 err_msg=f"key {k}",
             )
 
+    @pytest.mark.slow  # compile-heavy: integration tier (r5 re-tier)
     def test_gathered_columns_offset(self):
         """Shard-1-of-2 simulation: local rows pair the second column block."""
         B, N = 3, 4
@@ -279,6 +280,7 @@ class TestFusedFeatureGrid:
                 err_msg=f"key {k}",
             )
 
+    @pytest.mark.slow  # compile-heavy: integration tier (r5 re-tier)
     def test_no_positive_rows_are_finite(self):
         """A batch row whose texts are ALL padded: fused/volume fill-count
         terms differ on masked rows (documented), but every exported scalar
@@ -312,6 +314,7 @@ class TestFusedFeatureGrid:
         np.testing.assert_allclose(float(out_f["loss"]), float(out_v["loss"]),
                                    rtol=3e-5)
 
+    @pytest.mark.slow  # compile-heavy: integration tier (r5 re-tier)
     def test_fused_grad_matches_volume_grad(self):
         """End-to-end gradient parity: d loss / d features identical whether
         the grid is streamed or materialized (the remat'd scan backward must
@@ -347,6 +350,8 @@ class TestFusedGridKernel:
     streamed backend: same tan_loss scalars and feature gradients (the
     kernel runs in interpret mode on CPU — Mosaic-compiled parity is
     covered by the on-chip verification, PERF.md round 4)."""
+
+    pytestmark = pytest.mark.slow  # compile-heavy parity suite (r5 re-tier)
 
     def _world(self, seed=0, B=3, S=2, T=12, N=5, C=128, bc=None):
         w = TestFusedFeatureGrid()

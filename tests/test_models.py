@@ -38,6 +38,7 @@ class TestTemporalAligner:
         self.vmask = jnp.zeros((self.B, self.T), bool)
         self.lmask = jnp.asarray(np.array([[0, 0, 1], [0, 0, 0]], bool))
 
+    @pytest.mark.slow  # compile-heavy: integration tier (r5 re-tier)
     def test_forward_shapes(self):
         m = _tiny_aligner(use_alignability_head=1)
         p = m.init(jax.random.PRNGKey(0), self.video, self.text, self.vmask, self.lmask)
@@ -172,6 +173,7 @@ class TestGroundingModels:
         trunk_grads = jax.tree_util.tree_leaves(g["trunk"])
         assert any(float(jnp.abs(x).max()) > 0.0 for x in trunk_grads)
 
+    @pytest.mark.slow  # compile-heavy: integration tier (r5 re-tier)
     def test_grounding_model_vi_config_forwarded(self):
         """The transformer VI pre-pass inherits the trunk's pos-enc config
         (reference main_egoexo4d_distributed.py:628-644 passes the same args

@@ -161,6 +161,7 @@ class TestEncoderStack:
 
 
 class TestDecoderStack:
+    @pytest.mark.slow  # compile-heavy: integration tier (r5 re-tier)
     def test_shapes_and_cross_attention_mask(self):
         b, n, t, c, h = 2, 5, 9, 32, 4
         x = jnp.asarray(_rand(b, n, c, seed=20))

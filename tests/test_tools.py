@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 
 from exoground_tpu.tools import (
     Sentencify,
@@ -245,6 +246,7 @@ def test_save_asr_json(tmp_path):
     assert blob["v1"]["text"] == ["a"]
 
 
+@pytest.mark.slow  # compile-heavy: integration tier (r5 re-tier)
 def test_visualize_features_end_to_end(tmp_path):
     """VERDICT r1 #10: scripted notebook replacement — dump -> heatmap +
     projection PNGs on synthetic features."""
