@@ -31,6 +31,77 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 
+class _CoalescingFront:
+    """Natural batching for concurrent single-request traffic.
+
+    The round-4 front door funnelled every handler thread through one
+    service lock: N concurrent clients degraded to N sequential batch-1
+    device dispatches even though batched entry points existed. Here the
+    first requester to find the device free becomes the *leader* (zero
+    added latency for a solitary request — no wait-window), and requests
+    arriving while a batch is in flight queue up and are drained into ONE
+    batched call (up to ``max_batch``, grouped by ``mode_key`` since e.g.
+    the active-text protocol is a per-call switch) as soon as the device
+    frees. The reference has no serving layer to anchor against
+    (eval/eval_zeroshot_align.py is batch); this is the framework's own
+    production front.
+    """
+
+    def __init__(self, serve_batch, max_batch: int = 16):
+        self._serve_batch = serve_batch  # (payloads, mode_key) -> results
+        self._max_batch = max_batch
+        self._qlock = threading.Lock()
+        self._busy = threading.Lock()  # one batch in flight at a time
+        self._queue: List[tuple] = []
+
+    def submit(self, payload, mode_key=None):
+        slot = {"done": threading.Event()}
+        entry = (payload, mode_key, slot)
+        with self._qlock:
+            self._queue.append(entry)
+        while True:
+            # try to lead without blocking: if the device is free, serve the
+            # drained queue NOW (a solitary request pays no coalescing wait)
+            if self._busy.acquire(blocking=False):
+                try:
+                    if not slot["done"].is_set():
+                        self._drain_once()
+                finally:
+                    self._busy.release()
+            # else a leader is serving; it may or may not have taken this
+            # entry — wake shortly to either return or become the next leader
+            if slot["done"].wait(timeout=0.005):
+                break
+        if "error" in slot:
+            raise slot["error"]
+        return slot["result"]
+
+    def _drain_once(self):
+        with self._qlock:
+            if not self._queue:
+                return
+            mode = self._queue[0][1]  # FIFO: serve the head's protocol mode
+            # partition by identity, never list.remove(): entries hold numpy
+            # payloads whose == is elementwise
+            batch, rest = [], []
+            for e in self._queue:
+                if e[1] == mode and len(batch) < self._max_batch:
+                    batch.append(e)
+                else:
+                    rest.append(e)
+            self._queue = rest
+        try:
+            results = self._serve_batch([e[0] for e in batch], mode)
+            for e, r in zip(batch, results):
+                e[2]["result"] = r
+        except Exception as ex:  # surface to every waiter, don't deadlock
+            for e in batch:
+                e[2]["error"] = ex
+        finally:
+            for e in batch:
+                e[2]["done"].set()
+
+
 @dataclass
 class AlignRequest:
     video: np.ndarray  # (T, Dv) per-second features
@@ -78,6 +149,15 @@ class AlignmentService:
         # host-side switch, so the compiled shape buckets are shared
         self._evaluator = FusedAlignEvaluator(model, params, self.cfg)
         self._lock = threading.Lock()
+        # concurrent align() calls coalesce into one batched predict (the
+        # evaluator groups up to cfg.group_videos items per device dispatch)
+        self._front = _CoalescingFront(self._predict_batch)
+
+    def _predict_batch(self, items, all_texts_active):
+        with self._lock:  # evaluator shape-buckets are shared state
+            return self._evaluator.predict(
+                items, all_texts_active=all_texts_active
+            )
 
     @classmethod
     def from_checkpoint(cls, checkpoint_path: str, num_layers: int = 6, **kw):
@@ -150,8 +230,9 @@ class AlignmentService:
             "aligned": np.zeros(k, np.int64),
             "text_embed": te,
         }
-        with self._lock:  # evaluator shape-buckets are shared state
-            out = self._evaluator.predict([item], all_texts_active=all_texts)[0]
+        # coalescing front: concurrent requests batch into one device
+        # dispatch; a solitary request leads immediately (no added latency)
+        out = self._front.submit(item, all_texts)
         inv = np.empty(k, np.int64)
         inv[order] = np.arange(k)
         return {
@@ -350,6 +431,10 @@ class GroundingService:
 
         self._run = _run
         self._lock = threading.Lock()
+        # concurrent ground() calls coalesce into bucket-batched dispatches
+        self._front = _CoalescingFront(
+            lambda reqs, ucd: self.ground_batch(reqs, use_center_duration=ucd)
+        )
 
     @classmethod
     def from_checkpoint(cls, checkpoint_path: str, model=None, **kw):
@@ -372,37 +457,20 @@ class GroundingService:
         seq_len window and the normalized intervals would silently refer to
         a truncated video. Window long videos upstream.
         """
-        t, k = video.shape[0], narration_embeds.shape[0]
+        t = video.shape[0]
         if t > self.seq_len:
             raise ValueError(
                 f"video has {t} frames but the grounding model's window is "
                 f"{self.seq_len}; split the video into windows upstream"
             )
-        from exoground_tpu.utils.shapes import round_up
-
-        tpad = self.seq_len
-        kpad = round_up(k, self.text_bucket)
-        vb = np.zeros((1, tpad, video.shape[1]), np.float32)
-        vb[0, : min(t, tpad)] = video[:tpad]
-        nb = np.zeros((1, kpad, narration_embeds.shape[1]), np.float32)
-        nb[0, :k] = narration_embeds
-        vmask = np.ones((1, tpad), bool)
-        vmask[0, : min(t, tpad)] = False
-        nmask = np.ones((1, kpad), bool)
-        nmask[0, :k] = False
-        with self._lock:
-            # the impl context is consulted at jit TRACE time (first call of
-            # a shape bucket); cached executions ignore it
-            with self._quant.matmul_impl(self.matmul_dtype):
-                preds = np.asarray(
-                    self._run(self.params, vb, nb, vmask, nmask)
-                )[0, :k]
-        if use_center_duration:
-            c, d = preds[:, 0], preds[:, 1]
-            s, e = c - d / 2, c + d / 2
-        else:
-            s, e = preds[:, 0], preds[:, 1]
-        return {"start": s.tolist(), "end": e.tolist()}
+        # coalescing front: concurrent single requests drain into ONE
+        # bucket-batched device dispatch (ground_batch); a solitary request
+        # leads immediately and runs as a batch of one — identical math
+        # either way (batch rows are independent)
+        return self._front.submit(
+            {"video": video, "narration_embeds": narration_embeds},
+            use_center_duration,
+        )
 
     def ground_batch(
         self,
