@@ -58,6 +58,7 @@ class TemporalAligner(nn.Module):
     input_dim: int = 4096  # S3D/feature dimension of video & text inputs
     max_pos: int = 4096  # pos table length (tan_model.py:52)
     attn_impl: Optional[str] = None  # None = auto dispatch
+    mlp_impl: Optional[str] = None  # None = auto; 'fused' = VMEM kernel (ops/fused_mlp.py)
 
     def setup(self):
         w = self.width
@@ -162,7 +163,10 @@ class TemporalAligner(nn.Module):
         )
         if self.num_encoder_layers == 0:
             return x[:, None]  # (B, 1, T, C); degenerate config used by baselines
-        stages = self.video_temporal_encoder(x, video_padding_mask, impl=self.attn_impl)
+        stages = self.video_temporal_encoder(
+            x, video_padding_mask, impl=self.attn_impl,
+            mlp_impl=self.mlp_impl,
+        )
         stages = stages.at[:, -1].set(self.ln_video_post_enc(stages[:, -1]))
         return stages
 
@@ -202,7 +206,10 @@ class TemporalAligner(nn.Module):
         t = x.shape[1]
         joint = jnp.concatenate([x, lang_embed_with_time], axis=1)
         joint_mask = jnp.concatenate([video_padding_mask, lang_padding_mask], axis=1)
-        stages = self.joint_temporal_encoder(joint, joint_mask, impl=self.attn_impl)
+        stages = self.joint_temporal_encoder(
+            joint, joint_mask, impl=self.attn_impl,
+            mlp_impl=self.mlp_impl,
+        )
         stages = stages.at[:, -1].set(self.ln_joint_post_enc(stages[:, -1]))
         return stages[:, :, :t], stages[:, :, t:]
 

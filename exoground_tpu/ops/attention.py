@@ -44,9 +44,10 @@ _DEFAULT_IMPL = "auto"  # 'auto' | 'xla' | 'flash'
 
 
 def set_default_attention_impl(impl: str) -> None:
-    """Set the process-wide attention impl ('auto'|'xla'|'flash'|'small')."""
+    """Set the process-wide attention impl
+    ('auto'|'xla'|'flash'|'small'|'fused')."""
     global _DEFAULT_IMPL
-    assert impl in ("auto", "xla", "flash", "small"), impl
+    assert impl in ("auto", "xla", "flash", "small", "fused"), impl
     _DEFAULT_IMPL = impl
 
 
@@ -56,6 +57,12 @@ def get_default_attention_impl() -> str:
 
 def _resolve_impl(impl: Optional[str], sq: int, sk: int) -> str:
     impl = impl or _DEFAULT_IMPL
+    if impl == "fused":
+        # 'fused' is consumed by MultiHeadAttention (whole-MHA kernel for
+        # qualifying self-attention); attention calls that reach this
+        # dispatcher under it (cross-attention, long sequences) resolve as
+        # if 'auto'
+        impl = "auto"
     if impl != "auto":
         return impl
     # Measured crossover on a v5e chip with the TUNED kernel (scale folded
@@ -551,6 +558,160 @@ def _small_bwd_rule(res, do):
 _small.defvjp(_small_fwd_rule, _small_bwd_rule)
 
 
+# ---------------------------------------------------------------------------
+# Pallas fused MHA (projections + window attention + out-projection)
+# ---------------------------------------------------------------------------
+#
+# One kernel runs the ENTIRE MultiheadAttention of a small-window
+# self-attention call (reference model/tfm_model.py:21,30-32): qkv = x@W_in
+# (one MXU dot), per-head block-diagonal window attention in VMEM (the
+# small_attention layout above), and the out-projection accumulated as
+# sum_h o_h @ W_out[h*Dh:(h+1)*Dh] so head outputs never round-trip memory.
+# vs the unfused path, the (rows, 3C) qkv and (rows, C) attention output
+# tensors never reach HBM (~160 MB/layer at the overlap-seq bench shapes),
+# and both weight matrices stay VMEM-resident across grid steps.
+# Inference-only by the same custom-VJP construction as small_attention.
+
+def _mha_kernel(kpad_ref, x_ref, win_ref, bin_ref, wout_ref, bout_ref, o_ref,
+                *, s_pad: int, num_heads: int, scale: float):
+    """One 128-row token tile (P = 128 // s_pad packed windows)."""
+    x = x_ref[0]  # (128, C)
+    qkv = jax.lax.dot_general(
+        x, win_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bin_ref[...]  # (128, 3C) f32, VMEM-resident
+    c = x.shape[-1]
+    d = c // num_heads
+    rows = jax.lax.broadcasted_iota(jnp.int32, (_SMALL_TILE, _SMALL_TILE), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (_SMALL_TILE, _SMALL_TILE), 1)
+    valid = ((rows // s_pad) == (cols // s_pad)) & (kpad_ref[0] == 0)
+    acc = jnp.zeros((_SMALL_TILE, c), jnp.float32)
+    for h in range(num_heads):
+        q = qkv[:, h * d:(h + 1) * d] * scale
+        k = qkv[:, c + h * d:c + (h + 1) * d]
+        v = qkv[:, 2 * c + h * d:2 * c + (h + 1) * d]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        s = jnp.where(valid, s, NEG_INF)
+        m_row = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m_row)
+        l = jnp.sum(p, axis=-1, keepdims=True)
+        o_h = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) / l  # (128, Dh)
+        # out-projection accumulated per head: concat_h(o_h) @ W_out ==
+        # sum_h o_h @ W_out[h*Dh:(h+1)*Dh, :] (row-block split of the GEMM)
+        acc = acc + jax.lax.dot_general(
+            o_h.astype(wout_ref.dtype), wout_ref[h * d:(h + 1) * d, :],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    o_ref[0] = (acc + bout_ref[...]).astype(o_ref.dtype)
+
+
+def _mha_xla(x, kpad, w_in, b_in, w_out, b_out, num_heads):
+    """The composition the kernel fuses (and every derivative's path):
+    matches MultiHeadAttention's fused-projection self-attention exactly."""
+    b, s, c = x.shape
+    d = c // num_heads
+    qkv = x @ w_in + b_in
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def split_heads(t):
+        return t.reshape(b, s, num_heads, d).transpose(0, 2, 1, 3)
+
+    o = attention_xla(split_heads(q), split_heads(k), split_heads(v), kpad)
+    o = o.transpose(0, 2, 1, 3).reshape(b, s, c)
+    return o @ w_out + b_out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _fused_mha(x, kpad, w_in, b_in, w_out, b_out, num_heads):
+    b, s, c = x.shape
+    d = c // num_heads
+    s_pad = 64 if s <= 64 else 128
+    xp = _pad_to(x, 1, s_pad)
+    kpad_p = _pad_to(kpad, 1, s_pad, value=1)
+    rows = b * s_pad
+    n_tiles = -(-rows // _SMALL_TILE)
+    xt = xp.reshape(rows, c)
+    kt = kpad_p.reshape(rows)
+    if n_tiles * _SMALL_TILE != rows:
+        xt = _pad_to(xt, 0, _SMALL_TILE)
+        kt = _pad_to(kt, 0, _SMALL_TILE, value=1)
+    xt = xt.reshape(n_tiles, _SMALL_TILE, c)
+    kt = kt.reshape(n_tiles, 1, _SMALL_TILE).astype(jnp.int32)
+
+    o = pl.pallas_call(
+        functools.partial(
+            _mha_kernel, s_pad=s_pad, num_heads=num_heads,
+            scale=1.0 / math.sqrt(d),
+        ),
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, _SMALL_TILE), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SMALL_TILE, c), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * c), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _SMALL_TILE, c), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, _SMALL_TILE, c), x.dtype),
+        interpret=_should_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=n_tiles * _SMALL_TILE * (8 * c * c + 4 * _SMALL_TILE * c),
+            bytes_accessed=(2 * n_tiles * _SMALL_TILE * c + 4 * c * c)
+            * x.dtype.itemsize,
+            transcendentals=n_tiles * _SMALL_TILE * _SMALL_TILE * num_heads,
+        ),
+    )(kt, xt, w_in, b_in.reshape(1, -1), w_out, b_out.reshape(1, -1))
+    return o.reshape(-1, s_pad, c)[:b, :s]
+
+
+def _fused_mha_fwd_rule(x, kpad, w_in, b_in, w_out, b_out, num_heads):
+    out = _mha_xla(x, kpad, w_in, b_in, w_out, b_out, num_heads)
+    return out, (x, kpad, w_in, b_in, w_out, b_out)
+
+
+def _fused_mha_bwd_rule(num_heads, res, do):
+    x, kpad, w_in, b_in, w_out, b_out = res
+    _, vjp = jax.vjp(
+        lambda x_, wi, bi, wo, bo: _mha_xla(x_, kpad, wi, bi, wo, bo, num_heads),
+        x, w_in, b_in, w_out, b_out,
+    )
+    dx, dwi, dbi, dwo, dbo = vjp(do)
+    return dx, None, dwi, dbi, dwo, dbo
+
+
+_fused_mha.defvjp(_fused_mha_fwd_rule, _fused_mha_bwd_rule)
+
+
+def fused_mha_small(
+    x: jnp.ndarray,  # (B, S, C) the shared q=k=v input (post-LN)
+    key_padding_mask: Optional[jnp.ndarray],
+    w_in: jnp.ndarray,  # (C, 3C) packed [q|k|v]
+    b_in: jnp.ndarray,
+    w_out: jnp.ndarray,  # (C, C)
+    b_out: jnp.ndarray,
+    num_heads: int,
+) -> jnp.ndarray:
+    """Whole-MHA fused kernel for window self-attention, S <= 128.
+
+    Numerics match the unfused path to bf16 noise (f32 qkv/softmax/accum
+    throughout — strictly tighter than the bf16 XLA path's intermediates).
+    """
+    b, s, c = x.shape
+    assert s <= _SMALL_TILE and c % num_heads == 0
+    if key_padding_mask is None:
+        kpad = jnp.zeros((b, s), dtype=jnp.int32)
+    else:
+        kpad = key_padding_mask.astype(jnp.int32)
+    return _fused_mha(x, kpad, w_in, b_in, w_out, b_out, num_heads)
+
+
 def small_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -630,6 +791,22 @@ class MultiHeadAttention(nn.Module):
         in_bias = self.param("in_proj_bias", nn.initializers.zeros, (3 * c,))
         out_kernel = self.param("out_proj_kernel", self.out_proj_init, (c, c))
         out_bias = self.param("out_proj_bias", nn.initializers.zeros, (c,))
+
+        # Whole-MHA fused kernel (inference window self-attention): one
+        # Pallas pass for qkv projection + block-diagonal window attention +
+        # out-projection; qkv/attn-out never reach HBM. The int8 serving
+        # mode keeps the unfused path (its quantization hooks live in
+        # quant.matmul); differentiation falls back to XLA inside the
+        # kernel's custom VJP either way.
+        if ((impl or _DEFAULT_IMPL) == "fused"
+                and query is key and key is value
+                and query.shape[1] <= _SMALL_TILE
+                and c % 128 == 0 and d % 8 == 0
+                and quant.current_impl() == "default"):
+            return fused_mha_small(
+                query, key_padding_mask, in_kernel, in_bias,
+                out_kernel, out_bias, self.num_heads,
+            )
 
         # Fused in-projections when inputs alias (trace-time object identity:
         # blocks call attn(x_norm, x_norm, x_norm) / cross(x2, mem, mem)).

@@ -65,7 +65,30 @@ class MLP(nn.Module):
     proj_init: nn.initializers.Initializer = nn.initializers.normal(0.02)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, impl: Optional[str] = None) -> jnp.ndarray:
+        from exoground_tpu.ops import quant
+        from exoground_tpu.ops.fused_mlp import fused_mlp, resolve_mlp_impl
+
+        impl = resolve_mlp_impl(impl, self.width)
+        if impl == "fused" and quant.current_impl() == "default":
+            # VMEM-resident fused kernel (ops/fused_mlp.py): identical param
+            # tree (c_fc/c_proj kernel+bias created through child scopes with
+            # the same initializers), hidden never reaches HBM. The int8
+            # serving mode keeps the Dense path — its dynamic quantization
+            # hooks live in dense_dot_general.
+            fc = self.scope.push("c_fc")
+            fck = fc.param("kernel", self.fc_init, (self.width, 4 * self.width))
+            fcb = fc.param(
+                "bias", torch_linear_bias_init(self.width), (4 * self.width,)
+            )
+            pr = self.scope.push("c_proj")
+            prk = pr.param(
+                "kernel", self.proj_init, (4 * self.width, self.width)
+            )
+            prb = pr.param(
+                "bias", torch_linear_bias_init(4 * self.width), (self.width,)
+            )
+            return fused_mlp(x, fck, fcb, prk, prb)
         x = nn.Dense(
             4 * self.width, kernel_init=self.fc_init,
             bias_init=torch_linear_bias_init(self.width), name="c_fc",
@@ -106,6 +129,7 @@ class ResidualAttentionBlock(nn.Module):
         x: jnp.ndarray,
         key_padding_mask: Optional[jnp.ndarray] = None,
         impl: Optional[str] = None,
+        mlp_impl: Optional[str] = None,
     ):
         x_norm = nn.LayerNorm(epsilon=LN_EPS, name="ln_1")(x)
         attn = MultiHeadAttention(
@@ -120,7 +144,7 @@ class ResidualAttentionBlock(nn.Module):
             fc_init=nn.initializers.normal(self.fc_std),
             proj_init=nn.initializers.normal(self.proj_std),
             name="mlp",
-        )(nn.LayerNorm(epsilon=LN_EPS, name="ln_2")(x))
+        )(nn.LayerNorm(epsilon=LN_EPS, name="ln_2")(x), impl=mlp_impl)
         return x, x_norm
 
 
@@ -142,6 +166,7 @@ class TemporalEncoder(nn.Module):
         x: jnp.ndarray,  # (B, T, C)
         key_padding_mask: Optional[jnp.ndarray] = None,
         impl: Optional[str] = None,
+        mlp_impl: Optional[str] = None,
     ) -> jnp.ndarray:
         attn_std, proj_std, fc_std = _init_scales(self.width, self.layers)
         intermediate = []
@@ -153,7 +178,7 @@ class TemporalEncoder(nn.Module):
                 proj_std=proj_std,
                 fc_std=fc_std,
                 name=f"resblocks_{i}",
-            )(x, key_padding_mask, impl=impl)
+            )(x, key_padding_mask, impl=impl, mlp_impl=mlp_impl)
             intermediate.append(x_norm)
         intermediate.pop(0)
         intermediate.append(x)
@@ -180,6 +205,7 @@ class ResidualDecoderBlock(nn.Module):
         tgt_key_padding_mask: Optional[jnp.ndarray] = None,
         memory_key_padding_mask: Optional[jnp.ndarray] = None,
         impl: Optional[str] = None,
+        mlp_impl: Optional[str] = None,
     ):
         x_norm = nn.LayerNorm(epsilon=LN_EPS, name="ln_1")(x)
         self_attn = MultiHeadAttention(
@@ -202,7 +228,7 @@ class ResidualDecoderBlock(nn.Module):
             fc_init=nn.initializers.normal(self.fc_std),
             proj_init=nn.initializers.normal(self.proj_std),
             name="mlp",
-        )(nn.LayerNorm(epsilon=LN_EPS, name="ln_3")(x))
+        )(nn.LayerNorm(epsilon=LN_EPS, name="ln_3")(x), impl=mlp_impl)
         return x, x_norm
 
 
@@ -224,6 +250,7 @@ class TemporalDecoder(nn.Module):
         tgt_key_padding_mask: Optional[jnp.ndarray] = None,
         memory_key_padding_mask: Optional[jnp.ndarray] = None,
         impl: Optional[str] = None,
+        mlp_impl: Optional[str] = None,
     ) -> jnp.ndarray:
         attn_std, proj_std, fc_std = _init_scales(self.width, self.layers)
         intermediate = []
@@ -235,7 +262,8 @@ class TemporalDecoder(nn.Module):
                 proj_std=proj_std,
                 fc_std=fc_std,
                 name=f"resblocks_{i}",
-            )(x, memory, tgt_key_padding_mask, memory_key_padding_mask, impl=impl)
+            )(x, memory, tgt_key_padding_mask, memory_key_padding_mask,
+              impl=impl, mlp_impl=mlp_impl)
             intermediate.append(x_norm)
         intermediate.pop(0)
         intermediate.append(x)

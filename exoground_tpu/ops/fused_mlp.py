@@ -1,0 +1,140 @@
+"""Fused transformer-MLP Pallas kernel: c_fc -> QuickGELU -> c_proj in one
+VMEM-resident pass.
+
+The reference's MLP (model/tfm_model.py:23-27: Linear(w, 4w) -> QuickGELU ->
+Linear(4w, w)) is the framework's widest per-token compute. Under stock XLA
+the two matmuls cannot fuse across the GELU, so the (rows, 4w) hidden
+activation makes a full HBM round trip between them — at the overlap-seq
+bench shapes (~19.5k window-tokens per sweep, w=512) that is ~80 MB written
++ ~80 MB read per layer call, ~2 ms of pure HBM traffic per sweep across the
+12 encoder/joint layer calls. This kernel keeps the hidden in VMEM: per
+128/256-row tile it runs x@c_fc (MXU), the QuickGELU in f32 registers, and
+h@c_proj (MXU); its only HBM traffic is x in and the w-wide output out.
+Both weight matrices ride VMEM across grid steps (constant index map).
+
+Differentiation falls back to the straight-line XLA composition (the
+custom-VJP fwd RULE recomputes it, so under jax.grad neither direction
+touches the kernel): training keeps its measured XLA behavior; the kernel
+serves inference, same policy as ops/attention.py::small_attention.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ROW_TILE = 256  # rows per grid step: hidden tile (256, 4w) f32 = 2 MB @ w512
+
+_DEFAULT_IMPL = "auto"  # 'auto' | 'xla' | 'fused'
+
+
+def set_default_mlp_impl(impl: str) -> None:
+    """Process-wide MLP implementation ('auto'|'xla'|'fused')."""
+    global _DEFAULT_IMPL
+    assert impl in ("auto", "xla", "fused"), impl
+    _DEFAULT_IMPL = impl
+
+
+def resolve_mlp_impl(impl, width: int) -> str:
+    """'auto' keeps the stock XLA path until the kernel measures a win on
+    the target backend (same measured-dispatch policy as
+    ops/attention.py::_resolve_impl); explicit 'fused' engages the kernel
+    when the shape qualifies (lane-aligned width)."""
+    impl = impl or _DEFAULT_IMPL
+    if impl == "auto":
+        return "xla"
+    if impl == "fused" and (width % 128 != 0 or (4 * width) % 128 != 0):
+        return "xla"  # Mosaic lane alignment
+    return impl
+
+
+def _should_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _pad_rows(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
+    r = x.shape[0]
+    target = -(-r // multiple) * multiple
+    if target == r:
+        return x
+    return jnp.pad(x, ((0, target - r), (0, 0)))
+
+
+def _mlp_kernel(x_ref, fck_ref, fcb_ref, prk_ref, prb_ref, o_ref):
+    x = x_ref[...]  # (TR, C)
+    h = jax.lax.dot_general(
+        x, fck_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + fcb_ref[...]  # (TR, 4C) f32, never leaves VMEM
+    h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU (reference tfm_model.py:13)
+    o = jax.lax.dot_general(
+        h.astype(prk_ref.dtype), prk_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + prb_ref[...]
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _mlp_xla(x, fck, fcb, prk, prb):
+    """The straight-line composition the kernel fuses (and the path every
+    derivative takes)."""
+    h = x @ fck + fcb
+    h = h * jax.nn.sigmoid(1.702 * h)
+    return (h.astype(prk.dtype) @ prk + prb).astype(x.dtype)
+
+
+@jax.custom_vjp
+def _fused(x2d, fck, fcb, prk, prb):
+    r, c = x2d.shape
+    c_hidden = fck.shape[1]
+    xp = _pad_rows(x2d, _ROW_TILE)
+    n_tiles = xp.shape[0] // _ROW_TILE
+    fcb2 = fcb.reshape(1, -1)
+    prb2 = prb.reshape(1, -1)
+    o = pl.pallas_call(
+        _mlp_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((_ROW_TILE, c), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c_hidden), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_hidden), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_hidden, c), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROW_TILE, c), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, x2d.dtype),
+        interpret=_should_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * xp.shape[0] * c * c_hidden,
+            bytes_accessed=(2 * xp.shape[0] * c + 2 * c * c_hidden)
+            * x2d.dtype.itemsize,
+            transcendentals=xp.shape[0] * c_hidden,
+        ),
+    )(xp, fck, fcb2, prk, prb2)
+    return o[:r]
+
+
+def _fused_fwd_rule(x2d, fck, fcb, prk, prb):
+    return _mlp_xla(x2d, fck, fcb, prk, prb), (x2d, fck, fcb, prk, prb)
+
+
+def _fused_bwd_rule(res, do):
+    _, vjp = jax.vjp(_mlp_xla, *res)
+    return vjp(do)
+
+
+_fused.defvjp(_fused_fwd_rule, _fused_bwd_rule)
+
+
+def fused_mlp(x: jnp.ndarray, fck, fcb, prk, prb) -> jnp.ndarray:
+    """QuickGELU MLP over (..., C) with the hidden kept in VMEM.
+
+    Numerics match the XLA composition to bf16 noise (the kernel's hidden is
+    f32 where the bf16 XLA path's is bf16 — strictly tighter).
+    """
+    lead = x.shape[:-1]
+    out = _fused(x.reshape(-1, x.shape[-1]), fck, fcb, prk, prb)
+    return out.reshape(*lead, -1)

@@ -288,3 +288,121 @@ class TestSmallKernel:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
         )
+
+
+class TestFusedMHAKernel:
+    """Whole-MHA fused kernel (ops/attention.py::fused_mha_small): qkv
+    projection + block-diagonal window attention + out-projection in one
+    Pallas pass. Must match the unfused MultiHeadAttention path (reference
+    model/tfm_model.py:21 semantics) and fall back cleanly."""
+
+    def _mha_and_params(self, c=128, h=4, seed=50):
+        mha = None
+        from exoground_tpu.ops.attention import MultiHeadAttention
+
+        mha = MultiHeadAttention(num_heads=h)
+        x = jnp.asarray(_rand(2, 64, c, seed=seed))
+        params = mha.init(jax.random.PRNGKey(seed), x, x, x)
+        return mha, params, x
+
+    @pytest.mark.parametrize("s", [64, 96, 33])
+    def test_module_fused_matches_unfused(self, s):
+        from exoground_tpu.ops.attention import MultiHeadAttention
+
+        c, h = 128, 4
+        mha = MultiHeadAttention(num_heads=h)
+        x = jnp.asarray(_rand(3, s, c, seed=51))
+        kpad = np.zeros((3, s), dtype=bool)
+        kpad[0, int(s * 0.7):] = True
+        kpad = jnp.asarray(kpad)
+        params = mha.init(jax.random.PRNGKey(0), x, x, x)
+        ref = mha.apply(params, x, x, x, kpad, impl="xla")
+        out = mha.apply(params, x, x, x, kpad, impl="fused")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
+
+    def test_no_cross_window_leakage(self):
+        from exoground_tpu.ops.attention import MultiHeadAttention
+
+        c, h = 128, 4
+        mha = MultiHeadAttention(num_heads=h)
+        x = jnp.asarray(_rand(2, 64, c, seed=52))
+        params = mha.init(jax.random.PRNGKey(1), x, x, x)
+        out1 = np.asarray(mha.apply(params, x, x, x, impl="fused"))
+        x2 = x.at[1].multiply(-2.0)  # perturb only the second packed window
+        out2 = np.asarray(mha.apply(params, x2, x2, x2, impl="fused"))
+        np.testing.assert_array_equal(out1[0], out2[0])
+        assert np.abs(out1[1] - out2[1]).max() > 1e-3
+
+    def test_gradients_fall_back_to_xla(self):
+        """Under differentiation both directions run the XLA composition —
+        grads must match the unfused path to fp accumulation noise."""
+        from exoground_tpu.ops.attention import MultiHeadAttention
+
+        c, h = 128, 4
+        mha = MultiHeadAttention(num_heads=h)
+        x = jnp.asarray(_rand(2, 64, c, seed=53))
+        params = mha.init(jax.random.PRNGKey(2), x, x, x)
+
+        gf = jax.grad(
+            lambda p: jnp.sum(mha.apply(p, x, x, x, impl="fused") ** 2)
+        )(params)
+        gx = jax.grad(
+            lambda p: jnp.sum(mha.apply(p, x, x, x, impl="xla") ** 2)
+        )(params)
+        for a, b in zip(jax.tree_util.tree_leaves(gf),
+                        jax.tree_util.tree_leaves(gx)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3
+            )
+
+    def test_cross_attention_falls_back(self):
+        from exoground_tpu.ops.attention import MultiHeadAttention
+
+        c, h = 128, 4
+        mha = MultiHeadAttention(num_heads=h)
+        q = jnp.asarray(_rand(2, 16, c, seed=54))
+        mem = jnp.asarray(_rand(2, 64, c, seed=55))
+        params = mha.init(jax.random.PRNGKey(3), q, mem, mem)
+        ref = mha.apply(params, q, mem, mem, impl="xla")
+        out = mha.apply(params, q, mem, mem, impl="fused")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-4
+        )
+
+    def test_int8_context_keeps_unfused_path(self):
+        from exoground_tpu.ops import quant
+        from exoground_tpu.ops.attention import MultiHeadAttention
+
+        c, h = 128, 4
+        mha = MultiHeadAttention(num_heads=h)
+        x = jnp.asarray(_rand(2, 64, c, seed=56))
+        params = mha.init(jax.random.PRNGKey(4), x, x, x)
+        with quant.matmul_impl("int8", min_cols=1):
+            out_f = mha.apply(params, x, x, x, impl="fused")
+            out_d = mha.apply(params, x, x, x)
+        np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_d))
+
+    def test_full_model_fused_impls_match(self):
+        """TemporalAligner(attn_impl='fused', mlp_impl='fused') — the
+        serving configuration — matches the stock model on the same
+        params."""
+        from exoground_tpu.models import TemporalAligner
+
+        common = dict(num_encoder_layers=2, num_joint_layers=2)
+        m0 = TemporalAligner(**common)
+        m1 = TemporalAligner(**common, attn_impl="fused", mlp_impl="fused")
+        rng = np.random.RandomState(57)
+        v = jnp.asarray(rng.randn(2, 16, 4096), jnp.float32)
+        t = jnp.asarray(rng.randn(2, 3, 4096), jnp.float32)
+        vm = jnp.zeros((2, 16), bool)
+        lm = jnp.asarray(np.array([[0, 0, 1], [0, 0, 0]], bool))
+        p = m0.init(jax.random.PRNGKey(0), v, t, vm, lm)
+        o0 = m0.apply(p, v, t, vm, lm)
+        o1 = m1.apply(p, v, t, vm, lm)
+        for k in o0:
+            np.testing.assert_allclose(
+                np.asarray(o1[k]), np.asarray(o0[k]), atol=5e-5, rtol=1e-4,
+                err_msg=k,
+            )

@@ -249,3 +249,92 @@ class TestMasks:
         ref = torch.quantile(torch.from_numpy(x[valid]), q).item()
         out = float(masked_quantile(jnp.asarray(x), jnp.asarray(valid), q))
         np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+class TestFusedMLP:
+    """VMEM-resident MLP kernel (ops/fused_mlp.py) vs the Dense+QuickGELU
+    composition (reference model/tfm_model.py:23-27): same math, same param
+    tree, XLA fallback under differentiation."""
+
+    def test_kernel_matches_xla_composition(self):
+        from exoground_tpu.ops.fused_mlp import _mlp_xla, fused_mlp
+
+        rng = np.random.RandomState(40)
+        c = 128
+        x = jnp.asarray(rng.randn(3, 70, c), jnp.float32)  # ragged rows pad
+        fck = jnp.asarray(rng.randn(c, 4 * c) * 0.02, jnp.float32)
+        fcb = jnp.asarray(rng.randn(4 * c) * 0.02, jnp.float32)
+        prk = jnp.asarray(rng.randn(4 * c, c) * 0.02, jnp.float32)
+        prb = jnp.asarray(rng.randn(c) * 0.02, jnp.float32)
+        ref = _mlp_xla(x.reshape(-1, c), fck, fcb, prk, prb).reshape(x.shape)
+        out = fused_mlp(x, fck, fcb, prk, prb)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+
+    def test_module_fused_impl_matches_dense_path_and_param_tree(self):
+        """MLP(impl='fused') must (a) reuse the EXACT param tree the Dense
+        path creates (c_fc/c_proj kernel+bias — checkpoint compatibility)
+        and (b) produce the same output."""
+        from exoground_tpu.ops.blocks import MLP
+
+        rng = np.random.RandomState(41)
+        x = jnp.asarray(rng.randn(2, 10, 128), jnp.float32)
+        mlp = MLP(width=128)
+        p_dense = mlp.init(jax.random.PRNGKey(0), x)
+        p_fused = mlp.init(jax.random.PRNGKey(0), x, impl="fused")
+        assert jax.tree_util.tree_structure(p_dense) == jax.tree_util.tree_structure(p_fused)
+        for a, b in zip(jax.tree_util.tree_leaves(p_dense),
+                        jax.tree_util.tree_leaves(p_fused)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        out_d = mlp.apply(p_dense, x)
+        out_f = mlp.apply(p_dense, x, impl="fused")
+        np.testing.assert_allclose(
+            np.asarray(out_f), np.asarray(out_d), atol=1e-5, rtol=1e-5
+        )
+
+    def test_gradients_fall_back_to_xla_exactly(self):
+        from exoground_tpu.ops.blocks import MLP
+
+        rng = np.random.RandomState(42)
+        x = jnp.asarray(rng.randn(2, 6, 128), jnp.float32)
+        mlp = MLP(width=128)
+        p = mlp.init(jax.random.PRNGKey(1), x)
+
+        g_d = jax.grad(lambda p: jnp.sum(mlp.apply(p, x) ** 2))(p)
+        g_f = jax.grad(lambda p: jnp.sum(mlp.apply(p, x, impl="fused") ** 2))(p)
+        for a, b in zip(jax.tree_util.tree_leaves(g_d),
+                        jax.tree_util.tree_leaves(g_f)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_int8_serving_context_keeps_dense_path(self):
+        """The int8 mode's dynamic-quant hooks live in dense_dot_general;
+        impl='fused' under an int8 context must route to the Dense path so
+        the quantization policy still applies."""
+        from exoground_tpu.ops import quant
+        from exoground_tpu.ops.blocks import MLP
+
+        rng = np.random.RandomState(43)
+        x = jnp.asarray(rng.randn(2, 6, 128), jnp.float32)
+        mlp = MLP(width=128)
+        p = mlp.init(jax.random.PRNGKey(2), x)
+        with quant.matmul_impl("int8", min_cols=1):
+            out_fused_ctx = mlp.apply(p, x, impl="fused")
+            out_dense_ctx = mlp.apply(p, x)
+        np.testing.assert_array_equal(
+            np.asarray(out_fused_ctx), np.asarray(out_dense_ctx)
+        )
+        # ...and int8 output differs from exact f32 (the hook really ran)
+        exact = mlp.apply(p, x)
+        assert np.abs(np.asarray(out_fused_ctx) - np.asarray(exact)).max() > 1e-6
+
+    def test_non_lane_aligned_width_falls_back(self):
+        from exoground_tpu.ops.blocks import MLP
+
+        rng = np.random.RandomState(44)
+        x = jnp.asarray(rng.randn(2, 6, 48), jnp.float32)
+        mlp = MLP(width=48)
+        p = mlp.init(jax.random.PRNGKey(3), x)
+        out_d = mlp.apply(p, x)
+        out_f = mlp.apply(p, x, impl="fused")  # resolves to xla (48 % 128)
+        np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_d))
