@@ -1036,29 +1036,34 @@ def bench_flash_attention_op(jax, jnp, s: int = 4096, heads: int = HEADS,
 
 
 def bench_window_attention_op(jax, jnp, b: int = 304, s: int = 64,
-                              heads: int = HEADS, d_head: int = WIDTH // HEADS):
-    """Fused-vs-XLA attention at the overlap-seq serving workhorse shape.
+                              heads: int = HEADS, width: int = WIDTH):
+    """Fused-vs-XLA MultiheadAttention at the serving workhorse shape.
 
-    (B=304, H=8, S=64, Dh=64) bf16 — one sweep's worth of 64-token windows
-    batched on the leading axis (the eval decomposition's dominant
-    attention shape; PERF.md "Fused-eval in-graph decomposition"). The
-    Pallas window kernel (ops/attention.py::small_attention) packs two
-    64-token windows per 128-row MXU tile and keeps scores/softmax in VMEM.
+    (B=304, S=64, w=512, H=8) bf16 — one sweep's worth of 64-token windows
+    batched on the leading axis (the eval decomposition's dominant per-layer
+    call; PERF.md "Fused-eval in-graph decomposition"). Measures the
+    whole-MHA Pallas kernel (ops/attention.py::fused_mha_small: qkv
+    projection + block-diagonal window attention + out-projection, weights
+    VMEM-resident) against the unfused XLA module — the kernel the auto
+    dispatcher actually serves (the attention-core-only small_attention
+    kernel wins 1.28x op-level but LOSES 17% model-level; PERF.md round 5).
     Timed with scan-length differencing (_scan_timed). Returns
     (speedup, fused_ms, xla_ms)."""
-    from exoground_tpu.ops.attention import attention_xla, small_attention
+    from exoground_tpu.ops.attention import MultiHeadAttention
 
     rng = np.random.RandomState(0)
-    shape = (b, heads, s, d_head)
-    q = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
-    k = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
-    v = jnp.asarray(rng.randn(*shape), jnp.bfloat16)
+    mha = MultiHeadAttention(num_heads=heads)
+    x = jnp.asarray(rng.randn(b, s, width), jnp.bfloat16)
     kpad = jnp.zeros((b, s), bool)
+    params = mha.init(jax.random.PRNGKey(0), x, x, x)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16), params)
 
     times = {}
-    for name, fn in (("fused", small_attention), ("xla", attention_xla)):
+    for name in ("fused", "xla"):
+        fn = jax.jit(lambda p, xc, _n=name: mha.apply(p, xc, xc, xc, kpad, impl=_n))
         times[name] = _scan_timed(
-            jax, lambda qc, _fn=fn: _fn(qc, k, v, kpad), q,
+            jax, lambda xc, _f=fn: _f(params, xc), x,
             n_long=96, n_short=16,
         )
     return times["xla"] / times["fused"], times["fused"] * 1e3, times["xla"] * 1e3

@@ -794,11 +794,21 @@ class MultiHeadAttention(nn.Module):
 
         # Whole-MHA fused kernel (inference window self-attention): one
         # Pallas pass for qkv projection + block-diagonal window attention +
-        # out-projection; qkv/attn-out never reach HBM. The int8 serving
+        # out-projection; qkv/attn-out never reach HBM. Engaged explicitly
+        # ('fused') or by 'auto' on TPU — measured on-chip 2026-08-20:
+        # 1.94x op-level (0.619 vs 1.198 ms, B304 S64 w512 bf16) and +6.6%
+        # full-model resident serving (PERF.md round 5). The int8 serving
         # mode keeps the unfused path (its quantization hooks live in
         # quant.matmul); differentiation falls back to XLA inside the
-        # kernel's custom VJP either way.
-        if ((impl or _DEFAULT_IMPL) == "fused"
+        # kernel's custom VJP either way; CPU (tests, dryrun) stays XLA.
+        want = impl or _DEFAULT_IMPL
+        # auto engages only at >= 4096 token rows: the eval sweeps (19.5k
+        # rows) win, the batch-16 train teacher forward (~1k rows, 8 grid
+        # tiles) measured a ~0.5 ms/step LOSS (see resolve_mlp_impl's
+        # matching bound)
+        auto_ok = (want == "auto" and jax.default_backend() == "tpu"
+                   and query.shape[0] * query.shape[1] >= 4096)
+        if ((want == "fused" or auto_ok)
                 and query is key and key is value
                 and query.shape[1] <= _SMALL_TILE
                 and c % 128 == 0 and d % 8 == 0

@@ -69,7 +69,10 @@ class MLP(nn.Module):
         from exoground_tpu.ops import quant
         from exoground_tpu.ops.fused_mlp import fused_mlp, resolve_mlp_impl
 
-        impl = resolve_mlp_impl(impl, self.width)
+        rows = 1
+        for dim in x.shape[:-1]:
+            rows *= dim
+        impl = resolve_mlp_impl(impl, self.width, rows)
         if impl == "fused" and quant.current_impl() == "default":
             # VMEM-resident fused kernel (ops/fused_mlp.py): identical param
             # tree (c_fc/c_proj kernel+bias created through child scopes with

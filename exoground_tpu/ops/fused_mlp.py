@@ -39,15 +39,27 @@ def set_default_mlp_impl(impl: str) -> None:
     _DEFAULT_IMPL = impl
 
 
-def resolve_mlp_impl(impl, width: int) -> str:
-    """'auto' keeps the stock XLA path until the kernel measures a win on
-    the target backend (same measured-dispatch policy as
-    ops/attention.py::_resolve_impl); explicit 'fused' engages the kernel
-    when the shape qualifies (lane-aligned width)."""
+_AUTO_MIN_ROWS = 4096  # see resolve_mlp_impl
+
+
+def resolve_mlp_impl(impl, width: int, rows: int = None) -> str:
+    """Measured dispatch (same policy as ops/attention.py::_resolve_impl):
+    'auto' engages the kernel on TPU for lane-aligned widths at >= 4096
+    rows. Both bounds are on-chip measurements (2026-08-20, PERF.md round
+    5): at the eval sweep shapes (rows=19456, w=512 bf16) the kernel wins
+    1.08x op-level and contributes to the +6.6% fused-model serving win;
+    at the batch-16 train teacher-forward shapes (rows ~1k, 8 grid tiles)
+    the fused path LOSES ~0.5 ms/step (6.72 vs 6.24) — too few tiles to
+    amortize the grid and the kernel blocks XLA's cross-op scheduling
+    inside the scanned step — so small row counts stay XLA. CPU (tests,
+    dryrun) and ragged widths stay XLA."""
     impl = impl or _DEFAULT_IMPL
+    aligned = width % 128 == 0 and (4 * width) % 128 == 0
     if impl == "auto":
-        return "xla"
-    if impl == "fused" and (width % 128 != 0 or (4 * width) % 128 != 0):
+        big = rows is None or rows >= _AUTO_MIN_ROWS
+        return ("fused" if (aligned and big
+                            and jax.default_backend() == "tpu") else "xla")
+    if impl == "fused" and not aligned:
         return "xla"  # Mosaic lane alignment
     return impl
 
