@@ -574,18 +574,23 @@ _small.defvjp(_small_fwd_rule, _small_bwd_rule)
 
 def _mha_kernel(kpad_ref, x_ref, win_ref, bin_ref, wout_ref, bout_ref, o_ref,
                 *, s_pad: int, num_heads: int, scale: float):
-    """One 128-row token tile (P = 128 // s_pad packed windows)."""
-    x = x_ref[0]  # (128, C)
+    """One token tile of `tile = P * s_pad` rows (P packed windows).
+
+    S <= 64 packs two windows per 128-row tile; 64 < S <= 128 runs one
+    window per round8(S)-row tile — padding 96-token joint-tower windows up
+    to 128 rows would push 33% dead rows through the qkv projection."""
+    x = x_ref[0]  # (tile, C)
+    tile = x.shape[0]
     qkv = jax.lax.dot_general(
         x, win_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) + bin_ref[...]  # (128, 3C) f32, VMEM-resident
+    ) + bin_ref[...]  # (tile, 3C) f32, VMEM-resident
     c = x.shape[-1]
     d = c // num_heads
-    rows = jax.lax.broadcasted_iota(jnp.int32, (_SMALL_TILE, _SMALL_TILE), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (_SMALL_TILE, _SMALL_TILE), 1)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
     valid = ((rows // s_pad) == (cols // s_pad)) & (kpad_ref[0] == 0)
-    acc = jnp.zeros((_SMALL_TILE, c), jnp.float32)
+    acc = jnp.zeros((tile, c), jnp.float32)
     for h in range(num_heads):
         q = qkv[:, h * d:(h + 1) * d] * scale
         k = qkv[:, c + h * d:c + (h + 1) * d]
@@ -631,18 +636,21 @@ def _mha_xla(x, kpad, w_in, b_in, w_out, b_out, num_heads):
 def _fused_mha(x, kpad, w_in, b_in, w_out, b_out, num_heads):
     b, s, c = x.shape
     d = c // num_heads
-    s_pad = 64 if s <= 64 else 128
+    # S <= 64: two windows per 128-row tile; otherwise one window per
+    # round8(S)-row tile (see _mha_kernel docstring)
+    s_pad = 64 if s <= 64 else -(-s // 8) * 8
+    tile = _SMALL_TILE if s <= 64 else s_pad
     xp = _pad_to(x, 1, s_pad)
     kpad_p = _pad_to(kpad, 1, s_pad, value=1)
     rows = b * s_pad
-    n_tiles = -(-rows // _SMALL_TILE)
+    n_tiles = -(-rows // tile)
     xt = xp.reshape(rows, c)
     kt = kpad_p.reshape(rows)
-    if n_tiles * _SMALL_TILE != rows:
-        xt = _pad_to(xt, 0, _SMALL_TILE)
-        kt = _pad_to(kt, 0, _SMALL_TILE, value=1)
-    xt = xt.reshape(n_tiles, _SMALL_TILE, c)
-    kt = kt.reshape(n_tiles, 1, _SMALL_TILE).astype(jnp.int32)
+    if n_tiles * tile != rows:
+        xt = _pad_to(xt, 0, tile)
+        kt = _pad_to(kt, 0, tile, value=1)
+    xt = xt.reshape(n_tiles, tile, c)
+    kt = kt.reshape(n_tiles, 1, tile).astype(jnp.int32)
 
     o = pl.pallas_call(
         functools.partial(
@@ -651,21 +659,21 @@ def _fused_mha(x, kpad, w_in, b_in, w_out, b_out, num_heads):
         ),
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((1, 1, _SMALL_TILE), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SMALL_TILE, c), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tile), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 3 * c), lambda g: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3 * c), lambda g: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, c), lambda g: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda g: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _SMALL_TILE, c), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, _SMALL_TILE, c), x.dtype),
+        out_specs=pl.BlockSpec((1, tile, c), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, tile, c), x.dtype),
         interpret=_should_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=n_tiles * _SMALL_TILE * (8 * c * c + 4 * _SMALL_TILE * c),
-            bytes_accessed=(2 * n_tiles * _SMALL_TILE * c + 4 * c * c)
+            flops=n_tiles * tile * (8 * c * c + 4 * tile * c),
+            bytes_accessed=(2 * n_tiles * tile * c + 4 * c * c)
             * x.dtype.itemsize,
-            transcendentals=n_tiles * _SMALL_TILE * _SMALL_TILE * num_heads,
+            transcendentals=n_tiles * tile * tile * num_heads,
         ),
     )(kt, xt, w_in, b_in.reshape(1, -1), w_out, b_out.reshape(1, -1))
     return o.reshape(-1, s_pad, c)[:b, :s]

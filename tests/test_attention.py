@@ -305,7 +305,7 @@ class TestFusedMHAKernel:
         params = mha.init(jax.random.PRNGKey(seed), x, x, x)
         return mha, params, x
 
-    @pytest.mark.parametrize("s", [64, 96, 33])
+    @pytest.mark.parametrize("s", [64, 96, 33, 72, 128])
     def test_module_fused_matches_unfused(self, s):
         from exoground_tpu.ops.attention import MultiHeadAttention
 
