@@ -572,20 +572,13 @@ _small.defvjp(_small_fwd_rule, _small_bwd_rule)
 # and both weight matrices stay VMEM-resident across grid steps.
 # Inference-only by the same custom-VJP construction as small_attention.
 
-def _mha_kernel(kpad_ref, x_ref, win_ref, bin_ref, wout_ref, bout_ref, o_ref,
-                *, s_pad: int, num_heads: int, scale: float):
-    """One token tile of `tile = P * s_pad` rows (P packed windows).
-
-    S <= 64 packs two windows per 128-row tile; 64 < S <= 128 runs one
-    window per round8(S)-row tile — padding 96-token joint-tower windows up
-    to 128 rows would push 33% dead rows through the qkv projection."""
-    x = x_ref[0]  # (tile, C)
-    tile = x.shape[0]
-    qkv = jax.lax.dot_general(
-        x, win_ref[...], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) + bin_ref[...]  # (tile, 3C) f32, VMEM-resident
-    c = x.shape[-1]
+def _mha_attention_tail(qkv, kpad_ref, wout_ref, bout_ref, o_ref,
+                        s_pad: int, num_heads: int, scale: float):
+    """Shared tail of the fused-MHA kernels: per-head block-diagonal window
+    attention over a VMEM-resident (tile, 3C) qkv + accumulated
+    out-projection."""
+    tile, three_c = qkv.shape
+    c = three_c // 3
     d = c // num_heads
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile, tile), 1)
@@ -606,7 +599,7 @@ def _mha_kernel(kpad_ref, x_ref, win_ref, bin_ref, wout_ref, bout_ref, o_ref,
         o_h = jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) / l  # (128, Dh)
+        ) / l  # (tile, Dh)
         # out-projection accumulated per head: concat_h(o_h) @ W_out ==
         # sum_h o_h @ W_out[h*Dh:(h+1)*Dh, :] (row-block split of the GEMM)
         acc = acc + jax.lax.dot_general(
@@ -614,6 +607,45 @@ def _mha_kernel(kpad_ref, x_ref, win_ref, bin_ref, wout_ref, bout_ref, o_ref,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
     o_ref[0] = (acc + bout_ref[...]).astype(o_ref.dtype)
+
+
+def _mha_kernel(kpad_ref, x_ref, win_ref, bin_ref, wout_ref, bout_ref, o_ref,
+                *, s_pad: int, num_heads: int, scale: float):
+    """One token tile of `tile = P * s_pad` rows (P packed windows).
+
+    S <= 64 packs two windows per 128-row tile; 64 < S <= 128 runs one
+    window per round8(S)-row tile — padding 96-token joint-tower windows up
+    to 128 rows would push 33% dead rows through the qkv projection."""
+    x = x_ref[0]  # (tile, C)
+    qkv = jax.lax.dot_general(
+        x, win_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bin_ref[...]  # (tile, 3C) f32, VMEM-resident
+    _mha_attention_tail(qkv, kpad_ref, wout_ref, bout_ref, o_ref,
+                        s_pad, num_heads, scale)
+
+
+def _mha_kernel_int8(kpad_ref, x_ref, winq_ref, wsc_ref, bin_ref, wout_ref,
+                     bout_ref, o_ref, *, s_pad: int, num_heads: int,
+                     scale: float):
+    """int8-qkv variant: the serving int8 policy's widest matmul (N=3C)
+    runs on the int8 MXU with the dynamic per-row activation quantization
+    done IN VMEM — the ~1.5 extra HBM passes that capped the unfused int8
+    win (PERF.md round-4 item 3) cost nothing here. Weights arrive
+    pre-quantized per output column (quant._quant_first_axis semantics);
+    attention and the N=C out-projection stay exact, mirroring the
+    selective min_cols policy."""
+    x = x_ref[0].astype(jnp.float32)  # (tile, C)
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    xs = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+    qkv32 = jax.lax.dot_general(
+        xq, winq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    qkv = qkv32.astype(jnp.float32) * xs * wsc_ref[...] + bin_ref[...]
+    _mha_attention_tail(qkv, kpad_ref, wout_ref, bout_ref, o_ref,
+                        s_pad, num_heads, scale)
 
 
 def _mha_xla(x, kpad, w_in, b_in, w_out, b_out, num_heads):
@@ -632,12 +664,11 @@ def _mha_xla(x, kpad, w_in, b_in, w_out, b_out, num_heads):
     return o @ w_out + b_out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def _fused_mha(x, kpad, w_in, b_in, w_out, b_out, num_heads):
+def _mha_tiles(x, kpad):
+    """Window tiling shared by the fused-MHA precisions: S <= 64 packs two
+    windows per 128-row tile; otherwise one window per round8(S)-row tile
+    (see _mha_kernel docstring)."""
     b, s, c = x.shape
-    d = c // num_heads
-    # S <= 64: two windows per 128-row tile; otherwise one window per
-    # round8(S)-row tile (see _mha_kernel docstring)
     s_pad = 64 if s <= 64 else -(-s // 8) * 8
     tile = _SMALL_TILE if s <= 64 else s_pad
     xp = _pad_to(x, 1, s_pad)
@@ -651,31 +682,72 @@ def _fused_mha(x, kpad, w_in, b_in, w_out, b_out, num_heads):
         kt = _pad_to(kt, 0, tile, value=1)
     xt = xt.reshape(n_tiles, tile, c)
     kt = kt.reshape(n_tiles, 1, tile).astype(jnp.int32)
+    return xt, kt, tile, s_pad, n_tiles
 
-    o = pl.pallas_call(
-        functools.partial(
-            _mha_kernel, s_pad=s_pad, num_heads=num_heads,
-            scale=1.0 / math.sqrt(d),
-        ),
+
+def _mha_pallas(kernel, xt, kt, weight_args, tile, n_tiles, c, out_dtype,
+                num_heads, weight_specs):
+    return pl.pallas_call(
+        kernel,
         grid=(n_tiles,),
         in_specs=[
             pl.BlockSpec((1, 1, tile), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile, c), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 3 * c), lambda g: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * c), lambda g: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, c), lambda g: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            *weight_specs,
         ],
         out_specs=pl.BlockSpec((1, tile, c), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, tile, c), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, tile, c), out_dtype),
         interpret=_should_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=n_tiles * tile * (8 * c * c + 4 * tile * c),
-            bytes_accessed=(2 * n_tiles * tile * c + 4 * c * c)
-            * x.dtype.itemsize,
+            bytes_accessed=(2 * n_tiles * tile * c + 4 * c * c) * 2,
             transcendentals=n_tiles * tile * tile * num_heads,
         ),
-    )(kt, xt, w_in, b_in.reshape(1, -1), w_out, b_out.reshape(1, -1))
+    )(kt, xt, *weight_args)
+
+
+def _const_spec(shape):
+    return pl.BlockSpec(shape, lambda g: tuple(0 for _ in shape),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _fused_mha(x, kpad, w_in, b_in, w_out, b_out, num_heads):
+    b, s, c = x.shape
+    d = c // num_heads
+    xt, kt, tile, s_pad, n_tiles = _mha_tiles(x, kpad)
+    o = _mha_pallas(
+        functools.partial(_mha_kernel, s_pad=s_pad, num_heads=num_heads,
+                          scale=1.0 / math.sqrt(d)),
+        xt, kt,
+        (w_in, b_in.reshape(1, -1), w_out, b_out.reshape(1, -1)),
+        tile, n_tiles, c, x.dtype, num_heads,
+        [_const_spec((c, 3 * c)), _const_spec((1, 3 * c)),
+         _const_spec((c, c)), _const_spec((1, c))],
+    )
+    return o.reshape(-1, s_pad, c)[:b, :s]
+
+
+def _fused_mha_int8(x, kpad, w_in, b_in, w_out, b_out, num_heads):
+    """Serving-only int8-qkv variant (see _mha_kernel_int8); the weight is
+    quantized per output column OUTSIDE the kernel (one pass, hoisted by
+    XLA), activations per row INSIDE it. Not differentiable — the int8
+    serving mode never runs under grad (same as quant._int8_matmul)."""
+    from exoground_tpu.ops.quant import _quant_first_axis
+
+    b, s, c = x.shape
+    d = c // num_heads
+    winq, wsc = _quant_first_axis(w_in)
+    xt, kt, tile, s_pad, n_tiles = _mha_tiles(x, kpad)
+    o = _mha_pallas(
+        functools.partial(_mha_kernel_int8, s_pad=s_pad, num_heads=num_heads,
+                          scale=1.0 / math.sqrt(d)),
+        xt, kt,
+        (winq, wsc, b_in.reshape(1, -1), w_out, b_out.reshape(1, -1)),
+        tile, n_tiles, c, x.dtype, num_heads,
+        [_const_spec((c, 3 * c)), _const_spec((1, 3 * c)),
+         _const_spec((1, 3 * c)), _const_spec((c, c)), _const_spec((1, c))],
+    )
     return o.reshape(-1, s_pad, c)[:b, :s]
 
 
@@ -819,12 +891,28 @@ class MultiHeadAttention(nn.Module):
         if ((want == "fused" or auto_ok)
                 and query is key and key is value
                 and query.shape[1] <= _SMALL_TILE
-                and c % 128 == 0 and d % 8 == 0
-                and quant.current_impl() == "default"):
-            return fused_mha_small(
-                query, key_padding_mask, in_kernel, in_bias,
-                out_kernel, out_bias, self.num_heads,
-            )
+                and c % 128 == 0 and d % 8 == 0):
+            qi = quant.current_impl()
+            if qi == "default":
+                return fused_mha_small(
+                    query, key_padding_mask, in_kernel, in_bias,
+                    out_kernel, out_bias, self.num_heads,
+                )
+            # int8 serving context: the kernel composes with the selective
+            # policy exactly when it would quantize the fused qkv matmul
+            # (N=3C) but NOT the out-projection (N=C) — the kernel's
+            # in-VMEM activation quantization then replaces the unfused
+            # path's extra HBM passes. Any other policy shape keeps the
+            # unfused path below (its hooks live in quant.matmul).
+            if (qi == "int8" and 3 * c >= quant.current_min_cols()
+                    and c < quant.current_min_cols()):
+                kpad = (jnp.zeros((query.shape[0], query.shape[1]), jnp.int32)
+                        if key_padding_mask is None
+                        else key_padding_mask.astype(jnp.int32))
+                return _fused_mha_int8(
+                    query, kpad, in_kernel, in_bias,
+                    out_kernel, out_bias, self.num_heads,
+                )
 
         # Fused in-projections when inputs alias (trace-time object identity:
         # blocks call attn(x_norm, x_norm, x_norm) / cross(x2, mem, mem)).

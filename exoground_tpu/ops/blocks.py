@@ -67,13 +67,28 @@ class MLP(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, impl: Optional[str] = None) -> jnp.ndarray:
         from exoground_tpu.ops import quant
-        from exoground_tpu.ops.fused_mlp import fused_mlp, resolve_mlp_impl
+        from exoground_tpu.ops.fused_mlp import (
+            fused_mlp,
+            fused_mlp_int8,
+            resolve_mlp_impl,
+        )
 
         rows = 1
         for dim in x.shape[:-1]:
             rows *= dim
         impl = resolve_mlp_impl(impl, self.width, rows)
-        if impl == "fused" and quant.current_impl() == "default":
+        qi = quant.current_impl()
+        # int8 serving context composes with the fused kernel exactly when
+        # the selective policy would quantize c_fc (N=4w) but not c_proj
+        # (N=w) — the kernel quantizes activations in VMEM instead of
+        # paying the unfused path's extra HBM passes. Other policy shapes
+        # keep the Dense path (hooks in dense_dot_general).
+        fused_int8_ok = (
+            qi == "int8"
+            and 4 * self.width >= quant.current_min_cols()
+            and self.width < quant.current_min_cols()
+        )
+        if impl == "fused" and (qi == "default" or fused_int8_ok):
             # VMEM-resident fused kernel (ops/fused_mlp.py): identical param
             # tree (c_fc/c_proj kernel+bias created through child scopes with
             # the same initializers), hidden never reaches HBM. The int8
@@ -91,6 +106,8 @@ class MLP(nn.Module):
             prb = pr.param(
                 "bias", torch_linear_bias_init(4 * self.width), (self.width,)
             )
+            if fused_int8_ok:
+                return fused_mlp_int8(x, fck, fcb, prk, prb)
             return fused_mlp(x, fck, fcb, prk, prb)
         x = nn.Dense(
             4 * self.width, kernel_init=self.fc_init,

@@ -90,6 +90,66 @@ def _mlp_kernel(x_ref, fck_ref, fcb_ref, prk_ref, prb_ref, o_ref):
     o_ref[...] = o.astype(o_ref.dtype)
 
 
+def _mlp_kernel_int8(x_ref, fckq_ref, fcsc_ref, fcb_ref, prk_ref, prb_ref,
+                     o_ref):
+    """int8-c_fc variant: the MLP's widest matmul (N=4w — the serving int8
+    policy's prime target) runs on the int8 MXU with the per-row dynamic
+    activation quantization done IN VMEM (the extra HBM passes that capped
+    the unfused int8 win cost nothing here; PERF.md round-4 item 3).
+    Weights arrive pre-quantized per output column; c_proj (N=w) stays
+    exact, mirroring the selective min_cols policy."""
+    x = x_ref[...].astype(jnp.float32)  # (TR, C)
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    xs = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+    h32 = jax.lax.dot_general(
+        xq, fckq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    h = h32.astype(jnp.float32) * xs * fcsc_ref[...] + fcb_ref[...]
+    h = h * jax.nn.sigmoid(1.702 * h)
+    o = jax.lax.dot_general(
+        h.astype(prk_ref.dtype), prk_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + prb_ref[...]
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def fused_mlp_int8(x: jnp.ndarray, fck, fcb, prk, prb) -> jnp.ndarray:
+    """Serving-only int8-c_fc fused MLP (see _mlp_kernel_int8). Not
+    differentiable — the int8 serving mode never runs under grad."""
+    from exoground_tpu.ops.quant import _quant_first_axis
+
+    lead = x.shape[:-1]
+    x2d = x.reshape(-1, x.shape[-1])
+    r, c = x2d.shape
+    c_hidden = fck.shape[1]
+    fckq, fcsc = _quant_first_axis(fck)
+    xp = _pad_rows(x2d, _ROW_TILE)
+    n_tiles = xp.shape[0] // _ROW_TILE
+    o = pl.pallas_call(
+        _mlp_kernel_int8,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((_ROW_TILE, c), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c_hidden), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_hidden), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c_hidden), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c_hidden, c), lambda g: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda g: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_ROW_TILE, c), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, x2d.dtype),
+        interpret=_should_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * xp.shape[0] * c * c_hidden,
+            bytes_accessed=(2 * xp.shape[0] * c + 3 * c * c_hidden),
+            transcendentals=xp.shape[0] * c_hidden,
+        ),
+    )(xp, fckq, fcsc, fcb.reshape(1, -1), prk, prb.reshape(1, -1))
+    return o[:r].reshape(*lead, -1)
+
+
 def _mlp_xla(x, fck, fcb, prk, prb):
     """The straight-line composition the kernel fuses (and the path every
     derivative takes)."""

@@ -406,3 +406,29 @@ class TestFusedMHAKernel:
                 np.asarray(o1[k]), np.asarray(o0[k]), atol=5e-5, rtol=1e-4,
                 err_msg=k,
             )
+
+
+class TestFusedMHAInt8:
+    """int8-qkv fused MHA vs the unfused selective int8 policy: identical
+    quantization of the fused (C,3C) projection, exact out-projection."""
+
+    def test_matches_unfused_selective_int8(self):
+        from exoground_tpu.ops import quant
+        from exoground_tpu.ops.attention import MultiHeadAttention
+
+        c, h = 128, 4
+        mha = MultiHeadAttention(num_heads=h)
+        x = jnp.asarray(_rand(3, 64, c, seed=62))
+        kpad = np.zeros((3, 64), dtype=bool)
+        kpad[0, 50:] = True
+        kpad = jnp.asarray(kpad)
+        params = mha.init(jax.random.PRNGKey(0), x, x, x)
+        # min_cols=256: qkv (N=384) quantizes, out-proj (N=128) exact
+        with quant.matmul_impl("int8", min_cols=256):
+            ref = mha.apply(params, x, x, x, kpad)  # unfused quant.matmul
+            out = mha.apply(params, x, x, x, kpad, impl="fused")
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-4, rtol=2e-3
+        )
+        exact = mha.apply(params, x, x, x, kpad)
+        assert np.abs(np.asarray(out) - np.asarray(exact)).max() > 1e-6

@@ -338,3 +338,41 @@ class TestFusedMLP:
         out_d = mlp.apply(p, x)
         out_f = mlp.apply(p, x, impl="fused")  # resolves to xla (48 % 128)
         np.testing.assert_array_equal(np.asarray(out_f), np.asarray(out_d))
+
+
+class TestFusedMLPInt8:
+    """int8-c_fc fused kernel vs the unfused selective int8 policy
+    (ops/quant.py min_cols): same quantization semantics (per-row
+    activation absmax, per-column weight absmax), c_proj exact."""
+
+    def test_matches_unfused_selective_int8(self):
+        from exoground_tpu.ops import quant
+        from exoground_tpu.ops.blocks import MLP
+
+        rng = np.random.RandomState(60)
+        x = jnp.asarray(rng.randn(2, 70, 128), jnp.float32)
+        mlp = MLP(width=128)
+        p = mlp.init(jax.random.PRNGKey(0), x)
+        # min_cols=256: c_fc (N=512) quantizes, c_proj (N=128) stays exact
+        with quant.matmul_impl("int8", min_cols=256):
+            ref = mlp.apply(p, x)  # Dense path: dense_dot_general hooks
+            out = mlp.apply(p, x, impl="fused")  # fused int8 kernel
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-4, rtol=1e-4
+        )
+        # and it differs from the exact path (quantization really ran)
+        exact = mlp.apply(p, x)
+        assert np.abs(np.asarray(out) - np.asarray(exact)).max() > 1e-5
+
+    def test_quantize_everything_policy_keeps_dense(self):
+        from exoground_tpu.ops import quant
+        from exoground_tpu.ops.blocks import MLP
+
+        rng = np.random.RandomState(61)
+        x = jnp.asarray(rng.randn(2, 6, 128), jnp.float32)
+        mlp = MLP(width=128)
+        p = mlp.init(jax.random.PRNGKey(1), x)
+        with quant.matmul_impl("int8", min_cols=1):  # c_proj would quantize
+            ref = mlp.apply(p, x)
+            out = mlp.apply(p, x, impl="fused")  # must fall back to Dense
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
