@@ -573,7 +573,8 @@ _small.defvjp(_small_fwd_rule, _small_bwd_rule)
 # Inference-only by the same custom-VJP construction as small_attention.
 
 def _mha_attention_tail(qkv, kpad_ref, wout_ref, bout_ref, o_ref,
-                        s_pad: int, num_heads: int, scale: float):
+                        s_pad: int, num_heads: int, scale: float,
+                        x_res=None):
     """Shared tail of the fused-MHA kernels: per-head block-diagonal window
     attention over a VMEM-resident (tile, 3C) qkv + accumulated
     out-projection."""
@@ -606,7 +607,52 @@ def _mha_attention_tail(qkv, kpad_ref, wout_ref, bout_ref, o_ref,
             o_h.astype(wout_ref.dtype), wout_ref[h * d:(h + 1) * d, :],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
-    o_ref[0] = (acc + bout_ref[...]).astype(o_ref.dtype)
+    out = acc + bout_ref[...]
+    if x_res is not None:  # the block's x + attn(ln_1(x)) residual epilogue
+        out = out + x_res.astype(jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _block_attn_kernel(kpad_ref, x_ref, lng_ref, lnb_ref, win_ref, bin_ref,
+                       wout_ref, bout_ref, o_ref, xn_ref, *, s_pad: int,
+                       num_heads: int, scale: float):
+    """Whole first-half of a pre-LN residual block: x_norm = ln_1(x),
+    x + MHA(x_norm) — the LayerNorm and residual never round-trip HBM
+    (reference tfm_model.py:34-38). x_norm is also written out: it is a
+    stage output the TAN loss consumes (tfm_model.py:48-55)."""
+    from exoground_tpu.ops.fused_mlp import _layernorm_f32
+
+    x = x_ref[0]
+    xn = _layernorm_f32(x, lng_ref, lnb_ref)  # (tile, C) f32
+    qkv = jax.lax.dot_general(
+        xn.astype(win_ref.dtype), win_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + bin_ref[...]
+    xn_ref[0] = xn.astype(xn_ref.dtype)
+    _mha_attention_tail(qkv, kpad_ref, wout_ref, bout_ref, o_ref,
+                        s_pad, num_heads, scale, x_res=x)
+
+
+def _block_attn_kernel_int8(kpad_ref, x_ref, lng_ref, lnb_ref, winq_ref,
+                            wsc_ref, bin_ref, wout_ref, bout_ref, o_ref,
+                            xn_ref, *, s_pad: int, num_heads: int,
+                            scale: float):
+    """int8-qkv variant of _block_attn_kernel (see _mha_kernel_int8)."""
+    from exoground_tpu.ops.fused_mlp import _layernorm_f32
+
+    x = x_ref[0]
+    xn = _layernorm_f32(x, lng_ref, lnb_ref)
+    absmax = jnp.max(jnp.abs(xn), axis=-1, keepdims=True)
+    xs = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(xn / xs), -127, 127).astype(jnp.int8)
+    qkv32 = jax.lax.dot_general(
+        xq, winq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    qkv = qkv32.astype(jnp.float32) * xs * wsc_ref[...] + bin_ref[...]
+    xn_ref[0] = xn.astype(xn_ref.dtype)
+    _mha_attention_tail(qkv, kpad_ref, wout_ref, bout_ref, o_ref,
+                        s_pad, num_heads, scale, x_res=x)
 
 
 def _mha_kernel(kpad_ref, x_ref, win_ref, bin_ref, wout_ref, bout_ref, o_ref,
@@ -767,6 +813,147 @@ def _fused_mha_bwd_rule(num_heads, res, do):
 
 
 _fused_mha.defvjp(_fused_mha_fwd_rule, _fused_mha_bwd_rule)
+
+
+def _block_attn_xla(x, kpad, lng, lnb, w_in, b_in, w_out, b_out, num_heads):
+    """The composition the block kernel fuses (and every derivative's
+    path): x_norm = ln_1(x) (f32 like the kernel), x + MHA(x_norm)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+    xn = (xn * lng.astype(jnp.float32) + lnb.astype(jnp.float32)).astype(x.dtype)
+    out = _mha_xla(xn, kpad, w_in, b_in, w_out, b_out, num_heads)
+    return (x.astype(jnp.float32) + out.astype(jnp.float32)).astype(x.dtype), xn
+
+
+def _block_attn_pallas(kernel, x, kpad, weight_args, weight_specs, num_heads):
+    b, s, c = x.shape
+    xt, kt, tile, s_pad, n_tiles = _mha_tiles(x, kpad)
+    o, xn = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, 1, tile), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            *weight_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile, c), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c), lambda g: (g, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, tile, c), x.dtype),
+            jax.ShapeDtypeStruct((n_tiles, tile, c), x.dtype),
+        ],
+        interpret=_should_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=n_tiles * tile * (8 * c * c + 4 * tile * c),
+            bytes_accessed=3 * n_tiles * tile * c * 2,
+            transcendentals=n_tiles * tile * tile * num_heads,
+        ),
+    )(kt, xt, *weight_args)
+    return (o.reshape(-1, s_pad, c)[:b, :s],
+            xn.reshape(-1, s_pad, c)[:b, :s])
+
+
+def block_fusion_mode(impl: Optional[str], b: int, s: int, c: int,
+                      num_heads: int) -> Optional[str]:
+    """Whole-block kernel eligibility: None | 'bf16' | 'int8'.
+
+    EXPLICIT 'fused' only — 'auto' keeps the per-module kernels: two
+    interleaved scanned A/Bs on-chip (2026-08-20 ~15:40 UTC) measured the
+    whole-block path a WASH vs per-module fusion (bf16 199.4/197.0 vs
+    197.2/199.5 kf/s across passes; int8 204.6/205.3 vs 207.2/206.1 —
+    all inside the ±1% window noise). XLA already fuses the LN/residual
+    elementwise into adjacent ops, so there was little HBM traffic left
+    for the block kernel to save; the per-module dispatch stays the
+    measured default and this path remains available for backends where
+    elementwise fusion is weaker. Under an int8 context the block fuses
+    exactly when the selective policy quantizes qkv (N=3C) and c_fc
+    (N=4C) but not the N=C projections — 3C >= min_cols implies
+    4C >= min_cols, so one mode decides the block."""
+    want = impl or _DEFAULT_IMPL
+    if not (want == "fused" and s <= _SMALL_TILE
+            and c % 128 == 0 and c % num_heads == 0
+            and (c // num_heads) % 8 == 0):
+        return None
+    qi = quant.current_impl()
+    if qi == "default":
+        return "bf16"
+    if (qi == "int8" and 3 * c >= quant.current_min_cols()
+            and c < quant.current_min_cols()):
+        return "int8"
+    return None
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def _block_attn(x, kpad, lng, lnb, w_in, b_in, w_out, b_out, num_heads):
+    b, s, c = x.shape
+    d = c // num_heads
+    return _block_attn_pallas(
+        functools.partial(
+            _block_attn_kernel,
+            s_pad=64 if s <= 64 else -(-s // 8) * 8,
+            num_heads=num_heads, scale=1.0 / math.sqrt(d)),
+        x, kpad,
+        (lng.reshape(1, -1), lnb.reshape(1, -1), w_in, b_in.reshape(1, -1),
+         w_out, b_out.reshape(1, -1)),
+        [_const_spec((1, c)), _const_spec((1, c)), _const_spec((c, 3 * c)),
+         _const_spec((1, 3 * c)), _const_spec((c, c)), _const_spec((1, c))],
+        num_heads,
+    )
+
+
+def _block_attn_fwd_rule(x, kpad, lng, lnb, w_in, b_in, w_out, b_out, num_heads):
+    out = _block_attn_xla(x, kpad, lng, lnb, w_in, b_in, w_out, b_out, num_heads)
+    return out, (x, kpad, lng, lnb, w_in, b_in, w_out, b_out)
+
+
+def _block_attn_bwd_rule(num_heads, res, cotangents):
+    x, kpad, lng, lnb, w_in, b_in, w_out, b_out = res
+    _, vjp = jax.vjp(
+        lambda x_, g_, b2_, wi, bi, wo, bo: _block_attn_xla(
+            x_, kpad, g_, b2_, wi, bi, wo, bo, num_heads),
+        x, lng, lnb, w_in, b_in, w_out, b_out,
+    )
+    dx, dlng, dlnb, dwi, dbi, dwo, dbo = vjp(cotangents)
+    return dx, None, dlng, dlnb, dwi, dbi, dwo, dbo
+
+
+_block_attn.defvjp(_block_attn_fwd_rule, _block_attn_bwd_rule)
+
+
+def fused_block_attn(x, key_padding_mask, lng, lnb, w_in, b_in, w_out, b_out,
+                     num_heads, int8_qkv: bool = False):
+    """Whole first-half of a pre-LN residual block in one pass:
+    (x + MHA(ln_1(x)), ln_1(x)) — see _block_attn_kernel. ``int8_qkv``
+    runs the qkv projection on the int8 MXU (serving-only)."""
+    b, s, c = x.shape
+    if key_padding_mask is None:
+        kpad = jnp.zeros((b, s), dtype=jnp.int32)
+    else:
+        kpad = key_padding_mask.astype(jnp.int32)
+    if not int8_qkv:
+        return _block_attn(x, kpad, lng, lnb, w_in, b_in, w_out, b_out,
+                           num_heads)
+    from exoground_tpu.ops.quant import _quant_first_axis
+
+    winq, wsc = _quant_first_axis(w_in)
+    d = c // num_heads
+    return _block_attn_pallas(
+        functools.partial(
+            _block_attn_kernel_int8,
+            s_pad=64 if s <= 64 else -(-s // 8) * 8,
+            num_heads=num_heads, scale=1.0 / math.sqrt(d)),
+        x, kpad,
+        (lng.reshape(1, -1), lnb.reshape(1, -1), winq, wsc,
+         b_in.reshape(1, -1), w_out, b_out.reshape(1, -1)),
+        [_const_spec((1, c)), _const_spec((1, c)), _const_spec((c, 3 * c)),
+         _const_spec((1, 3 * c)), _const_spec((1, 3 * c)),
+         _const_spec((c, c)), _const_spec((1, c))],
+        num_heads,
+    )
 
 
 def fused_mha_small(

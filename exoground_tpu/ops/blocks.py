@@ -143,6 +143,45 @@ class ResidualAttentionBlock(nn.Module):
     proj_std: float = 0.02
     fc_std: float = 0.02
 
+    def _fused_block(self, x, key_padding_mask, mode: str):
+        """Whole-block kernel path: exactly two Pallas calls per layer —
+        (x + MHA(ln_1(x)), ln_1(x)) and x + mlp(ln_2(x)) — so the
+        LayerNorms, qkv/attn-out, 4w hidden, and both residual adds never
+        round-trip HBM. Params are created through child scopes with the
+        module path + initializers the unfused submodules use (identical
+        tree, checkpoint-compatible)."""
+        from exoground_tpu.ops.attention import fused_block_attn
+        from exoground_tpu.ops.fused_mlp import fused_block_mlp
+
+        c = self.width
+        int8 = mode == "int8"
+        ln1 = self.scope.push("ln_1")
+        g1 = ln1.param("scale", nn.initializers.ones, (c,))
+        b1 = ln1.param("bias", nn.initializers.zeros, (c,))
+        at = self.scope.push("attn")
+        w_in = at.param("in_proj_kernel",
+                        nn.initializers.normal(self.attn_std), (c, 3 * c))
+        b_in = at.param("in_proj_bias", nn.initializers.zeros, (3 * c,))
+        w_out = at.param("out_proj_kernel",
+                         nn.initializers.normal(self.proj_std), (c, c))
+        b_out = at.param("out_proj_bias", nn.initializers.zeros, (c,))
+        x, x_norm = fused_block_attn(
+            x, key_padding_mask, g1, b1, w_in, b_in, w_out, b_out,
+            self.heads, int8_qkv=int8,
+        )
+        ln2 = self.scope.push("ln_2")
+        g2 = ln2.param("scale", nn.initializers.ones, (c,))
+        b2 = ln2.param("bias", nn.initializers.zeros, (c,))
+        mlp = self.scope.push("mlp")
+        fc = mlp.push("c_fc")
+        fck = fc.param("kernel", nn.initializers.normal(self.fc_std), (c, 4 * c))
+        fcb = fc.param("bias", torch_linear_bias_init(c), (4 * c,))
+        pr = mlp.push("c_proj")
+        prk = pr.param("kernel", nn.initializers.normal(self.proj_std), (4 * c, c))
+        prb = pr.param("bias", torch_linear_bias_init(4 * c), (c,))
+        x = fused_block_mlp(x, g2, b2, fck, fcb, prk, prb, int8_cfc=int8)
+        return x, x_norm
+
     @nn.compact
     def __call__(
         self,
@@ -151,6 +190,18 @@ class ResidualAttentionBlock(nn.Module):
         impl: Optional[str] = None,
         mlp_impl: Optional[str] = None,
     ):
+        from exoground_tpu.ops.attention import block_fusion_mode
+        from exoground_tpu.ops.fused_mlp import resolve_mlp_impl
+
+        b, s, c = x.shape
+        if c == self.width:
+            mode = block_fusion_mode(impl, b, s, c, self.heads)
+            # the whole-block path subsumes the MLP kernel; require the MLP
+            # side to agree (same row/width gates via its own resolver)
+            if (mode is not None
+                    and resolve_mlp_impl(mlp_impl, self.width, b * s)
+                    == "fused"):
+                return self._fused_block(x, key_padding_mask, mode)
         x_norm = nn.LayerNorm(epsilon=LN_EPS, name="ln_1")(x)
         attn = MultiHeadAttention(
             num_heads=self.heads,

@@ -76,10 +76,27 @@ def _pad_rows(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
     return jnp.pad(x, ((0, target - r), (0, 0)))
 
 
+_LN_EPS = 1e-5  # torch LayerNorm default (ops/blocks.py::LN_EPS)
+
+
+def _layernorm_f32(x, g_ref, b_ref):
+    """Row LayerNorm in f32 registers (reduction over the lane/C axis)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + _LN_EPS)
+    return xn * g_ref[...].astype(jnp.float32) + b_ref[...].astype(jnp.float32)
+
+
 def _mlp_kernel(x_ref, fck_ref, fcb_ref, prk_ref, prb_ref, o_ref):
-    x = x_ref[...]  # (TR, C)
+    _mlp_tail(x_ref[...], x_ref, fck_ref, fcb_ref, prk_ref, prb_ref, o_ref,
+              residual=False)
+
+
+def _mlp_tail(h_in, x_ref, fck_ref, fcb_ref, prk_ref, prb_ref, o_ref,
+              residual: bool):
     h = jax.lax.dot_general(
-        x, fck_ref[...], (((1,), (0,)), ((), ())),
+        h_in.astype(fck_ref.dtype), fck_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + fcb_ref[...]  # (TR, 4C) f32, never leaves VMEM
     h = h * jax.nn.sigmoid(1.702 * h)  # QuickGELU (reference tfm_model.py:13)
@@ -87,6 +104,38 @@ def _mlp_kernel(x_ref, fck_ref, fcb_ref, prk_ref, prb_ref, o_ref):
         h.astype(prk_ref.dtype), prk_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) + prb_ref[...]
+    if residual:  # the block's x + mlp(ln_2(x)) epilogue, in-register
+        o = o + x_ref[...].astype(jnp.float32)
+    o_ref[...] = o.astype(o_ref.dtype)
+
+
+def _block_mlp_kernel(x_ref, lng_ref, lnb_ref, fck_ref, fcb_ref, prk_ref,
+                      prb_ref, o_ref):
+    """Whole second-half of a residual block: x + mlp(ln_2(x)) — the
+    LayerNorm and residual add never round-trip HBM (reference
+    tfm_model.py:36-38)."""
+    xn = _layernorm_f32(x_ref[...], lng_ref, lnb_ref)
+    _mlp_tail(xn, x_ref, fck_ref, fcb_ref, prk_ref, prb_ref, o_ref,
+              residual=True)
+
+
+def _block_mlp_kernel_int8(x_ref, lng_ref, lnb_ref, fckq_ref, fcsc_ref,
+                           fcb_ref, prk_ref, prb_ref, o_ref):
+    """int8-c_fc variant of _block_mlp_kernel (see _mlp_kernel_int8)."""
+    xn = _layernorm_f32(x_ref[...], lng_ref, lnb_ref)
+    absmax = jnp.max(jnp.abs(xn), axis=-1, keepdims=True)
+    xs = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(xn / xs), -127, 127).astype(jnp.int8)
+    h32 = jax.lax.dot_general(
+        xq, fckq_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    h = h32.astype(jnp.float32) * xs * fcsc_ref[...] + fcb_ref[...]
+    h = h * jax.nn.sigmoid(1.702 * h)
+    o = jax.lax.dot_general(
+        h.astype(prk_ref.dtype), prk_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + prb_ref[...] + x_ref[...].astype(jnp.float32)
     o_ref[...] = o.astype(o_ref.dtype)
 
 
@@ -209,4 +258,90 @@ def fused_mlp(x: jnp.ndarray, fck, fcb, prk, prb) -> jnp.ndarray:
     """
     lead = x.shape[:-1]
     out = _fused(x.reshape(-1, x.shape[-1]), fck, fcb, prk, prb)
+    return out.reshape(*lead, -1)
+
+
+def _block_mlp_xla(x2d, lng, lnb, fck, fcb, prk, prb):
+    """The composition the block kernel fuses (and every derivative's
+    path): x + mlp(ln_2(x)), LN in f32 like the kernel."""
+    xf = x2d.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + _LN_EPS)
+    xn = (xn * lng.astype(jnp.float32) + lnb.astype(jnp.float32)).astype(x2d.dtype)
+    return (x2d.astype(jnp.float32)
+            + _mlp_xla(xn, fck, fcb, prk, prb).astype(jnp.float32)
+            ).astype(x2d.dtype)
+
+
+def _block_mlp_pallas(kernel, x2d, weight_args, weight_shapes):
+    r, c = x2d.shape
+    xp = _pad_rows(x2d, _ROW_TILE)
+    n_tiles = xp.shape[0] // _ROW_TILE
+    o = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((_ROW_TILE, c), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            *[pl.BlockSpec(s, lambda g: (0, 0), memory_space=pltpu.VMEM)
+              for s in weight_shapes],
+        ],
+        out_specs=pl.BlockSpec((_ROW_TILE, c), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(xp.shape, x2d.dtype),
+        interpret=_should_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * xp.shape[0] * c * (weight_shapes[2][1]
+                                         if len(weight_shapes) > 2 else 4 * c),
+            bytes_accessed=2 * xp.shape[0] * c * 2,
+            transcendentals=xp.shape[0] * 4 * c,
+        ),
+    )(xp, *weight_args)
+    return o[:r]
+
+
+@jax.custom_vjp
+def _block_fused(x2d, lng, lnb, fck, fcb, prk, prb):
+    c, ch = fck.shape
+    return _block_mlp_pallas(
+        _block_mlp_kernel, x2d,
+        (lng.reshape(1, -1), lnb.reshape(1, -1), fck, fcb.reshape(1, -1),
+         prk, prb.reshape(1, -1)),
+        [(1, c), (1, c), (c, ch), (1, ch), (ch, c), (1, c)],
+    )
+
+
+def _block_fused_fwd_rule(x2d, lng, lnb, fck, fcb, prk, prb):
+    args = (x2d, lng, lnb, fck, fcb, prk, prb)
+    return _block_mlp_xla(*args), args
+
+
+def _block_fused_bwd_rule(res, do):
+    _, vjp = jax.vjp(_block_mlp_xla, *res)
+    return vjp(do)
+
+
+_block_fused.defvjp(_block_fused_fwd_rule, _block_fused_bwd_rule)
+
+
+def fused_block_mlp(x, lng, lnb, fck, fcb, prk, prb,
+                    int8_cfc: bool = False) -> jnp.ndarray:
+    """Whole second-half of a pre-LN residual block, x + mlp(ln_2(x)), in
+    one VMEM-resident pass (reference tfm_model.py:36-38): the LayerNorm,
+    4w hidden, and residual add never reach HBM. ``int8_cfc`` runs c_fc on
+    the int8 MXU (serving-only; see _mlp_kernel_int8)."""
+    lead = x.shape[:-1]
+    x2d = x.reshape(-1, x.shape[-1])
+    if int8_cfc:
+        from exoground_tpu.ops.quant import _quant_first_axis
+
+        c, ch = fck.shape
+        fckq, fcsc = _quant_first_axis(fck)
+        out = _block_mlp_pallas(
+            _block_mlp_kernel_int8, x2d,
+            (lng.reshape(1, -1), lnb.reshape(1, -1), fckq, fcsc,
+             fcb.reshape(1, -1), prk, prb.reshape(1, -1)),
+            [(1, c), (1, c), (c, ch), (1, ch), (1, ch), (ch, c), (1, c)],
+        )
+    else:
+        out = _block_fused(x2d, lng, lnb, fck, fcb, prk, prb)
     return out.reshape(*lead, -1)

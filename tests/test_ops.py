@@ -376,3 +376,89 @@ class TestFusedMLPInt8:
             ref = mlp.apply(p, x)
             out = mlp.apply(p, x, impl="fused")  # must fall back to Dense
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+class TestFusedWholeBlock:
+    """Whole-block kernel path (ResidualAttentionBlock._fused_block): two
+    Pallas calls per layer — (x + MHA(ln_1(x)), ln_1(x)) and
+    x + mlp(ln_2(x)). Same param tree, same math, XLA grads."""
+
+    def _block_and_input(self, s=64, c=128, b=3, seed=70):
+        from exoground_tpu.ops.blocks import ResidualAttentionBlock
+
+        rng = np.random.RandomState(seed)
+        blk = ResidualAttentionBlock(width=c, heads=4)
+        x = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+        kpad = np.zeros((b, s), dtype=bool)
+        kpad[0, int(s * 0.8):] = True
+        return blk, x, jnp.asarray(kpad)
+
+    @pytest.mark.parametrize("s", [64, 96])
+    def test_fused_block_matches_unfused(self, s):
+        blk, x, kpad = self._block_and_input(s=s)
+        p = blk.init(jax.random.PRNGKey(0), x, kpad)
+        ref_x, ref_n = blk.apply(p, x, kpad, impl="xla", mlp_impl="xla")
+        out_x, out_n = blk.apply(p, x, kpad, impl="fused", mlp_impl="fused")
+        np.testing.assert_allclose(
+            np.asarray(out_x), np.asarray(ref_x), atol=5e-5, rtol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(out_n), np.asarray(ref_n), atol=5e-5, rtol=1e-4)
+
+    def test_param_tree_identical(self):
+        blk, x, kpad = self._block_and_input()
+        p_unfused = blk.init(jax.random.PRNGKey(1), x, kpad)
+        p_fused = blk.init(jax.random.PRNGKey(1), x, kpad,
+                           impl="fused", mlp_impl="fused")
+        assert (jax.tree_util.tree_structure(p_unfused)
+                == jax.tree_util.tree_structure(p_fused))
+        for a, b in zip(jax.tree_util.tree_leaves(p_unfused),
+                        jax.tree_util.tree_leaves(p_fused)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_gradients_close_to_unfused(self):
+        blk, x, kpad = self._block_and_input()
+        p = blk.init(jax.random.PRNGKey(2), x, kpad)
+
+        def loss(p, impl, mlp_impl):
+            xo, xn = blk.apply(p, x, kpad, impl=impl, mlp_impl=mlp_impl)
+            return jnp.sum(xo ** 2) + jnp.sum(xn ** 2)
+
+        gf = jax.grad(lambda p: loss(p, "fused", "fused"))(p)
+        gx = jax.grad(lambda p: loss(p, "xla", "xla"))(p)
+        for a, b in zip(jax.tree_util.tree_leaves(gf),
+                        jax.tree_util.tree_leaves(gx)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-4, rtol=1e-3)
+
+    def test_int8_block_matches_unfused_int8(self):
+        from exoground_tpu.ops import quant
+
+        blk, x, kpad = self._block_and_input(seed=71)
+        p = blk.init(jax.random.PRNGKey(3), x, kpad)
+        with quant.matmul_impl("int8", min_cols=256):
+            ref_x, ref_n = blk.apply(p, x, kpad, impl="xla", mlp_impl="xla")
+            out_x, out_n = blk.apply(p, x, kpad, impl="fused",
+                                     mlp_impl="fused")
+        np.testing.assert_allclose(
+            np.asarray(out_x), np.asarray(ref_x), atol=5e-3, rtol=5e-3)
+        np.testing.assert_allclose(
+            np.asarray(out_n), np.asarray(ref_n), atol=5e-4, rtol=1e-3)
+
+    def test_full_model_block_fused_matches(self):
+        from exoground_tpu.models import TemporalAligner
+
+        common = dict(num_encoder_layers=2, num_joint_layers=2)
+        m0 = TemporalAligner(**common, attn_impl="xla", mlp_impl="xla")
+        m1 = TemporalAligner(**common, attn_impl="fused", mlp_impl="fused")
+        rng = np.random.RandomState(72)
+        v = jnp.asarray(rng.randn(2, 16, 4096), jnp.float32)
+        t = jnp.asarray(rng.randn(2, 3, 4096), jnp.float32)
+        vm = jnp.zeros((2, 16), bool)
+        lm = jnp.asarray(np.array([[0, 0, 1], [0, 0, 0]], bool))
+        p = m0.init(jax.random.PRNGKey(0), v, t, vm, lm)
+        o0 = m0.apply(p, v, t, vm, lm)
+        o1 = m1.apply(p, v, t, vm, lm)
+        for k in o0:
+            np.testing.assert_allclose(
+                np.asarray(o1[k]), np.asarray(o0[k]), atol=1e-4, rtol=1e-3,
+                err_msg=k)
