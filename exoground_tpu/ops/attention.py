@@ -1073,7 +1073,10 @@ class MultiHeadAttention(nn.Module):
         # rows) win, the batch-16 train teacher forward (~1k rows, 8 grid
         # tiles) measured a ~0.5 ms/step LOSS (see resolve_mlp_impl's
         # matching bound)
+        from exoground_tpu.ops.fused_mlp import fused_kernels_disabled
+
         auto_ok = (want == "auto" and jax.default_backend() == "tpu"
+                   and not fused_kernels_disabled()
                    and query.shape[0] * query.shape[1] >= 4096)
         if ((want == "fused" or auto_ok)
                 and query is key and key is value

@@ -31,6 +31,32 @@ _ROW_TILE = 256  # rows per grid step: hidden tile (256, 4w) f32 = 2 MB @ w512
 
 _DEFAULT_IMPL = "auto"  # 'auto' | 'xla' | 'fused'
 
+_CTX = __import__("threading").local()
+
+
+def fused_kernels_disabled() -> bool:
+    return getattr(_CTX, "disabled", False)
+
+
+@__import__("contextlib").contextmanager
+def disable_fused_kernels():
+    """Trace-time off-switch for the inference kernels' auto-dispatch.
+
+    The train steps wrap their model forwards in this context: interleaved
+    on-chip A/Bs measured the kernels a LOSS inside the scanned train step
+    at BOTH batch-16 (6.72 vs 6.24 ms, ~1k teacher rows) and batch-64
+    (18.08 vs 17.22 ms, 4096 teacher rows — at the row-floor, so a row
+    threshold alone cannot express it). The kernels block XLA's cross-op
+    scheduling inside the fused multi-step scan; inference programs have
+    no such scan and measure +11.6% (PERF.md round 5). Consulted at trace
+    time like quant.matmul_impl; explicit impl='fused' overrides."""
+    prev = getattr(_CTX, "disabled", False)
+    _CTX.disabled = True
+    try:
+        yield
+    finally:
+        _CTX.disabled = prev
+
 
 def set_default_mlp_impl(impl: str) -> None:
     """Process-wide MLP implementation ('auto'|'xla'|'fused')."""
@@ -57,7 +83,7 @@ def resolve_mlp_impl(impl, width: int, rows: int = None) -> str:
     aligned = width % 128 == 0 and (4 * width) % 128 == 0
     if impl == "auto":
         big = rows is None or rows >= _AUTO_MIN_ROWS
-        return ("fused" if (aligned and big
+        return ("fused" if (aligned and big and not fused_kernels_disabled()
                             and jax.default_backend() == "tpu") else "xla")
     if impl == "fused" and not aligned:
         return "xla"  # Mosaic lane alignment

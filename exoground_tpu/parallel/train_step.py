@@ -25,7 +25,24 @@ from jax import shard_map
 from exoground_tpu.losses.grounding import GroundingLossConfig, egoexo_loss
 from exoground_tpu.losses.infonce import symmetric_info_nce
 from exoground_tpu.losses.milnce import TANLossConfig, tan_loss
+from exoground_tpu.ops.fused_mlp import disable_fused_kernels
 from exoground_tpu.parallel.mesh import DATA_AXIS
+
+
+def _train_traced(fn):
+    """Trace the step body with the inference kernels' auto-dispatch OFF
+    (ops/fused_mlp.py::disable_fused_kernels): interleaved on-chip A/Bs
+    measured the fused MHA/MLP kernels a LOSS inside the scanned train step
+    at both batch 16 and 64 (PERF.md round 5) — the no-grad EMA teacher
+    forward would otherwise pick them up under 'auto'."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **k):
+        with disable_fused_kernels():
+            return fn(*a, **k)
+
+    return wrapped
 
 
 # Carried-cast scan switch: when True, scan_steps + FusedAdamWEMA + bf16
@@ -313,7 +330,7 @@ def make_tan_train_step(
 
     if scan_steps is None:
         step = shard_map(
-            local_step,
+            _train_traced(local_step),
             mesh=mesh,
             in_specs=(P(), P(), P(), P(DATA_AXIS), P()),
             out_specs=(P(), P(), P(), P()),
@@ -352,7 +369,7 @@ def make_tan_train_step(
         return params, target_params, opt_state, ms
 
     step = shard_map(
-        local_scan,
+        _train_traced(local_scan),
         mesh=mesh,
         in_specs=(P(), P(), P(), P(None, DATA_AXIS), P()),
         out_specs=(P(), P(), P(), P()),
@@ -460,7 +477,7 @@ def make_s3d_nce_step(
 
     if scan_steps is None:
         step = shard_map(
-            local_step,
+            _train_traced(local_step),
             mesh=mesh,
             in_specs=(P(), P(), P(), P(DATA_AXIS), P()),
             out_specs=(P(), P(), P(), P()),
@@ -483,7 +500,7 @@ def make_s3d_nce_step(
         return params, batch_stats, opt_state, ms
 
     step = shard_map(
-        local_scan,
+        _train_traced(local_scan),
         mesh=mesh,
         in_specs=(P(), P(), P(), P(None, DATA_AXIS), P()),
         out_specs=(P(), P(), P(), P()),
@@ -578,7 +595,7 @@ def make_grounding_eval_step(
         return agg, ious
 
     step = shard_map(
-        local_eval,
+        _train_traced(local_eval),
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
         out_specs=(P(), P(DATA_AXIS)),
@@ -650,7 +667,7 @@ def make_tan_eval_step(
         return agg
 
     step = shard_map(
-        local_eval,
+        _train_traced(local_eval),
         mesh=mesh,
         in_specs=(P(), P(), P(DATA_AXIS)),
         out_specs=P(),
@@ -725,7 +742,7 @@ def make_grounding_train_step(
 
     if scan_steps is None:
         step = shard_map(
-            local_step,
+            _train_traced(local_step),
             mesh=mesh,
             in_specs=(P(), P(), P(DATA_AXIS), P()),
             out_specs=(P(), P(), P()),
@@ -759,7 +776,7 @@ def make_grounding_train_step(
         return params, opt_state, ms
 
     step = shard_map(
-        local_scan,
+        _train_traced(local_scan),
         mesh=mesh,
         in_specs=(P(), P(), P(None, DATA_AXIS), P()),
         out_specs=(P(), P(), P()),
