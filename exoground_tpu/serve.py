@@ -566,6 +566,12 @@ def serve_http(
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
     class Handler(BaseHTTPRequestHandler):
+        # HTTP/1.1: persistent connections — a client posting a request
+        # stream reuses one TCP connection instead of paying
+        # connect/teardown per request (every _reply sets Content-Length,
+        # which keep-alive requires)
+        protocol_version = "HTTP/1.1"
+
         def log_message(self, *a):  # quiet
             pass
 

@@ -695,3 +695,34 @@ def test_coalescing_front_error_propagates_to_all_waiters():
         t.join(timeout=10)
     assert errors == ["device on fire"] * 4
     assert front._queue == []  # nothing wedged in the queue
+
+
+def test_http_keepalive_connection_reuse():
+    """HTTP/1.1 front: two requests over ONE persistent connection."""
+    import http.client
+
+    from exoground_tpu.serve import _encode_npz
+
+    model, params = _tan()
+    svc = AlignmentService(model, params, seq_len=16, transfer_dtype="float32")
+    server = serve_http(align_service=svc, host="127.0.0.1", port=0,
+                        block=False)
+    port = server.server_address[1]
+    try:
+        rng = np.random.RandomState(7)
+        body = _encode_npz({
+            "video": rng.randn(40, 24).astype(np.float32),
+            "text_embed": rng.randn(3, 16).astype(np.float32),
+        })
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+        outs = []
+        for _ in range(2):  # same socket, two requests
+            conn.request("POST", "/align", body)
+            resp = conn.getresponse()
+            assert resp.status == 200
+            assert resp.version == 11  # HTTP/1.1 negotiated
+            outs.append(json.loads(resp.read()))
+        conn.close()
+        assert outs[0]["best_second"] == outs[1]["best_second"]
+    finally:
+        server.shutdown()
