@@ -355,6 +355,30 @@ def _maybe_save_last_good(final: dict):
     prev_link = prev.get("tunnel_h2d_mbps")
     cands = [v for v in (prev.get("tunnel_h2d_mbps_best"), prev_link) if v]
     best_link = max(cands) if cands else None
+    # dead-link runs SKIP the streamed/serve measurements entirely — there
+    # are no new link rows to accept, so they must neither advance the
+    # staleness horizon (its purpose is accepting rows MEASURED in a
+    # sustained new regime) nor, on expiry, strip the record's link rows
+    measured_link_rows = "streamed_fp16_e2e_fps" in final
+    if (new_link is not None and best_link
+            and new_link < _LINK_SPREAD * best_link
+            and not measured_link_rows):
+        kept = [k for k in _LINK_BOUND_KEYS if k in prev]
+        for k in kept:
+            rec[k] = prev[k]
+        rec["link_rows_from"] = prev.get(
+            "link_rows_from", prev.get("measured_at_utc"))
+        rec["rows_measured_at"]["link"] = prev_rows.get(
+            "link", rec["link_rows_from"])
+        rec["degraded_link_runs_since_save"] = prev.get(
+            "degraded_link_runs_since_save", 0)  # unchanged: nothing measured
+        rec["tunnel_h2d_mbps_best"] = best_link
+        final["last_good_link_rows_kept"] = (
+            f"dead link ({new_link} MB/s): streamed/serve rows were skipped, "
+            "record keeps its link-bound rows (horizon not advanced)"
+        )
+        _save_last_good(rec)
+        return
     if new_link is not None and best_link and new_link < _LINK_SPREAD * best_link:
         n = prev.get("degraded_link_runs_since_save", 0) + 1
         if n <= _STALE_HORIZON:

@@ -640,11 +640,11 @@ def _block_attn_kernel_int8(kpad_ref, x_ref, lng_ref, lnb_ref, winq_ref,
     """int8-qkv variant of _block_attn_kernel (see _mha_kernel_int8)."""
     from exoground_tpu.ops.fused_mlp import _layernorm_f32
 
+    from exoground_tpu.ops.fused_mlp import _layernorm_f32, _quant_rows_f32
+
     x = x_ref[0]
     xn = _layernorm_f32(x, lng_ref, lnb_ref)
-    absmax = jnp.max(jnp.abs(xn), axis=-1, keepdims=True)
-    xs = jnp.where(absmax > 0, absmax / 127.0, 1.0)
-    xq = jnp.clip(jnp.round(xn / xs), -127, 127).astype(jnp.int8)
+    xq, xs = _quant_rows_f32(xn)
     qkv32 = jax.lax.dot_general(
         xq, winq_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -681,10 +681,10 @@ def _mha_kernel_int8(kpad_ref, x_ref, winq_ref, wsc_ref, bin_ref, wout_ref,
     pre-quantized per output column (quant._quant_first_axis semantics);
     attention and the N=C out-projection stay exact, mirroring the
     selective min_cols policy."""
+    from exoground_tpu.ops.fused_mlp import _quant_rows_f32
+
     x = x_ref[0].astype(jnp.float32)  # (tile, C)
-    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-    xs = jnp.where(absmax > 0, absmax / 127.0, 1.0)
-    xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+    xq, xs = _quant_rows_f32(x)
     qkv32 = jax.lax.dot_general(
         xq, winq_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -857,7 +857,7 @@ def _block_attn_pallas(kernel, x, kpad, weight_args, weight_specs, num_heads):
             xn.reshape(-1, s_pad, c)[:b, :s])
 
 
-def block_fusion_mode(impl: Optional[str], b: int, s: int, c: int,
+def block_fusion_mode(impl: Optional[str], s: int, c: int,
                       num_heads: int) -> Optional[str]:
     """Whole-block kernel eligibility: None | 'bf16' | 'int8'.
 
@@ -1064,9 +1064,10 @@ class MultiHeadAttention(nn.Module):
         # out-projection; qkv/attn-out never reach HBM. Engaged explicitly
         # ('fused') or by 'auto' on TPU — measured on-chip 2026-08-20:
         # 1.94x op-level (0.619 vs 1.198 ms, B304 S64 w512 bf16) and +6.6%
-        # full-model resident serving (PERF.md round 5). The int8 serving
-        # mode keeps the unfused path (its quantization hooks live in
-        # quant.matmul); differentiation falls back to XLA inside the
+        # full-model resident serving (PERF.md round 5). int8 contexts
+        # matching the selective policy route to the int8 kernel below;
+        # other int8 policy shapes keep the unfused path (hooks in
+        # quant.matmul). Differentiation falls back to XLA inside the
         # kernel's custom VJP either way; CPU (tests, dryrun) stays XLA.
         want = impl or _DEFAULT_IMPL
         # auto engages only at >= 4096 token rows: the eval sweeps (19.5k

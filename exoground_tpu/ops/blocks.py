@@ -91,9 +91,10 @@ class MLP(nn.Module):
         if impl == "fused" and (qi == "default" or fused_int8_ok):
             # VMEM-resident fused kernel (ops/fused_mlp.py): identical param
             # tree (c_fc/c_proj kernel+bias created through child scopes with
-            # the same initializers), hidden never reaches HBM. The int8
-            # serving mode keeps the Dense path — its dynamic quantization
-            # hooks live in dense_dot_general.
+            # the same initializers), hidden never reaches HBM. int8
+            # contexts whose policy matches the selective shape route to
+            # the int8 kernel below; any other int8 policy shape keeps the
+            # Dense path (its hooks live in dense_dot_general).
             fc = self.scope.push("c_fc")
             fck = fc.param("kernel", self.fc_init, (self.width, 4 * self.width))
             fcb = fc.param(
@@ -195,7 +196,7 @@ class ResidualAttentionBlock(nn.Module):
 
         b, s, c = x.shape
         if c == self.width:
-            mode = block_fusion_mode(impl, b, s, c, self.heads)
+            mode = block_fusion_mode(impl, s, c, self.heads)
             # the whole-block path subsumes the MLP kernel; require the MLP
             # side to agree (same row/width gates via its own resolver)
             if (mode is not None

@@ -105,6 +105,17 @@ def _pad_rows(x: jnp.ndarray, multiple: int) -> jnp.ndarray:
 _LN_EPS = 1e-5  # torch LayerNorm default (ops/blocks.py::LN_EPS)
 
 
+def _quant_rows_f32(x):
+    """In-kernel symmetric int8 per-row quantization (f32 input) — shared
+    by every int8 kernel so the semantics stay bit-consistent with
+    quant._quant_last_axis (the parity tests compare against the unfused
+    policy). Returns (int8 values, f32 per-row scales)."""
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    xs = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+    return xq, xs
+
+
 def _layernorm_f32(x, g_ref, b_ref):
     """Row LayerNorm in f32 registers (reduction over the lane/C axis)."""
     xf = x.astype(jnp.float32)
@@ -149,9 +160,7 @@ def _block_mlp_kernel_int8(x_ref, lng_ref, lnb_ref, fckq_ref, fcsc_ref,
                            fcb_ref, prk_ref, prb_ref, o_ref):
     """int8-c_fc variant of _block_mlp_kernel (see _mlp_kernel_int8)."""
     xn = _layernorm_f32(x_ref[...], lng_ref, lnb_ref)
-    absmax = jnp.max(jnp.abs(xn), axis=-1, keepdims=True)
-    xs = jnp.where(absmax > 0, absmax / 127.0, 1.0)
-    xq = jnp.clip(jnp.round(xn / xs), -127, 127).astype(jnp.int8)
+    xq, xs = _quant_rows_f32(xn)
     h32 = jax.lax.dot_general(
         xq, fckq_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
@@ -174,9 +183,7 @@ def _mlp_kernel_int8(x_ref, fckq_ref, fcsc_ref, fcb_ref, prk_ref, prb_ref,
     Weights arrive pre-quantized per output column; c_proj (N=w) stays
     exact, mirroring the selective min_cols policy."""
     x = x_ref[...].astype(jnp.float32)  # (TR, C)
-    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
-    xs = jnp.where(absmax > 0, absmax / 127.0, 1.0)
-    xq = jnp.clip(jnp.round(x / xs), -127, 127).astype(jnp.int8)
+    xq, xs = _quant_rows_f32(x)
     h32 = jax.lax.dot_general(
         xq, fckq_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,

@@ -595,7 +595,7 @@ def make_grounding_eval_step(
         return agg, ious
 
     step = shard_map(
-        _train_traced(local_eval),
+        local_eval,  # inference-shaped: kernels stay available (no scan body)
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
         out_specs=(P(), P(DATA_AXIS)),
@@ -667,7 +667,7 @@ def make_tan_eval_step(
         return agg
 
     step = shard_map(
-        _train_traced(local_eval),
+        local_eval,  # inference-shaped: kernels stay available (no scan body)
         mesh=mesh,
         in_specs=(P(), P(), P(DATA_AXIS)),
         out_specs=P(),

@@ -584,6 +584,14 @@ def serve_http(
             self.wfile.write(body)
 
         def do_POST(self):
+            # keep-alive safety: only Content-Length bodies are framed by
+            # this handler — an unread chunked stream would be parsed as
+            # the next request line on the persistent socket
+            if "chunked" in self.headers.get("Transfer-Encoding", "").lower():
+                self.close_connection = True
+                self._reply(411, {"error": "chunked bodies unsupported; "
+                                           "send Content-Length"})
+                return
             if self.path not in ("/align", "/align_batch", "/ground",
                                  "/ground_batch"):
                 self.rfile.read(int(self.headers.get("Content-Length", 0)))

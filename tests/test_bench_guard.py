@@ -338,3 +338,21 @@ def test_link_anchor_not_raised_by_probe_burst(tmp_path, monkeypatch):
     rec, finals = _run_full(tmp_path, monkeypatch, seq)
     assert rec["tunnel_h2d_mbps_best"] == 56.0  # 90.0 probe never anchored
     assert "last_good_link_rows_kept" not in finals[2]
+
+
+def test_dead_link_skipped_rows_never_expire_horizon(tmp_path, monkeypatch):
+    """A dead-link run skips the streamed/serve measurements entirely — it
+    must keep the record's link rows WITHOUT advancing the staleness
+    horizon (review finding: 5 consecutive skipped runs used to expire the
+    horizon and permanently strip every _LINK_BOUND_KEYS row while
+    collapsing the anchor to ~0)."""
+    clear = _clear_run()
+    dead = {"metric": "m", "value": 169000.0, "tunnel_h2d_mbps": 0.0}
+    seq = [clear] + [dict(dead) for _ in range(bench._STALE_HORIZON + 3)]
+    rec, finals = _run_full(tmp_path, monkeypatch, seq)
+    assert rec["streamed_fp16_e2e_fps"] == clear["streamed_fp16_e2e_fps"]
+    assert rec["tunnel_h2d_mbps_best"] == 66.8  # anchor never collapsed
+    assert rec["degraded_link_runs_since_save"] == 0  # horizon untouched
+    assert "last_good_link_horizon_expired" not in finals[-1]
+    assert "dead link" in finals[-1]["last_good_link_rows_kept"]
+    assert rec["value"] == 169000.0  # compute rows still update
